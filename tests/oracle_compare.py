@@ -1,0 +1,58 @@
+"""Local mirror of the driver's t2 differential check: run a Spark query and
+its DuckDB oracle SQL, normalize both results, and compare row-count, column
+names and values order-insensitively (SURVEY §5 test strategy, G6)."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import pandas as pd
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NULL>"
+        if v == int(v) and abs(v) < 1e15:
+            return f"i:{int(v)}"
+        return f"f:{v:.6f}"
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        return f"t:{pd.Timestamp(v).strftime('%Y-%m-%d %H:%M:%S')}"
+    if isinstance(v, _dt.date):
+        return f"t:{v.isoformat()} 00:00:00"
+    if isinstance(v, (int,)):
+        return f"i:{v}"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return f"i:{int(v)}"
+        if isinstance(v, np.floating):
+            return _norm_cell(float(v))
+        if isinstance(v, np.datetime64):
+            return _norm_cell(pd.Timestamp(v))
+    except ImportError:
+        pass
+    return f"s:{v}"
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(row[c]) for c in cols) for _, row in df[cols].iterrows()]
+    return sorted(rows)
+
+
+def compare(spark_df, duck_rel_df: pd.DataFrame, name: str) -> None:
+    sp = spark_df.toPandas()
+    du = duck_rel_df
+    assert sorted(map(str.lower, sp.columns)) == sorted(map(str.lower, du.columns)), (
+        f"{name}: column mismatch spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"{name}: row count spark={len(sp)} duck={len(du)}"
+    nsp, ndu = normalize(sp), normalize(du)
+    if nsp != ndu:
+        diffs = [(a, b) for a, b in zip(nsp, ndu) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")

@@ -1,0 +1,45 @@
+"""Window-expression library: the reference's rolling/rank semantics as
+reusable Column builders.
+
+These pin down the two semantics gotchas from SURVEY.md §2:
+
+- G1: pandas ``rank(ascending=False)`` defaults to ``method='average'``
+  (``prepare_dashboard_data.py:71-75``, ``feature_engineering.py:201``) while
+  SQL ``rank()`` is min-rank. ``avg_rank`` emulates the pandas semantics as
+  ``rank() + (tie_count - 1)/2`` — pure expressions, no UDF, stays inside
+  whole-stage codegen.
+- E1/E2: pandas ``rolling(n, min_periods=1).mean()``
+  (``transform_player_stats.py:127-161``) is exactly a shrinking
+  ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`` frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def avg_rank(order_col: Column | str, *, partition_by: list[Column | str] | None = None, ascending: bool = False) -> Column:
+    """pandas-``method='average'`` rank (SURVEY G1).
+
+    average_rank = min_rank + (count_of_ties - 1) / 2
+
+    Single global partitions (the reference ranks whole marts,
+    ``prepare_dashboard_data.py:71-75``) funnel to one task; callers ranking
+    large inputs should pre-aggregate (all reference uses rank post-agg
+    marts) — documented 100 TB posture rather than a hidden repartition.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    ordering = order.asc() if ascending else order.desc()
+    part = [F.col(c) if isinstance(c, str) else c for c in (partition_by or [])]
+    w_rank = Window.partitionBy(*part).orderBy(ordering)
+    w_ties = Window.partitionBy(*part, order)
+    return F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - F.lit(1)) / F.lit(2.0)
+
+
+def rolling_avg(col: Column | str, window: WindowSpec, n: int) -> Column:
+    """Rolling n-row mean with pandas ``min_periods=1`` shrink-at-start
+    semantics (``transform_player_stats.py:134-161``): a row-frame window
+    naturally averages over however many rows exist at the partition head."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.avg(c).over(window.rowsBetween(-(n - 1), 0))

@@ -1,0 +1,786 @@
+"""Relational operator suite (SURVEY.md §2 families A–H, J) over the driver's
+synthetic star schema, with DuckDB oracle SQL colocated per query.
+
+Design rules (these are what make the t2 hash-differential pass):
+
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (driver sorts columns by name before hashing);
+- float aggregates are ``round(x, 6)`` on BOTH sides, so parallel-sum
+  ordering differences below 1e-6 can't flip the hash;
+- integer-ish derived columns are cast to bigint on both sides (DuckDB
+  ``sum(int)`` is HUGEINT, Spark ``rank()`` is int — both normalized);
+- window orderings and top-k orderings always carry a unique tie-break key;
+- no raw TIMESTAMP columns in outputs (dates or formatted strings instead),
+  so session-timezone handling can never skew the comparison;
+- 0/0 → 0 ratio semantics (SURVEY G2, ``transform_player_stats.py:63-66``)
+  written as the same explicit CASE in both engines.
+
+Scale posture: every query here is a single declarative plan — scans with
+pushed filters/pruned columns, hash aggregates with partial+final phases,
+broadcast joins on the small build sides, and TakeOrderedAndProject for
+top-k. See tests/test_plans.py for the plan-shape assertions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.windows import avg_rank, rolling_avg
+from ..sources.tables import load_table
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# D1 + B4 + B5 — the flagship: player-aggregation analog
+# ---------------------------------------------------------------------------
+
+
+def q_player_agg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query — multi-function grouped aggregation with ratio and
+    per-game derived columns (reference: ``transform_player_stats.py:41-79``,
+    SURVEY D1/B4/B5). Role-cast: l_suppkey≈PLAYER_ID, s_name≈PLAYER_NAME,
+    l_orderkey≈GAME_ID, l_quantity/l_extendedprice≈stat columns.
+
+    Plan shape: parquet scan (pruned to 6 cols) → partial hash agg → shuffle
+    on l_suppkey → final agg → broadcast join with supplier (tiny dim) —
+    the reference's eager pandas groupby + python name-flattening becomes one
+    codegen'd stage pair. At 100 TB the only shuffle is on the group key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_orderkey").alias("games"),
+        F.count(F.lit(1)).alias("n_lines"),
+        _r6(F.sum("l_quantity")).alias("qty_sum"),
+        _r6(F.avg("l_quantity")).alias("qty_mean"),
+        F.max("l_quantity").alias("qty_max"),
+        _r6(F.sum("l_extendedprice")).alias("price_sum"),
+        _r6(F.avg("l_extendedprice")).alias("price_mean"),
+        _r6(F.avg("l_discount")).alias("disc_mean"),
+        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("_wsum"),
+        F.sum("l_quantity").alias("_qsum"),
+    )
+    out = (
+        agg.join(F.broadcast(supp), agg.l_suppkey == supp.s_suppkey, "left")
+        .withColumn(
+            "disc_rate",
+            F.when(F.col("_qsum") > 0, _r6(F.col("_wsum") / F.col("_qsum"))).otherwise(F.lit(0.0)),
+        )
+        .withColumn("qty_per_game", _r6(F.col("qty_sum") / F.col("games")))
+        .select(
+            "l_suppkey",
+            F.col("s_name").alias("supp_name"),
+            "games",
+            "n_lines",
+            "qty_sum",
+            "qty_mean",
+            "qty_max",
+            "price_sum",
+            "price_mean",
+            "disc_mean",
+            "disc_rate",
+            "qty_per_game",
+        )
+    )
+    return out
+
+
+ORACLE_PLAYER_AGG_FLAGSHIP = """
+WITH agg AS (
+  SELECT l_suppkey,
+         count(DISTINCT l_orderkey)                    AS games,
+         count(*)                                      AS n_lines,
+         round(sum(l_quantity), 6)                     AS qty_sum,
+         round(avg(l_quantity), 6)                     AS qty_mean,
+         max(l_quantity)                               AS qty_max,
+         round(sum(l_extendedprice), 6)                AS price_sum,
+         round(avg(l_extendedprice), 6)                AS price_mean,
+         round(avg(l_discount), 6)                     AS disc_mean,
+         sum(l_quantity * l_discount)                  AS wsum,
+         sum(l_quantity)                               AS qsum
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT a.l_suppkey, s.s_name AS supp_name, a.games, a.n_lines, a.qty_sum,
+       a.qty_mean, a.qty_max, a.price_sum, a.price_mean, a.disc_mean,
+       CASE WHEN a.qsum > 0 THEN round(a.wsum / a.qsum, 6) ELSE 0.0 END AS disc_rate,
+       round(a.qty_sum / a.games, 6)                  AS qty_per_game
+FROM agg a LEFT JOIN supplier s ON a.l_suppkey = s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# D1 — bench headline: multi-aggregate groupBy (BASELINE.md agg_multi)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY D1 analog, matches BASELINE.md `agg_multi` SQL (rounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _r6(F.sum("l_quantity")).alias("sq"),
+        _r6(F.avg("l_extendedprice")).alias("ae"),
+        F.max("l_discount").alias("md"),
+        _r6(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("rev"),
+    )
+
+
+ORACLE_AGG_MULTI = """
+SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity),6) AS sq,
+       round(avg(l_extendedprice),6) AS ae, max(l_discount) AS md,
+       round(sum(l_extendedprice*(1.0-l_discount)),6) AS rev
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4 / B1 / B2 — filtered scan with date-window predicate + derived column
+# ---------------------------------------------------------------------------
+
+
+def q_filter_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-window scan (reference ``transform_player_stats.py:20-33``:
+    ``WHERE GAME_DATE >= CURRENT_DATE - INTERVAL 30 DAY``). Determinism: the
+    reference's moving `CURRENT_DATE` is injected as a fixed as-of date
+    (SURVEY G5); here the literal marks the last ~5 months of lineitem.
+
+    Plan: predicate reaches the parquet reader (PushedFilters) and only the
+    6 projected columns are read (ReadSchema) — at 100 TB with a
+    date-partitioned layout this becomes partition pruning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp_ntz")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        "l_quantity",
+        "l_extendedprice",
+        _r6(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+ORACLE_FILTER_WINDOW_SCAN = """
+SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+       l_quantity, l_extendedprice,
+       round(l_extendedprice*(1.0-l_discount),6) AS revenue
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# B4 / G2 — ratio columns with 0/0 → 0 fill
+# ---------------------------------------------------------------------------
+
+
+def q_ratio_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-with-fill semantics (``transform_player_stats.py:63-74``):
+    pandas ``(made/att).fillna(0)`` ≡ CASE WHEN att>0 — identical expression
+    in the oracle (SURVEY G2: made≤att so x/0 can't occur, only 0/0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(F.lit(0.0))
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(returned).alias("_ret"),
+        F.sum("l_quantity").alias("_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.select(
+        "l_partkey",
+        "n_lines",
+        _r6(F.col("_qty")).alias("qty_sum"),
+        F.when(F.col("_qty") > 0, _r6(F.col("_ret") / F.col("_qty"))).otherwise(F.lit(0.0)).alias("return_rate"),
+    )
+
+
+ORACLE_RATIO_DERIVE = """
+SELECT l_partkey, count(*) AS n_lines, round(sum(l_quantity),6) AS qty_sum,
+       CASE WHEN sum(l_quantity) > 0
+            THEN round(sum(CASE WHEN l_returnflag='R' THEN l_quantity ELSE 0.0 END) / sum(l_quantity), 6)
+            ELSE 0.0 END AS return_rate
+FROM lineitem GROUP BY l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1 / B6 — left join + weighted-score derived column (broadcast build side)
+# ---------------------------------------------------------------------------
+
+
+def q_join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrichment join + weighted linear score (reference
+    ``feature_engineering.py:58-96``, ``prepare_dashboard_data.py:64-96``;
+    SURVEY C1/B6). customer is the small dimension → explicit broadcast, so
+    the 100 TB fact side never shuffles (BASELINE.md `join_derive`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left").select(
+        "o_orderkey",
+        F.col("c_name").alias("cust_name"),
+        _r6(F.col("o_totalprice") * 0.3 + F.col("c_acctbal") * 0.1).alias("score"),
+    )
+
+
+ORACLE_JOIN_LEFT_ENRICH = """
+SELECT o.o_orderkey, c.c_name AS cust_name,
+       round(o.o_totalprice*0.3 + c.c_acctbal*0.1, 6) AS score
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1 — multi-key left join of two aggregates (missing groups → 0-fill)
+# ---------------------------------------------------------------------------
+
+
+def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key left join (reference joins on
+    ``['PLAYER_ID','PLAYER_NAME','TEAM_NAME']``, ``feature_engineering.py:58``)
+    of a base aggregate with a filtered sub-aggregate; groups absent on the
+    right null-fill → coalesce 0 (reference ``fillna(0)`` B7)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_suppkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        _r6(F.sum("l_quantity")).alias("qty_all"),
+    )
+    finished = (
+        li.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(_r6(F.sum("l_quantity")).alias("qty_finished"))
+    )
+    return base.join(finished, ["l_suppkey", "l_returnflag"], "left").select(
+        "l_suppkey",
+        "l_returnflag",
+        "n_all",
+        "qty_all",
+        F.coalesce(F.col("qty_finished"), F.lit(0.0)).alias("qty_finished"),
+    )
+
+
+ORACLE_JOIN_MULTIKEY = """
+WITH base AS (
+  SELECT l_suppkey, l_returnflag, count(*) AS n_all, round(sum(l_quantity),6) AS qty_all
+  FROM lineitem GROUP BY l_suppkey, l_returnflag
+), fin AS (
+  SELECT l_suppkey, l_returnflag, round(sum(l_quantity),6) AS qty_finished
+  FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_suppkey, l_returnflag
+)
+SELECT b.l_suppkey, b.l_returnflag, b.n_all, b.qty_all,
+       coalesce(f.qty_finished, 0.0) AS qty_finished
+FROM base b LEFT JOIN fin f
+  ON b.l_suppkey = f.l_suppkey AND b.l_returnflag = f.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# E1 / E2 — rolling means (pandas rolling(n, min_periods=1) semantics)
+# ---------------------------------------------------------------------------
+
+
+def _rolling(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        _r6(rolling_avg("l_quantity", w, n)).alias(f"qty_roll{n}"),
+    )
+
+
+def q_rolling_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-row mean per key (reference
+    ``transform_player_stats.py:127-150``: per-player Python loop with
+    ``rolling(5, min_periods=1)``; SURVEY E1). One window over a shuffle on
+    l_suppkey replaces the O(players) driver loop — at 100 TB this is a
+    single sort-within-partition, no per-group materialization. Ordering
+    carries (l_orderkey, l_linenumber) tie-breaks so the frame contents are
+    deterministic under equal ship dates (SURVEY G6)."""
+    return _rolling(spark, sf_dir, 5)
+
+
+def q_rolling_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-row mean (``transform_player_stats.py:152-161``, E2)."""
+    return _rolling(spark, sf_dir, 10)
+
+
+def _oracle_rolling(n: int) -> str:
+    return f"""
+SELECT l_suppkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+       round(avg(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW), 6) AS qty_roll{n}
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# E3 / G1 — partitioned pandas-average rank
+# ---------------------------------------------------------------------------
+
+
+def q_rank_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition rank with pandas ``method='average'`` tie semantics
+    (reference ``feature_engineering.py:201``; SURVEY E3+G1). Emulated as
+    min-rank + (tie_count-1)/2 — same formula in the oracle, so ties (which
+    the driver data does contain for o_totalprice) hash identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        avg_rank("o_totalprice", partition_by=["o_custkey"]).cast("double").alias("price_rank"),
+    )
+
+
+ORACLE_RANK_PARTITION_AVG = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       (rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+        + (count(*) OVER (PARTITION BY o_custkey, o_totalprice) - 1) / 2.0) AS price_rank
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# E4 — global ranks over a pre-aggregated mart
+# ---------------------------------------------------------------------------
+
+
+def q_rank_global_marts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (single-partition) ranks over mart-sized aggregates (reference
+    ranks whole dashboard marts, ``prepare_dashboard_data.py:71-75``; SURVEY
+    E4). Ranking happens AFTER aggregation — the single-partition window only
+    ever sees #distinct-keys rows, which is the documented 100 TB posture
+    (rank the mart, never the fact table). Ranks computed on the rounded
+    measure so both engines order identical values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(
+        _r6(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("revenue"),
+        _r6(F.sum("l_quantity")).alias("qty"),
+    )
+    return agg.select(
+        "l_suppkey",
+        "revenue",
+        "qty",
+        avg_rank("revenue").cast("double").alias("revenue_rank"),
+        avg_rank("qty").cast("double").alias("qty_rank"),
+    )
+
+
+ORACLE_RANK_GLOBAL_MARTS = """
+WITH agg AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice*(1.0-l_discount)),6) AS revenue,
+         round(sum(l_quantity),6) AS qty
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, revenue, qty,
+       (rank() OVER (ORDER BY revenue DESC)
+        + (count(*) OVER (PARTITION BY revenue) - 1) / 2.0) AS revenue_rank,
+       (rank() OVER (ORDER BY qty DESC)
+        + (count(*) OVER (PARTITION BY qty) - 1) / 2.0) AS qty_rank
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# E5 — group tail-N then aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_group_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group last-5-rows mean (reference
+    ``feature_engineering.py:85-91``: ``groupby('PLAYER_ID').tail(5)`` then
+    mean; SURVEY E5). pandas tail() relies on implicit frame order — here the
+    order is explicit (ship date desc + unique tie-breaks, SURVEY G6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .groupBy("l_suppkey")
+        .agg(_r6(F.avg("l_quantity")).alias("recent_qty_avg"), F.count(F.lit(1)).alias("n_recent"))
+    )
+
+
+ORACLE_GROUP_TAIL_N = """
+WITH ranked AS (
+  SELECT l_suppkey, l_quantity,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM lineitem
+)
+SELECT l_suppkey, round(avg(l_quantity),6) AS recent_qty_avg, count(*) AS n_recent
+FROM ranked WHERE rn <= 5 GROUP BY l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2 — top-k over join + aggregate (TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 (reference ``nlargest(10,'PPG')``,
+    ``prepare_dashboard_data.py:174-178``; SURVEY F2). orderBy+limit compiles
+    to TakeOrderedAndProject — per-partition heaps, only k rows cross to the
+    driver; tie-break on c_custkey keeps the cut deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_r6(F.sum("o_totalprice")).alias("total_spend"))
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOPK_REVENUE = """
+SELECT c_custkey, c_name, round(sum(o_totalprice),6) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# G1' / B11 — tagged union of top-k slices
+# ---------------------------------------------------------------------------
+
+
+def q_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of tagged frames (reference ``pd.concat`` of per-award
+    candidate frames with ``.assign(award='MVP')``,
+    ``prepare_dashboard_data.py:220-224``; SURVEY G1/B11)."""
+    cust = load_table(spark, sf_dir, "customer")
+    top_bal = (
+        cust.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.lit("HIGH_BAL").alias("tag"))
+    )
+    building = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .orderBy(F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.lit("BUILDING_FIRST").alias("tag"))
+    )
+    return top_bal.unionByName(building)
+
+
+ORACLE_UNION_TAGGED = """
+(SELECT c_custkey, c_name, 'HIGH_BAL' AS tag FROM customer
+ ORDER BY c_acctbal DESC, c_custkey LIMIT 10)
+UNION ALL
+(SELECT c_custkey, c_name, 'BUILDING_FIRST' AS tag FROM customer
+ WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey LIMIT 10)
+"""
+
+
+# ---------------------------------------------------------------------------
+# D6 — global single-row aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-wide single-row stats (reference
+    ``prepare_dashboard_data.py:156-171``; SURVEY D6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _r6(F.avg("l_quantity")).alias("qty_avg"),
+        _r6(F.avg("l_extendedprice")).alias("price_avg"),
+        _r6(F.avg("l_discount")).alias("disc_avg"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+ORACLE_GLOBAL_AGGS = """
+SELECT count(*) AS n_lines, round(avg(l_quantity),6) AS qty_avg,
+       round(avg(l_extendedprice),6) AS price_avg, round(avg(l_discount),6) AS disc_avg,
+       count(DISTINCT l_suppkey) AS n_suppliers, count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 — grouped exact count-distinct
+# ---------------------------------------------------------------------------
+
+
+def q_count_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (reference ``nunique()`` /
+    ``COUNT(DISTINCT …)``, ``transform_player_stats.py:102``,
+    ``data_quality_checks.py:238-256``; SURVEY D2). Exact (expand+two-phase
+    agg) for oracle parity; at 100 TB the documented swap is
+    ``approx_count_distinct`` (HLL) when ±2% is acceptable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+ORACLE_COUNT_DISTINCT_GROUPS = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# D7 — grouped sample stddev
+# ---------------------------------------------------------------------------
+
+
+def q_stddev_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sample stddev (reference ``groupby(...).std()`` ddof=1,
+    ``feature_engineering.py:191``; SURVEY D7). stddev_samp in both engines;
+    1-row groups yield NULL in both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        _r6(F.stddev_samp("l_quantity")).alias("qty_std"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_STDDEV_CONSISTENCY = """
+SELECT l_suppkey, round(stddev_samp(l_quantity),6) AS qty_std, count(*) AS n_lines
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# D8 — exact median per group
+# ---------------------------------------------------------------------------
+
+
+def q_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median (reference ``median()``,
+    ``model_training.py:244``; SURVEY D8). Spark ≥3.4 ``median`` ≡ DuckDB
+    ``median`` on DOUBLE (both interpolate even-count groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r6(F.median("l_quantity")).alias("qty_median"),
+        _r6(F.median("l_extendedprice")).alias("price_median"),
+    )
+
+
+ORACLE_MEDIAN_GROUPS = """
+SELECT l_returnflag, round(median(l_quantity),6) AS qty_median,
+       round(median(l_extendedprice),6) AS price_median
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# D9 — argmax row per group (deterministic max_by)
+# ---------------------------------------------------------------------------
+
+
+def q_argmax_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax row lookup (reference ``df.loc[df['PPG'].idxmax()]``,
+    ``prepare_dashboard_data.py:241-243``; SURVEY D9). Expressed as a
+    row_number window rather than ``max_by`` because max_by's tie choice is
+    engine-arbitrary; the window carries a unique tie-break key in both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_orderstatus", F.col("o_orderkey").alias("top_orderkey"), F.col("o_totalprice").alias("top_price"))
+    )
+
+
+ORACLE_ARGMAX_LEADER = """
+SELECT o_orderstatus, o_orderkey AS top_orderkey, o_totalprice AS top_price
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# B9 / D10–D13 — quality-probe suite as one scan
+# ---------------------------------------------------------------------------
+
+
+def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole quality DAG (``data_quality_checks.py:38-270``;
+    SURVEY B9/D10-D13: freshness max, completeness counts, null-case sums,
+    3σ outlier stats, distinct-count consistency) folded into ONE scan with
+    partial aggregation — the reference runs 8 separate SQL probes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("bigint").alias("null_qty"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).cast("bigint").alias("null_flag"),
+        _r6(F.avg("l_extendedprice")).alias("price_avg"),
+        _r6(F.stddev_samp("l_extendedprice")).alias("price_std"),
+        F.max("l_extendedprice").alias("price_max"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
+    )
+
+
+ORACLE_QUALITY_PROBE = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flag,
+       round(avg(l_extendedprice),6) AS price_avg,
+       round(stddev_samp(l_extendedprice),6) AS price_std,
+       max(l_extendedprice) AS price_max, min(l_extendedprice) AS price_min,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       max(CAST(l_shipdate AS DATE)) AS last_ship_date
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# H-family — scalar function coverage
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function coverage (SURVEY H1/H2/H6/H7/H9/H11: replace, lower,
+    date math, formatting, greatest) on a deterministic keyed sample."""
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.lower(F.col("o_orderpriority")).alias("prio_lower"),
+        F.date_format(od, "yyyyMMdd").alias("ymd"),
+        F.regexp_replace(od.cast("string"), "-", "").alias("ymd_replaced"),
+        F.datediff(F.lit("2002-01-01").cast("date"), od).cast("bigint").alias("days_to_2002"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor"),
+        F.date_format(od, "yyyy-MM-dd'T'00:00:00").alias("iso_day"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       lower(o_orderpriority) AS prio_lower,
+       strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS ymd,
+       regexp_replace(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '-', '', 'g') AS ymd_replaced,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       greatest(o_totalprice, 100000.0) AS price_floor,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%dT00:00:00') AS iso_day
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# H10 — JSON extraction from the events props column
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction + aggregate (reference serializes KPI dicts to
+    JSON-in-VARCHAR, ``prepare_dashboard_data.py:283-286``; SURVEY A9/H10 —
+    here the read direction over events.props)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.max(k).cast("bigint").alias("k_max"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint").alias("k_nulls"),
+    )
+
+
+ORACLE_JSON_EXTRACT_EVENTS = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS k_max,
+       CAST(sum(CASE WHEN json_extract_string(props,'$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# J — tumbling daily window over events (batch twin of the streaming query)
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day aggregation over the event stream table (SURVEY §2.J:
+    the reference's 'streaming' is daily incremental batch; this is the batch
+    twin of streaming/events.py's Structured Streaming query — identical
+    grouping, so results can be cross-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(F.sum("value")).alias("value_sum"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_TUMBLING_DAILY = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+       round(sum(value),6) AS value_sum, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+QUERIES = {
+    "player_agg_flagship": q_player_agg_flagship,
+    "agg_multi": q_agg_multi,
+    "filter_window_scan": q_filter_window_scan,
+    "ratio_derive": q_ratio_derive,
+    "join_left_enrich": q_join_left_enrich,
+    "join_multikey": q_join_multikey,
+    "rolling_5": q_rolling_5,
+    "rolling_10": q_rolling_10,
+    "rank_partition_avg": q_rank_partition_avg,
+    "rank_global_marts": q_rank_global_marts,
+    "group_tail_n": q_group_tail_n,
+    "topk_revenue": q_topk_revenue,
+    "union_tagged": q_union_tagged,
+    "global_aggs": q_global_aggs,
+    "count_distinct_groups": q_count_distinct_groups,
+    "stddev_consistency": q_stddev_consistency,
+    "median_groups": q_median_groups,
+    "argmax_leader": q_argmax_leader,
+    "quality_probe": q_quality_probe,
+    "scalar_funcs": q_scalar_funcs,
+    "json_extract_events": q_json_extract_events,
+    "tumbling_daily": q_tumbling_daily,
+}
+
+ORACLES = {
+    "player_agg_flagship": ORACLE_PLAYER_AGG_FLAGSHIP,
+    "agg_multi": ORACLE_AGG_MULTI,
+    "filter_window_scan": ORACLE_FILTER_WINDOW_SCAN,
+    "ratio_derive": ORACLE_RATIO_DERIVE,
+    "join_left_enrich": ORACLE_JOIN_LEFT_ENRICH,
+    "join_multikey": ORACLE_JOIN_MULTIKEY,
+    "rolling_5": _oracle_rolling(5),
+    "rolling_10": _oracle_rolling(10),
+    "rank_partition_avg": ORACLE_RANK_PARTITION_AVG,
+    "rank_global_marts": ORACLE_RANK_GLOBAL_MARTS,
+    "group_tail_n": ORACLE_GROUP_TAIL_N,
+    "topk_revenue": ORACLE_TOPK_REVENUE,
+    "union_tagged": ORACLE_UNION_TAGGED,
+    "global_aggs": ORACLE_GLOBAL_AGGS,
+    "count_distinct_groups": ORACLE_COUNT_DISTINCT_GROUPS,
+    "stddev_consistency": ORACLE_STDDEV_CONSISTENCY,
+    "median_groups": ORACLE_MEDIAN_GROUPS,
+    "argmax_leader": ORACLE_ARGMAX_LEADER,
+    "quality_probe": ORACLE_QUALITY_PROBE,
+    "scalar_funcs": ORACLE_SCALAR_FUNCS,
+    "json_extract_events": ORACLE_JSON_EXTRACT_EVENTS,
+    "tumbling_daily": ORACLE_TUMBLING_DAILY,
+}

@@ -1,0 +1,55 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Analog of the reference's warehouse scans (SURVEY §2 A4/A5;
+``transform_player_stats.py:20-33``, ``feature_engineering.py:28-37``): the
+reference SELECTs whole tables out of DuckDB into pandas; here a load is a
+lazy scan node that Catalyst prunes (columns) and filters (predicates) at the
+parquet reader, so "load then filter" costs only what the query touches.
+
+Scale notes: at 100 TB these would be date/key-partitioned directories (see
+``sinks.write_partitioned``) so partition pruning kicks in on the date
+predicates (SURVEY §2 B2); the loader API is the same.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table; ``events`` gets its TIMESTAMP(NANOS) column normalized.
+
+    The driver's ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is set — so we set it (idempotent) and rebuild a microsecond
+    TIMESTAMP_NTZ column with exact integer arithmetic (``div``, not float
+    division: nanos ~1.7e18 exceeds double's 53-bit mantissa).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
