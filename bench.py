@@ -1,0 +1,98 @@
+"""Bench harness: times the headline queries (BASELINE.md analogs) warm at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "headline_warm_total", "value": <sum of per-query best>,
+     "unit": "sec", "queries": {"agg_multi": sec, ...}, "sf": 0.1}
+
+Methodology matches BASELINE.md ("compare warm query execution time, session
+already up, after one warm-up run"): per query, one warm-up run then best of
+three timed runs; execution is forced with the noop sink (all partitions
+materialize, nothing crosses to the driver — same as DuckDB's fetchall on a
+local relation without serialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+# The six BASELINE.md headline analogs (SURVEY §6), keyed by queries() name.
+HEADLINE = (
+    "agg_multi",
+    "rolling_5",
+    "join_left_enrich",
+    "topk_revenue",
+    "quality_probe",
+    "rank_partition_avg",
+)
+
+WARMUPS = 1
+RUNS = 3
+
+
+def _force(df) -> None:
+    """Materialize every partition without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from wnba_data_pipeline_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    # Local-scale tuning (documented in session.get_spark): the sf0.1 files
+    # are ~10 MB, so the default 128 MB maxPartitionBytes leaves a 32-core
+    # machine scanning on 3 tasks; 1 MB splits restore scan parallelism.
+    # 4 shuffle partitions fit the tiny shuffles; AQE coalesces further.
+    # On a real cluster these stay at their 100 TB-posture defaults.
+    spark = get_spark(
+        "wnba-pipeline-bench",
+        shuffle_partitions=4,
+        extra_confs={
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "256k",
+            "spark.local.dir": "/dev/shm/spark-bench-local",
+        },
+    )
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        for _ in range(WARMUPS):
+            _force(fn(spark, sf_dir))
+        best = min(_timed(fn, spark, sf_dir) for _ in range(RUNS))
+        timings[name] = round(best, 4)
+
+    out = {
+        "metric": "headline_warm_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    _force(fn(spark, sf_dir))
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

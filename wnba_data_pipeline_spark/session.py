@@ -20,11 +20,19 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def get_spark(app_name: str = "wnba-pipeline-spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "wnba-pipeline-spark",
+    *,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     At cluster scale the master/memory settings come from spark-submit; only
     the SQL confs below matter there. In tests we run ``local[N]``.
+    ``extra_confs`` lets the bench harness apply local-scale tuning (e.g.
+    small ``files.maxPartitionBytes`` so a 10 MB parquet file still fans out
+    across cores) without changing the 100 TB-posture defaults here.
     """
     cpus = default_parallelism()
     builder = (
@@ -50,6 +58,8 @@ def get_spark(app_name: str = "wnba-pipeline-spark", *, shuffle_partitions: int 
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
@@ -57,7 +67,16 @@ def get_spark(app_name: str = "wnba-pipeline-spark", *, shuffle_partitions: int 
 
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Set the dynamic confs this engine relies on, on a session we did not
-    create (the correctness driver hands us its own SparkSession)."""
+    create (the correctness driver hands us its own SparkSession).
+
+    Everything here is load-bearing for oracle parity, not just perf:
+    UTC session timezone + NTZ parquet inference keep date/timestamp casts
+    byte-identical to the tz-naive DuckDB oracle, and nanosAsLong is required
+    to read the driver's TIMESTAMP(NANOS) events table at all.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark

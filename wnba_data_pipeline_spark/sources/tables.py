@@ -32,23 +32,37 @@ TABLES = (
 )
 
 
+# Lazy-plan handle cache: keyed by (session id, sf_dir, table). A DataFrame
+# is an immutable logical plan — reusing the handle skips the ~75 ms
+# driver-side cost of re-listing the path and re-reading the parquet footer
+# on every query construction (measured locally; the dominant fixed cost of
+# sub-second queries). This caches NO data, only the unresolved scan node.
+_HANDLES: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; ``events`` gets its TIMESTAMP(NANOS) column normalized.
 
     The driver's ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
     which Spark's reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
-    is set — so we set it (idempotent) and rebuild a microsecond
+    is set (done in ``session.ensure_confs``); we rebuild a microsecond
     TIMESTAMP_NTZ column with exact integer arithmetic (``div``, not float
     division: nanos ~1.7e18 exceeds double's 53-bit mantissa).
     """
+    key = (id(spark), sf_dir, name)
+    cached = _HANDLES.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _HANDLES[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
