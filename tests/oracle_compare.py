@@ -20,9 +20,9 @@ def _norm_cell(v):
             return f"i:{int(v)}"
         return f"f:{v:.6f}"
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
-        return f"t:{pd.Timestamp(v).strftime('%Y-%m-%d %H:%M:%S')}"
+        return f"t:{pd.Timestamp(v).strftime('%Y-%m-%d %H:%M:%S.%f')}"
     if isinstance(v, _dt.date):
-        return f"t:{v.isoformat()} 00:00:00"
+        return f"t:{v.isoformat()} 00:00:00.000000"
     if isinstance(v, (int,)):
         return f"i:{v}"
     try:
@@ -40,6 +40,9 @@ def _norm_cell(v):
 
 
 def normalize(df: pd.DataFrame) -> list[tuple]:
+    # lowercase BEFORE sorting so both engines' frames align columns in the
+    # same order even when they return differing identifier case
+    df = df.rename(columns=str.lower)
     cols = sorted(df.columns)
     rows = [tuple(_norm_cell(row[c]) for c in cols) for _, row in df[cols].iterrows()]
     return sorted(rows)

@@ -355,34 +355,40 @@ def q_rank_global_marts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks whole dashboard marts, ``prepare_dashboard_data.py:71-75``; SURVEY
     E4). Ranking happens AFTER aggregation — the single-partition window only
     ever sees #distinct-keys rows, which is the documented 100 TB posture
-    (rank the mart, never the fact table). Ranks computed on the rounded
-    measure so both engines order identical values."""
+    (rank the mart, never the fact table).
+
+    Tie stability: the ranked measures are EXACT DECIMAL sums (each row's
+    double product cast to DECIMAL(18,6) first). Per-row double arithmetic
+    is IEEE-identical across engines and decimal summation is
+    order-independent, so rank tie groups can never be flipped by
+    parallel-sum rounding — double sums rounded to 6dp could differ in the
+    last digit between engines at a tie boundary."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_suppkey").agg(
-        _r6(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("revenue"),
-        _r6(F.sum("l_quantity")).alias("qty"),
+        F.sum((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")).alias("_revd"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qtyd"),
     )
     return agg.select(
         "l_suppkey",
-        "revenue",
-        "qty",
-        avg_rank("revenue").cast("double").alias("revenue_rank"),
-        avg_rank("qty").cast("double").alias("qty_rank"),
+        F.col("_revd").cast("double").alias("revenue"),
+        F.col("_qtyd").cast("double").alias("qty"),
+        avg_rank(F.col("_revd")).cast("double").alias("revenue_rank"),
+        avg_rank(F.col("_qtyd")).cast("double").alias("qty_rank"),
     )
 
 
 ORACLE_RANK_GLOBAL_MARTS = """
 WITH agg AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice*(1.0-l_discount)),6) AS revenue,
-         round(sum(l_quantity),6) AS qty
+         sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS revd,
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS qtyd
   FROM lineitem GROUP BY l_suppkey
 )
-SELECT l_suppkey, revenue, qty,
-       (rank() OVER (ORDER BY revenue DESC)
-        + (count(*) OVER (PARTITION BY revenue) - 1) / 2.0) AS revenue_rank,
-       (rank() OVER (ORDER BY qty DESC)
-        + (count(*) OVER (PARTITION BY qty) - 1) / 2.0) AS qty_rank
+SELECT l_suppkey, CAST(revd AS DOUBLE) AS revenue, CAST(qtyd AS DOUBLE) AS qty,
+       (rank() OVER (ORDER BY revd DESC)
+        + (count(*) OVER (PARTITION BY revd) - 1) / 2.0) AS revenue_rank,
+       (rank() OVER (ORDER BY qtyd DESC)
+        + (count(*) OVER (PARTITION BY qtyd) - 1) / 2.0) AS qty_rank
 FROM agg
 """
 
@@ -700,9 +706,9 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACT_EVENTS = """
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS k_sum,
-       CAST(max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS k_max,
-       CAST(sum(CASE WHEN json_extract_string(props,'$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls
+       CAST(sum(TRY_CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(max(TRY_CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS k_max,
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props,'$.k') AS INTEGER) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls
 FROM events GROUP BY event_type
 """
 
