@@ -1,0 +1,295 @@
+"""Deduplication operators over the ``documents`` table — exact content-hash
+dedup, MinHash-LSH near-duplicate detection, and SimHash fingerprints.
+
+These are the LLM-training-data operators the reference pipeline does not
+have but a 100 TB corpus pipeline needs (the build brief's north star; the
+reference's closest analog is its quality-check suite,
+``data_quality_checks.py:162-270``, which counts rows but never dedups).
+
+Cross-engine determinism: all hashing goes through the md5→int64 contract in
+``functions/hashing.py`` (same value in Spark and DuckDB), and the MinHash
+universal-hash family's (a, b) constants are embedded as literals in BOTH
+the Spark plan and the generated oracle SQL — so the t2 hash-differential
+can check dedup output exactly, not just row counts.
+
+Self-contained non-triviality: the driver's sf0.01 documents are all unique,
+so each query augments the corpus in-plan with deterministic copies
+(exact copies for ``dedup_exact``, drop-last-word perturbations for
+``dedup_minhash``) — the operator must then find exactly those planted
+duplicates. The augmentation is part of the query on both engines.
+
+Scale posture (100 TB):
+- exact dedup: one shuffle on content_hash (uniform by construction — md5
+  can't skew); survivors picked per-hash-partition, no global sort.
+- minhash: the candidate step is a BANDED BUCKET JOIN (explode k/r band
+  keys, self-join on band_key) — candidates ~ O(colliding pairs), never the
+  all-pairs O(n²); exact Jaccard verification runs only on candidates.
+- simhash: embarrassingly parallel map (no shuffle at all); downstream
+  near-dup grouping is a groupBy on the 16-bit fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_PRIME as P
+from ..functions.hashing import md5_long, md5_long_sql, minhash_coeffs
+from ..sources.tables import load_table
+
+K_MINHASH = 12  # signature length
+BAND_ROWS = 3  # rows per band → 4 bands; P(candidate) = 1-(1-j³)⁴
+N_BANDS = K_MINHASH // BAND_ROWS
+COEFFS = minhash_coeffs(K_MINHASH)  # seeded — identical constants both engines
+
+EXACT_COPY_OFFSET = 2_000_000  # doc_id offset for planted exact copies
+NEAR_COPY_OFFSET = 1_000_000  # doc_id offset for planted near-copies
+SIMHASH_BITS = 16
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — md5 content hash, keep lowest doc_id per hash
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: plant an exact copy of every short document, content-hash
+    everything, keep the lowest doc_id per hash and count the copies.
+
+    Plan: union (no shuffle) → single shuffle on content_hash → one
+    window pass (row_number + count share the partitioning). Survivor set
+    must equal the original 500 docs, each short doc with dup_count=2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("n_chars") < 200).select(
+        (F.col("doc_id") + F.lit(EXACT_COPY_OFFSET)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies)
+    w_pick = Window.partitionBy("content_hash").orderBy("doc_id")
+    w_cnt = Window.partitionBy("content_hash")
+    return (
+        aug.withColumn("content_hash", md5_long(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "content_hash", "dup_count")
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_COPY_OFFSET}, text, lang, source, n_chars
+  FROM documents WHERE n_chars < 200
+), hashed AS (
+  SELECT doc_id, lang, source, n_chars,
+         {md5_long_sql("text")} AS content_hash,
+         row_number() OVER (PARTITION BY {md5_long_sql("text")} ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY {md5_long_sql("text")}) AS dup_count
+  FROM aug
+)
+SELECT doc_id, lang, source, n_chars, content_hash, dup_count
+FROM hashed WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup — shingle → k-hash signature → banded bucket join
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: Column, words: Column) -> Column:
+    """Distinct 3-word shingles; texts under 3 words fall back to the whole
+    text as a single shingle (both engines guard identically)."""
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(3)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + F.lit(1)),
+            F.element_at(words, i + F.lit(2)),
+            F.element_at(words, i + F.lit(3)),
+        ),
+    )
+    return F.array_distinct(F.when(F.size(words) >= 3, tri).otherwise(F.array(text)))
+
+
+_SHINGLES_SQL = """list_distinct(CASE WHEN len(words) >= 3
+    THEN list_transform(range(len(words)-2), i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+    ELSE [text] END)"""
+
+
+def _minhash_band_keys(shingles: Column) -> list[Column]:
+    """N_BANDS band-key strings 't:s:s:s' from the K_MINHASH signature.
+
+    h_i(x) = (a_i·(x mod P) + b_i) mod P over the md5-int64 shingle hashes;
+    a·(x%P) < 2^62 so the arithmetic is overflow-free int64 in both engines.
+    """
+    def _uhash(a: int, b: int):
+        # closure (not default args): PySpark derives lambda arity by signature
+        return lambda h: (F.lit(a) * (h % F.lit(P)) + F.lit(b)) % F.lit(P)
+
+    hashes = F.transform(shingles, md5_long)
+    sig = [F.array_min(F.transform(hashes, _uhash(a, b))) for a, b in COEFFS]
+    return [
+        F.concat_ws(":", F.lit(str(t)), *[sig[t * BAND_ROWS + r].cast("string") for r in range(BAND_ROWS)])
+        for t in range(N_BANDS)
+    ]
+
+
+def _minhash_band_keys_sql() -> str:
+    """DuckDB twin of _minhash_band_keys: a list of N_BANDS band-key strings
+    built from the same (a, b) literals (expects columns ``sig`` built by
+    _SIG_SQL below)."""
+    bands = []
+    for t in range(N_BANDS):
+        parts = " || ':' || ".join(f"CAST(sig[{t * BAND_ROWS + r + 1}] AS VARCHAR)" for r in range(BAND_ROWS))
+        bands.append(f"'{t}:' || {parts}")
+    return "[" + ", ".join(bands) + "]"
+
+
+_SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%{P}))" for a, b in COEFFS) + "]"
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH: plant a near-copy (last word
+    dropped) of every long document, then find pairs with Jaccard ≥ 0.5
+    among banded-bucket candidates.
+
+    Plan: shingle+signature are per-row expressions (no shuffle); explode
+    N_BANDS band keys; self-join on band_key (the LSH bucket join — the step
+    that replaces O(n²) all-pairs at 100 TB); distinct candidate pairs; exact
+    shingle-Jaccard verification ONLY on candidates. Output is deterministic
+    because the hash family is fixed: both engines compute identical
+    signatures, so identical candidates survive.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pert = docs.filter(F.col("n_chars") >= 200).select(
+        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(pert)
+    words = F.split(F.col("text"), " ")
+    shingled = aug.select("doc_id", _shingles(F.col("text"), words).alias("sh"))
+    banded = shingled.select("doc_id", F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NEAR_COPY_OFFSET}, regexp_replace(text, ' [^ ]+$', '')
+  FROM documents WHERE n_chars >= 200
+), tok AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM aug
+), shingled AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tok
+), hashed AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {md5_long_sql("s")}) AS hh FROM shingled
+), sigs AS (
+  SELECT doc_id, sh, {_SIG_SQL} AS sig FROM hashed
+), banded AS (
+  SELECT doc_id, unnest({_minhash_band_keys_sql()}) AS band_key FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+  FROM cand c
+  JOIN shingled x ON c.doc_a = x.doc_id
+  JOIN shingled y ON c.doc_b = y.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 16-bit fingerprint over the word multiset
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash: each word's md5-int64 votes ±1 on each of 16 bit
+    positions; a bit is set when its vote sum is positive. Pure per-row
+    expression work (one codegen'd map stage, zero shuffles) — at 100 TB the
+    fingerprint column costs one pass and near-dup grouping is a groupBy on
+    the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    hashes = F.transform(words, md5_long)
+    def _vote(d: int):
+        # closure (not default args): PySpark derives lambda arity by signature
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(d)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    sums = [F.aggregate(hashes, F.lit(0).cast("long"), _vote(1 << bit)) for bit in range(SIMHASH_BITS)]
+    simhash = None
+    for bit, s in enumerate(sums):
+        term = F.when(s > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        simhash.cast("bigint").alias("simhash16"),
+    )
+
+
+def _oracle_simhash() -> str:
+    sums = ", ".join(
+        f"list_sum(list_transform(hh, h -> CASE WHEN (h & {1 << bit}) <> 0 THEN 1 ELSE -1 END)) AS s{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    total = " + ".join(f"CASE WHEN s{bit} > 0 THEN {1 << bit} ELSE 0 END" for bit in range(SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), hashed AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         list_transform(words, w -> {md5_long_sql("w")}) AS hh
+  FROM tok
+), votes AS (
+  SELECT doc_id, n_tokens, {sums} FROM hashed
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST({total} AS BIGINT) AS simhash16
+FROM votes
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash_fingerprint": q_simhash_fingerprint,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "simhash_fingerprint": _oracle_simhash(),
+}
