@@ -1,0 +1,266 @@
+"""Similarity-search operators over the ``embeddings`` table
+(``embedding: array<float>``, 64-dim) — brute-force cosine top-k, an
+LSH-bucketed ANN variant, and label-centroid array aggregation.
+
+LLM-training-data operators beyond the reference's surface (the build
+brief's north star; the reference has no vector data at all — its nearest
+analog is the sklearn feature matrix in ``model_training.py:68-69``).
+
+Cross-engine determinism: cosine is computed as an explicit index-based
+LEFT FOLD — ``acc + (double)a[i] * (double)b[i]`` — in BOTH engines
+(Spark ``aggregate``, DuckDB ``list_reduce``), so the result is
+bit-identical (same operand promotion, same association order; DuckDB's
+reduce seeds with the first element, Spark folds from 0.0, and
+0.0 + x ≡ x in IEEE). Ranking happens on the UNROUNDED value; only the
+output is rounded. The ANN hyperplanes are derived from the md5→int64
+contract (``functions/hashing.py``), so bucket assignments match exactly.
+
+Scale posture (100 TB):
+- brute-force top-k is the CORRECTNESS baseline: a broadcast of the (tiny)
+  query set against the full corpus — one pass, per-partition top-k heaps
+  via the rank-filter, no all-pairs materialization. Right up to ~10⁶
+  corpus rows per query batch.
+- the LSH variant is the scale path: bucket assignment is a zero-shuffle
+  map; the candidate join shuffles on (bucket), cutting compared pairs by
+  ~2^planes; more planes + multi-probe = the standard recall/cost dial.
+- centroids: 64 per-component averages in ONE hash aggregate (partial maps
+  combine per partition — the array never shuffles, only 64 running sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..sources.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 3
+N_PLANES = 4  # LSH: 2^4 = 16 buckets
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Index-based left fold: acc + (double)a[i]·(double)b[i]."""
+    prods = F.transform(
+        F.sequence(F.lit(0), F.size(a) - F.lit(1)),
+        lambda i: F.element_at(a, i + F.lit(1)).cast("double") * F.element_at(b, i + F.lit(1)).cast("double"),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(len({a})), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for each of the first 10 vectors.
+
+    Plan: the query set (10 rows) is broadcast against the corpus scan; the
+    per-query rank filter compiles to a window over the (small) query
+    partitioning. Ties at the k-boundary break on neighbor vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"))
+    pairs = F.broadcast(q).join(c, F.col("q_vec_id") != F.col("n_vec_id")).withColumn(
+        "_cos", _cosine(F.col("q_emb"), F.col("n_emb"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("nn_rank").cast("long").alias("nn_rank"),
+        )
+    )
+
+
+ORACLE_SIM_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT q.q_vec_id, c.vec_id AS n_vec_id,
+         {_cosine_sql("q.q_emb", "c.embedding")} AS cos
+  FROM q JOIN embeddings c ON q.q_vec_id <> c.vec_id
+)
+SELECT q_vec_id, n_vec_id, round(cos, 6) AS cosine, CAST(nn_rank AS BIGINT) AS nn_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS nn_rank
+  FROM pairs
+) WHERE nn_rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k (signed random projections)
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(plane: int):
+    """Deterministic pseudo-random hyperplane component for (plane, dim i):
+    md5-int64 of 'proj:<plane>:<i>' mapped to [-1, 1] — identical literals
+    and arithmetic in the oracle, so bucket bits can never disagree."""
+
+    def comp(i: Column) -> Column:
+        h = md5_long(F.concat(F.lit(f"proj:{plane}:"), i.cast("string")))
+        return ((h % F.lit(2001)) - F.lit(1000)) / F.lit(1000.0)
+
+    return comp
+
+
+def _bucket(v: Column) -> Column:
+    """2^N_PLANES-way bucket id from the signs of v·plane_p."""
+    def _proj_term(comp):
+        # closure (not default args): PySpark derives lambda arity by signature
+        return lambda i: F.element_at(v, i + F.lit(1)).cast("double") * comp(i)
+
+    out = None
+    for p in range(N_PLANES):
+        prods = F.transform(F.sequence(F.lit(0), F.size(v) - F.lit(1)), _proj_term(_plane_component(p)))
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        term = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out.cast("long")
+
+
+def _bucket_sql(v: str) -> str:
+    terms = []
+    for p in range(N_PLANES):
+        seed = f"'proj:{p}:' || CAST(i AS VARCHAR)"
+        comp = f"((({md5_long_sql(seed)}) % 2001) - 1000) / 1000.0"
+        dot = (
+            f"list_reduce(list_transform(range(len({v})), "
+            f"i -> CAST({v}[i+1] AS DOUBLE) * ({comp})), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via signed-random-projection LSH: queries only compare
+    against corpus vectors in the SAME 16-way bucket (the 100 TB path —
+    bucket assignment is a map, the candidate join shuffles on the bucket
+    key instead of exploding all pairs). Recall < 1 by design; determinism
+    comes from the hash-derived planes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = bucketed.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"), "bucket")
+    pairs = F.broadcast(q).join(c, ["bucket"]).filter(F.col("q_vec_id") != F.col("n_vec_id")).withColumn(
+        "_cos", _cosine(F.col("q_emb"), F.col("n_emb"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= TOP_K)
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            "bucket",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("nn_rank").cast("long").alias("nn_rank"),
+        )
+    )
+
+
+ORACLE_SIM_ANN_LSH = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS q_vec_id, embedding AS q_emb, bucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT q.q_vec_id, c.vec_id AS n_vec_id, q.bucket,
+         {_cosine_sql("q.q_emb", "c.embedding")} AS cos
+  FROM q JOIN bucketed c USING (bucket)
+  WHERE q.q_vec_id <> c.vec_id
+)
+SELECT q_vec_id, n_vec_id, bucket, round(cos, 6) AS cosine, CAST(nn_rank AS BIGINT) AS nn_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS nn_rank
+  FROM pairs
+) WHERE nn_rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# label centroids — array-column aggregation
+# ---------------------------------------------------------------------------
+
+DIM = 64  # embedding dimensionality of the driver's tables
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid statistics over the array column: 64 component
+    averages in one hash aggregate (partial+final — only 64 running sums
+    shuffle, never the vectors), then the centroid's L2 norm, plus the
+    average per-vector squared norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp_avgs = [F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"_c{i}") for i in range(DIM)]
+    agg = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(_dot(F.col("embedding"), F.col("embedding"))).alias("_avg_sq_norm"),
+        *comp_avgs,
+    )
+    centroid_sq = None
+    for i in range(DIM):
+        t = F.col(f"_c{i}") * F.col(f"_c{i}")
+        centroid_sq = t if centroid_sq is None else centroid_sq + t
+    return agg.select(
+        "label",
+        "n_vecs",
+        F.round(F.sqrt(centroid_sq), 6).alias("centroid_norm"),
+        F.round(F.col("_avg_sq_norm"), 6).alias("avg_sq_norm"),
+    )
+
+
+def _oracle_centroids() -> str:
+    comps = ", ".join(f"avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS c{i}" for i in range(DIM))
+    sq = " + ".join(f"c{i}*c{i}" for i in range(DIM))
+    return f"""
+WITH agg AS (
+  SELECT label, count(*) AS n_vecs,
+         avg({_dot_sql("embedding", "embedding")}) AS avg_sq_norm,
+         {comps}
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_vecs, round(sqrt({sq}), 6) AS centroid_norm,
+       round(avg_sq_norm, 6) AS avg_sq_norm
+FROM agg
+"""
+
+
+QUERIES = {
+    "sim_topk": q_sim_topk,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "emb_label_centroids": q_emb_label_centroids,
+}
+
+ORACLES = {
+    "sim_topk": ORACLE_SIM_TOPK,
+    "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
+    "emb_label_centroids": _oracle_centroids(),
+}
