@@ -1,0 +1,243 @@
+"""Text-analysis operators over the ``documents`` table — token statistics,
+quality scoring, a language-ID heuristic, per-(lang, source) corpus
+aggregates, and character-shingle document fingerprints.
+
+LLM-training-data operators beyond the reference's surface (build brief
+north star). The reference's only string processing is H1/H2-level scalar
+work (``ingest_nba_daily.py:24``, ``model_training.py:88``); these are the
+corpus-curation passes a 100 TB text pipeline runs before training.
+
+All queries are pure per-row expressions + one hash aggregate at most —
+zero Python UDFs; everything stays inside whole-stage codegen. Oracle
+parity: tokenization is a plain single-space split in BOTH engines, word
+folds are explicit left folds, and hashes use the md5→int64 contract
+(``functions/hashing.py``).
+
+Scale posture: per-doc stats and fingerprints are zero-shuffle map stages;
+the lang/source rollup shuffles only the (≤ #groups) partial aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..sources.tables import load_table
+
+# tiny fixed stopword list — embedded identically in the oracle SQL
+STOPWORDS = ("a", "the", "of", "to", "and", "in", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# language marker words for the heuristic (the corpus vocabulary is synthetic
+# English-ish for every lang label, so the heuristic mostly answers 'en' —
+# the DETERMINISM and the agreement report are the point, not accuracy)
+LANG_MARKERS = {
+    "en": ("the", "a", "is", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "les", "des", "et"),
+}
+
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish: runs of letters/digits, else single char
+
+
+def _count_in(words: Column, vocab: tuple[str, ...]) -> Column:
+    """Left-fold count of words contained in a fixed vocabulary."""
+    vals = [F.lit(w) for w in vocab]
+    return F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.when(w.isin(*vals), F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def _count_in_sql(words: str, vocab_sql: str) -> str:
+    return f"list_sum(list_transform({words}, w -> CASE WHEN w IN ({vocab_sql}) THEN 1 ELSE 0 END))"
+
+
+# ---------------------------------------------------------------------------
+# per-document token / quality statistics
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation stats: token counts (split + BPE-ish regex),
+    type-token ratio, average token length, stopword ratio, and a composite
+    quality score. One codegen'd map stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("long")
+    n_uniq = F.size(F.array_distinct(words)).cast("long")
+    sum_len = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    stop_n = _count_in(words, STOPWORDS)
+    ttr = n_uniq / n
+    stop_ratio = stop_n / n
+    quality = F.least(
+        F.lit(1.0),
+        ttr * 0.5 + (F.lit(1.0) - stop_ratio) * 0.3 + F.least(n / F.lit(100.0), F.lit(1.0)) * 0.2,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)).cast("long").alias("n_regex_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(sum_len / n, 6).alias("avg_token_len"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+WITH tok AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_regex_tokens,
+         CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq_tokens,
+         list_sum(list_transform(words, w -> length(w))) AS sum_len,
+         {_count_in_sql("words", _STOP_SQL)} AS stop_n
+  FROM tok
+)
+SELECT doc_id, lang, n_tokens, n_regex_tokens, n_uniq_tokens,
+       round(sum_len / n_tokens, 6) AS avg_token_len,
+       round(n_uniq_tokens / n_tokens, 6) AS type_token_ratio,
+       round(stop_n / n_tokens, 6) AS stopword_ratio,
+       round(least(1.0, (n_uniq_tokens / n_tokens) * 0.5
+                        + (1.0 - stop_n / n_tokens) * 0.3
+                        + least(n_tokens / 100.0, 1.0) * 0.2), 6) AS quality_score
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic + agreement report
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID, reported as an agreement matrix against the
+    labeled ``lang`` column: (lang, predicted_lang, n_docs, avg marker hit
+    rate). Prediction is a fixed-precedence CASE over marker counts so ties
+    resolve identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scores = {k: _count_in(words, v) for k, v in LANG_MARKERS.items()}
+    pred = (
+        F.when(scores["en"] >= F.greatest(scores["de"], scores["es"], scores["fr"]) + 1, F.lit("en"))
+        .when(scores["de"] >= F.greatest(scores["en"], scores["es"], scores["fr"]) + 1, F.lit("de"))
+        .when(scores["es"] >= F.greatest(scores["en"], scores["de"], scores["fr"]) + 1, F.lit("es"))
+        .when(scores["fr"] >= F.greatest(scores["en"], scores["de"], scores["es"]) + 1, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    hit_rate = sum(scores.values()) / F.size(words)
+    return (
+        docs.select("lang", pred.alias("predicted_lang"), hit_rate.alias("_hr"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("_hr"), 6).alias("avg_marker_rate"))
+    )
+
+
+def _oracle_lang_id() -> str:
+    score_cols = ", ".join(
+        _count_in_sql("words", ", ".join(f"'{w}'" for w in v)) + f" AS s_{k}" for k, v in LANG_MARKERS.items()
+    )
+    pred = """CASE
+      WHEN s_en >= greatest(s_de, s_es, s_fr) + 1 THEN 'en'
+      WHEN s_de >= greatest(s_en, s_es, s_fr) + 1 THEN 'de'
+      WHEN s_es >= greatest(s_en, s_de, s_fr) + 1 THEN 'es'
+      WHEN s_fr >= greatest(s_en, s_de, s_es) + 1 THEN 'fr'
+      ELSE 'und' END"""
+    return f"""
+WITH tok AS (
+  SELECT lang, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT lang, len(words) AS n, {score_cols} FROM tok
+)
+SELECT lang, {pred} AS predicted_lang, count(*) AS n_docs,
+       round(avg((s_en + s_de + s_es + s_fr) / n), 6) AS avg_marker_rate
+FROM s GROUP BY lang, {pred}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus rollup by (lang, source)
+# ---------------------------------------------------------------------------
+
+
+def q_text_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation rollup: per (lang, source) doc counts and length
+    moments — the pass that decides source sampling weights. One shuffle on
+    the (small) group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(n_tok).alias("total_tokens"),
+    )
+
+
+ORACLE_TEXT_CORPUS_ROLLUP = """
+SELECT lang, source, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# character-shingle fingerprint (rolling-hash style)
+# ---------------------------------------------------------------------------
+
+SHINGLE_CHARS = 8
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint from character 8-gram shingles: distinct-shingle
+    count + the minimum shingle hash (the winnowing primitive — at 100 TB
+    the per-window min selection extends this same expression). Zero-shuffle
+    map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(f"transform(sequence(1, length(text) - {SHINGLE_CHARS - 1}), i -> substring(text, i, {SHINGLE_CHARS}))")
+    shingles = F.array_distinct(grams)
+    hashes = F.transform(shingles, md5_long)
+    return docs.select(
+        "doc_id",
+        F.size(shingles).cast("long").alias("n_shingles"),
+        F.array_min(hashes).alias("min_shingle_hash"),
+    )
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(length(text) - {SHINGLE_CHARS - 1}),
+                                      i -> substr(text, i + 1, {SHINGLE_CHARS}))) AS sh
+  FROM documents
+)
+SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+       list_min(list_transform(sh, s -> {md5_long_sql("s")})) AS min_shingle_hash
+FROM g
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id_agreement": q_lang_id_agreement,
+    "text_corpus_rollup": q_text_corpus_rollup,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": ORACLE_TEXT_STATS,
+    "lang_id_agreement": _oracle_lang_id(),
+    "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+}
