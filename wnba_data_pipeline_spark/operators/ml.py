@@ -1,0 +1,189 @@
+"""ML surface (SURVEY §2.I) — the MLlib counterpart of the reference's
+sklearn stage (``model_training.py:56-282``): RandomForest regression and
+classification over an aggregated feature frame, with train/test split,
+metrics, feature importances, a fitted-but-unapplied StandardScaler
+(faithful to the reference, which pickles the scaler without transforming X,
+``model_training.py:93-97``), and model + metadata artifact sinks.
+
+Mapping (reference → here):
+- I1 ``train_test_split(test_size=0.2, random_state=42)``
+  (``model_training.py:72``) → ``randomSplit([0.8, 0.2], seed=42)``.
+  Different sampling algorithm ⇒ parity is metric-tolerance, not row
+  identity (SURVEY §5.4); the driver records these queries rows-only.
+- I2/I3 ``RandomForestRegressor/Classifier(n_estimators=100,
+  random_state=42)`` (``model_training.py:75-78,250``) →
+  ``RandomForestRegressor/Classifier(numTrees=100, seed=42)``.
+- I4 StandardScaler fit-only (``model_training.py:93-97``).
+- I5 MSE/R²/accuracy (``model_training.py:80-81,254-255``) → Regression /
+  MulticlassClassification evaluators.
+- I6 ``feature_importances_`` (``model_training.py:84``) →
+  ``model.featureImportances``.
+- B10 bool→int synthetic label ``(workload > median).astype(int)``
+  (``model_training.py:244``) → oracle-checked ``label_median_split``.
+
+Scale posture: the feature frame is the flagship aggregation (one shuffle);
+MLlib RF trains distributed over the feature rows. Feature vectors are
+assembled per-partition; nothing collects to the driver but the (tiny)
+metrics and importances.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.ml.classification import RandomForestClassifier
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator, RegressionEvaluator
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.regression import RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SEED = 42
+NUM_TREES = 100
+REG_FEATURES = ["games", "qty_mean", "disc_mean", "n_lines"]
+REG_TARGET = "price_mean"
+CLF_FEATURES = ["games", "price_mean", "disc_mean", "n_lines"]
+CLF_LABEL = "label"
+
+
+def build_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-grain feature frame (the reference's per-player aggregation,
+    ``feature_engineering.py:28-99``): one hash-agg shuffle, null-filled
+    (B7, ``model_training.py:68-69``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feat = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_orderkey").cast("double").alias("games"),
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+        F.sum("l_quantity").alias("qty_sum"),
+        F.avg("l_quantity").alias("qty_mean"),
+        F.avg("l_discount").alias("disc_mean"),
+        F.avg("l_extendedprice").alias("price_mean"),
+    )
+    return feat.na.fill(0.0)
+
+
+def q_label_median_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 + D8: synthetic binary label = (qty_sum > global median), the
+    reference's injury-risk label construction (``model_training.py:244``).
+    Exact median over the aggregated (mart-sized) frame via a global window
+    — post-aggregation, so the single partition sees #suppliers rows."""
+    feat = build_feature_frame(spark, sf_dir)
+    med = F.median("qty_sum").over(Window.partitionBy())
+    return feat.select(
+        "l_suppkey",
+        F.round("qty_sum", 6).alias("qty_sum"),
+        F.round(med, 6).alias("qty_median"),
+        (F.col("qty_sum") > med).cast("int").alias("label"),
+    )
+
+
+ORACLE_LABEL_MEDIAN_SPLIT = """
+WITH f AS (
+  SELECT l_suppkey, sum(l_quantity) AS qty_sum
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, round(qty_sum, 6) AS qty_sum,
+       round(median(qty_sum) OVER (), 6) AS qty_median,
+       CAST(qty_sum > median(qty_sum) OVER () AS INT) AS label
+FROM f
+"""
+
+
+def train_regressor(spark: SparkSession, sf_dir: str) -> dict:
+    """I1/I2/I5/I6 + I4: RF regression of price_mean from the count/discount
+    features, with the fit-only StandardScaler the reference pickles."""
+    feat = build_feature_frame(spark, sf_dir)
+    assembler = VectorAssembler(inputCols=REG_FEATURES, outputCol="features")
+    data = assembler.transform(feat).select("features", F.col(REG_TARGET).alias("target"))
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    rf = RandomForestRegressor(featuresCol="features", labelCol="target", numTrees=NUM_TREES, seed=SEED)
+    model = rf.fit(train)
+    scaler = StandardScaler(inputCol="features", outputCol="scaled", withMean=True, withStd=True)
+    scaler_model = scaler.fit(train)  # fit-only, as the reference does
+    pred = model.transform(test)
+    mse = RegressionEvaluator(labelCol="target", metricName="mse").evaluate(pred)
+    r2 = RegressionEvaluator(labelCol="target", metricName="r2").evaluate(pred)
+    importances = dict(zip(REG_FEATURES, model.featureImportances.toArray().tolist()))
+    return {
+        "model": model,
+        "scaler": scaler_model,
+        "mse": mse,
+        "r2": r2,
+        "importances": importances,
+        "n_train": train.count(),
+        "n_test": test.count(),
+    }
+
+
+def train_classifier(spark: SparkSession, sf_dir: str) -> dict:
+    """I3/I5/I6: RF classification of the median-split label (B10)."""
+    labeled = q_label_median_split(spark, sf_dir).select("l_suppkey", F.col("label").cast("double"))
+    feat = build_feature_frame(spark, sf_dir).join(labeled, "l_suppkey")
+    assembler = VectorAssembler(inputCols=CLF_FEATURES, outputCol="features")
+    data = assembler.transform(feat).select("features", "label")
+    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    rf = RandomForestClassifier(featuresCol="features", labelCol="label", numTrees=NUM_TREES, seed=SEED)
+    model = rf.fit(train)
+    pred = model.transform(test)
+    acc = MulticlassClassificationEvaluator(labelCol="label", metricName="accuracy").evaluate(pred)
+    importances = dict(zip(CLF_FEATURES, model.featureImportances.toArray().tolist()))
+    return {
+        "model": model,
+        "accuracy": acc,
+        "importances": importances,
+        "n_train": train.count(),
+        "n_test": test.count(),
+    }
+
+
+def save_artifacts(result: dict, out_dir: str, name: str) -> dict:
+    """A10: model artifact + JSON metadata sinks (the reference pickles the
+    model and json.dumps metadata, ``model_training.py:87-97,316-320``)."""
+    model_path = os.path.join(out_dir, f"{name}_model")
+    result["model"].write().overwrite().save(model_path)
+    meta = {k: v for k, v in result.items() if k not in ("model", "scaler")}
+    meta["model_path"] = model_path
+    meta_path = os.path.join(out_dir, f"{name}_metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    return {"model_path": model_path, "metadata_path": meta_path}
+
+
+# --- driver-facing queries (rows-only: sampling differs from sklearn, so
+# --- parity is metric-existence + schema; pytest asserts tolerances) -------
+
+
+def q_ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = train_regressor(spark, sf_dir)
+    row = [(float(r["mse"]), float(r["r2"]), int(r["n_train"]), int(r["n_test"]))]
+    return spark.createDataFrame(row, "mse double, r2 double, n_train bigint, n_test bigint")
+
+
+def q_ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = train_classifier(spark, sf_dir)
+    row = [(float(r["accuracy"]), int(r["n_train"]), int(r["n_test"]))]
+    return spark.createDataFrame(row, "accuracy double, n_train bigint, n_test bigint")
+
+
+def q_ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = train_regressor(spark, sf_dir)
+    rows = [(k, float(v)) for k, v in sorted(r["importances"].items())]
+    return spark.createDataFrame(rows, "feature string, importance double")
+
+
+QUERIES = {
+    "label_median_split": q_label_median_split,
+    "ml_rf_regression_metrics": q_ml_regression_metrics,
+    "ml_rf_classification_metrics": q_ml_classification_metrics,
+    "ml_rf_feature_importances": q_ml_feature_importances,
+}
+
+# the three ml_rf_* queries intentionally have NO oracle entry: RF training
+# is not SQL-expressible and split sampling differs from sklearn; the driver
+# records its weaker rows-only check for them (documented in SURVEY §5.4)
+ORACLES = {
+    "label_median_split": ORACLE_LABEL_MEDIAN_SPLIT,
+}
