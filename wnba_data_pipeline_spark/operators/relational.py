@@ -714,6 +714,50 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# A9 / H10 — single-row JSON KPI (write direction)
+# ---------------------------------------------------------------------------
+
+
+def q_kpi_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string KPI row (reference builds ``json.dumps(kpis)`` into a
+    1-row VARCHAR table, ``prepare_dashboard_data.py:283-286``; SURVEY
+    A9/H10 write direction). The JSON is assembled with explicit concat +
+    fixed %.2f formatting in BOTH engines — engine-native ``to_json`` float
+    rendering differs (Java flips to E-notation at 1e7, DuckDB later), so
+    string assembly is the cross-engine-stable contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("o_totalprice").alias("_s"),
+        F.count_distinct("o_custkey").alias("_c"),
+        F.max(F.col("o_orderdate").cast("date")).alias("_d"),
+    )
+    return agg.select(
+        F.concat(
+            F.lit('{"n_orders":'),
+            F.col("_n").cast("string"),
+            F.lit(',"total_spend":'),
+            F.format_string("%.2f", "_s"),
+            F.lit(',"n_customers":'),
+            F.col("_c").cast("string"),
+            F.lit(',"last_order_date":"'),
+            F.col("_d").cast("string"),
+            F.lit('"}'),
+        ).alias("kpi_data")
+    )
+
+
+ORACLE_KPI_JSON = """
+SELECT '{"n_orders":' || CAST(count(*) AS VARCHAR)
+       || ',"total_spend":' || printf('%.2f', sum(o_totalprice))
+       || ',"n_customers":' || CAST(count(DISTINCT o_custkey) AS VARCHAR)
+       || ',"last_order_date":"' || CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+       || '"}' AS kpi_data
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # J — tumbling daily window over events (batch twin of the streaming query)
 # ---------------------------------------------------------------------------
 
@@ -763,6 +807,7 @@ QUERIES = {
     "quality_probe": q_quality_probe,
     "scalar_funcs": q_scalar_funcs,
     "json_extract_events": q_json_extract_events,
+    "kpi_json": q_kpi_json,
     "tumbling_daily": q_tumbling_daily,
 }
 
@@ -788,5 +833,6 @@ ORACLES = {
     "quality_probe": ORACLE_QUALITY_PROBE,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "json_extract_events": ORACLE_JSON_EXTRACT_EVENTS,
+    "kpi_json": ORACLE_KPI_JSON,
     "tumbling_daily": ORACLE_TUMBLING_DAILY,
 }
