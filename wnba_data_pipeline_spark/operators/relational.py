@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.windows import avg_rank, rolling_avg
 from ..sources.tables import load_table
 
@@ -714,6 +715,169 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# D5 — aggregate over aggregates (team stats over player aggregates)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation of an aggregate (reference: team stats computed over
+    the per-player aggregate table, ``prepare_dashboard_data.py:110-123``,
+    ``feature_engineering.py:112-158``; SURVEY D5): per-supplier aggregates
+    roll up to nation level via mean/sum/count/max.
+
+    Plan: one shuffle for the supplier agg, broadcast joins to the tiny
+    dims, then a second (supplier-count-sized) shuffle for the nation
+    rollup — the second agg runs over #suppliers rows, never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum("l_quantity").alias("qty_sum"),
+        F.count_distinct("l_orderkey").alias("games"),
+    )
+    return (
+        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _r6(F.avg("qty_sum")).alias("avg_supp_qty"),
+            _r6(F.sum("qty_sum")).alias("total_qty"),
+            F.max("games").alias("max_games"),
+        )
+    )
+
+
+ORACLE_AGG_OVER_AGG = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_quantity) AS qty_sum, count(DISTINCT l_orderkey) AS games
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT n.n_name, count(*) AS n_suppliers,
+       round(avg(p.qty_sum), 6) AS avg_supp_qty,
+       round(sum(p.qty_sum), 6) AS total_qty,
+       max(p.games) AS max_games
+FROM per_supp p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3 — full advanced-metrics analog (guarded ratios, first(), self-ratio)
+# ---------------------------------------------------------------------------
+
+
+def q_advanced_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group advanced metrics (reference ``transform_player_stats.py:
+    82-125``; SURVEY D3): TS%-style guarded ratio, usage-rate expression,
+    the documented-degenerate self-ratio (G3: ``ast_pct = ast_sum/ast_sum``
+    ∈ {0, 1} — reproduced as written), and the ``.iloc[0]`` team pick as an
+    explicitly-ordered first (G6: pandas relies on frame order; here the
+    order is (l_shipdate, l_orderkey, l_linenumber), emulated identically
+    in both engines via a rank-1 window since DuckDB's arg_min cannot take
+    a composite ordering).
+
+    Plan: window and groupBy share the l_suppkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    ranked = li.withColumn("_rn", F.row_number().over(w))
+    agg = ranked.groupBy("l_suppkey").agg(
+        F.count_distinct("l_orderkey").alias("games"),
+        F.sum("l_quantity").alias("_qty"),
+        F.sum(F.col("l_extendedprice") / 1000.0).alias("_price_k"),
+        F.sum("l_tax").alias("_tax"),
+        F.sum(F.col("l_quantity") * F.col("l_returnflag").eqNullSafe("R").cast("double")).alias("_ret_qty"),
+        F.max(F.when(F.col("_rn") == 1, F.col("l_returnflag"))).alias("first_flag"),
+        F.avg(F.col("l_quantity") * (F.lit(1.0) - F.lit(2.0) * F.col("l_discount"))).alias("_pm"),
+    )
+    ts_den = F.lit(2.0) * (F.col("_price_k") + F.lit(0.44) * F.col("_tax"))
+    return agg.select(
+        "l_suppkey",
+        "games",
+        "first_flag",
+        F.when(ts_den > 0, _r6(F.col("_qty") / ts_den)).otherwise(F.lit(0.0)).alias("ts_pct"),
+        _r6((F.col("_price_k") + F.lit(0.44) * F.col("_tax") + F.col("_ret_qty")) / (F.col("games") * 100)).alias(
+            "usage_rate"
+        ),
+        F.when(F.col("_qty") > 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("ast_pct"),
+        _r6(F.col("_pm")).alias("plus_minus_avg"),
+    )
+
+
+ORACLE_ADVANCED_METRICS = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+                               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+), agg AS (
+  SELECT l_suppkey,
+         count(DISTINCT l_orderkey) AS games,
+         sum(l_quantity) AS qty,
+         sum(l_extendedprice / 1000.0) AS price_k,
+         sum(l_tax) AS tax,
+         sum(l_quantity * CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS ret_qty,
+         max(CASE WHEN rn = 1 THEN l_returnflag END) AS first_flag,
+         avg(l_quantity * (1.0 - 2.0 * l_discount)) AS pm
+  FROM ranked GROUP BY l_suppkey
+)
+SELECT l_suppkey, games, first_flag,
+       CASE WHEN 2.0*(price_k + 0.44*tax) > 0
+            THEN round(qty / (2.0*(price_k + 0.44*tax)), 6) ELSE 0.0 END AS ts_pct,
+       round((price_k + 0.44*tax + ret_qty) / (games * 100), 6) AS usage_rate,
+       CASE WHEN qty > 0 THEN 1.0 ELSE 0.0 END AS ast_pct,
+       round(pm, 6) AS plus_minus_avg
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# H8 — seeded random normal noise (hash-based Box-Muller, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+
+def q_seeded_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded noise column (reference ``np.random.normal(0, 0.1, len(df))``
+    added to a score, ``feature_engineering.py:83``; SURVEY H8/G5).
+
+    ``randn(seed)`` can't hash-match a DuckDB oracle (different generators),
+    so the noise is derived per-ROW from the md5→int64 contract: two
+    uniforms from key hashes → Box-Muller normal. That is stronger than the
+    reference's semantics (order-independent AND engine-independent — a
+    100 TB shuffle can't reorder it into a different sample), and both
+    engines compute bit-identical uniforms; ln/cos differ at most 1 ulp,
+    absorbed by round-6."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey").cast("string")
+    u1 = ((md5_long(F.concat(F.lit("noise1:"), key)) % F.lit(1000000)) + F.lit(0.5)) / F.lit(1000000.0)
+    u2 = ((md5_long(F.concat(F.lit("noise2:"), key)) % F.lit(1000000)) + F.lit(0.5)) / F.lit(1000000.0)
+    z = F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(2.0) * F.lit(3.141592653589793) * u2)
+    base = F.col("o_totalprice") * 0.001
+    return orders.select(
+        "o_orderkey",
+        _r6(base).alias("base_score"),
+        _r6(z).alias("noise_z"),
+        _r6(base + z * F.lit(0.1)).alias("noisy_score"),
+    )
+
+
+_U_SQL = "((({h}) % 1000000) + 0.5) / 1000000.0"
+ORACLE_SEEDED_NOISE = f"""
+WITH u AS (
+  SELECT o_orderkey, o_totalprice * 0.001 AS base,
+         {_U_SQL.format(h=md5_long_sql("'noise1:' || CAST(o_orderkey AS VARCHAR)"))} AS u1,
+         {_U_SQL.format(h=md5_long_sql("'noise2:' || CAST(o_orderkey AS VARCHAR)"))} AS u2
+  FROM orders
+)
+SELECT o_orderkey, round(base, 6) AS base_score,
+       round(sqrt(-2.0 * ln(u1)) * cos(2.0 * 3.141592653589793 * u2), 6) AS noise_z,
+       round(base + sqrt(-2.0 * ln(u1)) * cos(2.0 * 3.141592653589793 * u2) * 0.1, 6) AS noisy_score
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
 # A9 / H10 — single-row JSON KPI (write direction)
 # ---------------------------------------------------------------------------
 
@@ -808,6 +972,9 @@ QUERIES = {
     "scalar_funcs": q_scalar_funcs,
     "json_extract_events": q_json_extract_events,
     "kpi_json": q_kpi_json,
+    "agg_over_agg": q_agg_over_agg,
+    "advanced_metrics": q_advanced_metrics,
+    "seeded_noise": q_seeded_noise,
     "tumbling_daily": q_tumbling_daily,
 }
 
@@ -834,5 +1001,8 @@ ORACLES = {
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "json_extract_events": ORACLE_JSON_EXTRACT_EVENTS,
     "kpi_json": ORACLE_KPI_JSON,
+    "agg_over_agg": ORACLE_AGG_OVER_AGG,
+    "advanced_metrics": ORACLE_ADVANCED_METRICS,
+    "seeded_noise": ORACLE_SEEDED_NOISE,
     "tumbling_daily": ORACLE_TUMBLING_DAILY,
 }
