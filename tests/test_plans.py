@@ -1,0 +1,92 @@
+"""Plan-shape assertions for the headline queries (SURVEY §4): the scale
+posture claims in the operator docstrings — broadcast joins, pushed
+filters, pruned scans, top-k as TakeOrderedAndProject, one shuffle per
+window/agg — checked against the actual optimized physical plans."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_ORACLE
+
+_QUERIES = entrymod.queries()
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = _QUERIES[name](spark, SF_ORACLE)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def _n_exchanges(plan: str) -> int:
+    # count only the detail entries "(N) Exchange" — the formatted plan also
+    # repeats each node in the tree header, which would double-count
+    return len(re.findall(r"\n\(\d+\) Exchange", plan))
+
+
+def test_flagship_broadcasts_dim(spark):
+    plan = _plan(spark, "player_agg_flagship")
+    assert "BroadcastHashJoin" in plan  # supplier dim never shuffles the agg side
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_enrich_broadcasts_and_prunes(spark):
+    plan = _plan(spark, "join_left_enrich")
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    # fact side scan reads only the 3 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>.*?orders", plan, re.S) or re.search(
+        r"orders[^\n]*\n(?:.*?)ReadSchema: struct<([^>]*)>", plan, re.S
+    )
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def test_filter_scan_pushes_predicate(spark):
+    plan = _plan(spark, "filter_window_scan")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "topk_revenue")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, only k rows move
+
+
+def test_rolling_single_shuffle(spark):
+    plan = _plan(spark, "rolling_5")
+    assert _n_exchanges(plan) == 1, plan  # one shuffle on l_suppkey, window sorts within
+
+
+def test_agg_multi_partial_aggregation(spark):
+    plan = _plan(spark, "agg_multi")
+    assert _n_exchanges(plan) == 1, plan
+    # partial (map-side) + final aggregate pair around the single exchange
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_dedup_exact_single_shuffle(spark):
+    plan = _plan(spark, "dedup_exact")
+    # union + hash + both windows + filter ride ONE shuffle on content_hash
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    # AQE finalizes the physical plan lazily — execute first, then read the
+    # final plan, which carries the WholeStageCodegen span ids
+    for name in ("agg_multi", "quality_probe", "text_stats"):
+        df = _QUERIES[name](spark, SF_ORACLE)
+        df.collect()
+        plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+        # '*(n)' node prefixes are the whole-stage-codegen span markers
+        assert re.search(r"\*\(\d+\) ", plan), f"{name}: {plan}"

@@ -1,0 +1,73 @@
+"""Structured Streaming twin of the tumbling-daily batch aggregation
+(SURVEY §2.J).
+
+The reference is batch-only — its "streaming" is daily cron re-runs over an
+append-only raw layer (``ingest_nba_daily.py:172``, schedule at ``:13``).
+Parity therefore needs no streaming at all; this module is the documented
+idiomatic upgrade: the SAME tumbling-window aggregation as
+``relational.q_tumbling_daily``, expressed over a file-source stream with a
+watermark, so the two can be cross-checked (tests/test_streaming.py).
+
+Semantics deltas vs the batch twin, by streaming necessity:
+- ``count_distinct`` is unsupported in streaming aggregations →
+  ``approx_count_distinct`` (the documented scale swap from SURVEY D2);
+  the cross-check therefore compares n_events/value_sum only.
+- the watermark bounds state at 100 TB/day scale: late events beyond 1 day
+  are dropped instead of growing unbounded per-day state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# events.parquet physical schema under nanosAsLong (see sources.tables):
+# the nanos timestamp arrives as bigint and is rebuilt with exact integer
+# arithmetic, same as the batch loader.
+EVENTS_PHYSICAL_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a DIRECTORY; point it at the sf dir and glob the
+    # single events file out of the other tables
+    stream = (
+        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # plain TIMESTAMP (not NTZ): event-time watermarks require it; the
+    # session timezone is pinned to UTC so values match the NTZ batch twin
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_daily_stream(spark: SparkSession, sf_dir: str, *, watermark: str = "1 day") -> DataFrame:
+    """Streaming tumbling 1-day aggregation — same grouping as the batch
+    twin; state per (day, event_type) is bounded by the watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "event_type", "n_events", "value_sum", "n_users_approx")
+    )
+
+
+def run_to_memory(df: DataFrame, table_name: str) -> None:
+    """Drain the (finite) file stream into an in-memory sink — availableNow
+    processes everything then stops; complete mode emits final windows
+    without waiting for the watermark to advance past them."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
