@@ -24,9 +24,16 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from wnba_data_pipeline_spark.session import ensure_confs  # noqa: E402
-from wnba_data_pipeline_spark.operators import dedup, ml, relational, similarity, text  # noqa: E402
+from wnba_data_pipeline_spark.operators import (  # noqa: E402
+    dedup,
+    ml,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 
-_MODULES = [relational, dedup, similarity, text, ml]
+_MODULES = [relational, dedup, similarity, text, ml, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

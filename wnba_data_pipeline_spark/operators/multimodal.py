@@ -1,0 +1,152 @@
+"""Multimodal-column operators: opaque ``binary`` payloads with typed
+metadata, Arrow-batched feature extraction via ``mapInPandas``, and 1→N
+frame sampling.
+
+LLM-training-data operators beyond the reference's surface (build brief
+north star: image/audio/video as binary columns; decode / feature-extract /
+frame-sample as Pandas UDFs). The container ships no image/audio libraries,
+so the DECODE step is stubbed exactly as the brief prescribes: real
+decoders are gated behind an import-try (``_try_decode_image``), and the
+default path is a DETERMINISTIC FAKE over the payload bytes. Everything
+Spark-side — binary column construction, metadata struct, mapInPandas
+signature, Arrow batch shape, 1→N row expansion — is real and tested.
+
+Payloads are built in-plan from ``documents.text`` (``encode(text,
+'UTF-8')``), which makes even the Python-UDF path ORACLE-CHECKABLE: the
+texts are ASCII, so byte values equal code points (DuckDB ``ord``), and the
+frame hashes use hashlib md5 — the same md5→int64 contract as the SQL side
+(``functions/hashing.py``).
+
+Scale posture (100 TB): payload work is embarrassingly parallel map stages;
+mapInPandas streams Arrow batches (no per-row Python crossing, no driver
+collection); frame sampling multiplies rows INSIDE the executor before any
+shuffle. At real scale the payload column comes off parquet/blob storage
+exactly like this — nothing here assumes the fake."""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long_sql
+from ..sources.tables import load_table
+
+FRAME_MOD = 5  # fake stream yields (n_bytes % 5) + 1 frames
+
+
+def _try_decode_image(payload: bytes):
+    """Real decode path, gated: the sandbox has no PIL — callers get the
+    deterministic fake instead. On a real cluster, install pillow and this
+    branch activates with no plumbing change."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401  (absent in this container)
+    except ImportError:
+        return None
+    return Image.open(io.BytesIO(payload))
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Opaque binary column + typed metadata struct — the multimodal table
+    shape: (id, payload binary, meta struct<kind, n_bytes>)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/utf8").alias("kind"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas``: each
+    Arrow batch crosses to Python ONCE; per row the (stub) decoder reads the
+    raw bytes and emits scalar features. Oracle-checkable because the fake
+    features are pure byte arithmetic on ASCII payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = attach_payload(docs)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = batch["payload"]
+            if len(payloads) and _try_decode_image(payloads.iloc[0]) is not None:
+                raise NotImplementedError("real image decode path not exercised in this container")
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "kind": [m["kind"] for m in batch["meta"]],
+                    "n_bytes": [len(p) for p in payloads],
+                    "byte_sum_mod": [sum(p) % 997 for p in payloads],
+                    "first_byte": [p[0] for p in payloads],
+                    "last_byte": [p[-1] for p in payloads],
+                }
+            )
+
+    return binary.mapInPandas(
+        extract,
+        "doc_id bigint, kind string, n_bytes bigint, byte_sum_mod bigint, first_byte bigint, last_byte bigint",
+    )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id, 'fake/utf8' AS kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(length(text)), i -> ord(substr(text, i + 1, 1)))) % 997 AS BIGINT)
+         AS byte_sum_mod,
+       CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       CAST(ord(substr(text, length(text), 1)) AS BIGINT) AS last_byte
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling: each payload ("video") expands to
+    ``n_bytes % 5 + 1`` frame rows inside the executor — the mapInPandas
+    output schema differs from the input AND multiplies rows, the shape a
+    real frame sampler needs. Frame ids use hashlib md5 → the same int64
+    contract the SQL oracle computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = attach_payload(docs)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n_frames = len(payload) % FRAME_MOD + 1
+                for idx in range(n_frames):
+                    key = payload + b":" + str(idx).encode()
+                    h = int(hashlib.md5(key).hexdigest()[:15], 16)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return binary.mapInPandas(sample, "doc_id bigint, frame_idx bigint, frame_hash bigint")
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH frames AS (
+  SELECT doc_id, text, unnest(range(length(text) % {FRAME_MOD} + 1)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       {md5_long_sql("text || ':' || CAST(frame_idx AS VARCHAR)")} AS frame_hash
+FROM frames
+"""
+
+
+QUERIES = {
+    "multimodal_features": q_multimodal_features,
+    "frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "frame_sample": ORACLE_FRAME_SAMPLE,
+}
