@@ -1,0 +1,25 @@
+"""Error bound for the HLL scale variant (SURVEY D2's documented swap):
+approx_count_distinct must land within 5% of the exact counts — it has no
+oracle entry (different sketches across engines), so this is its gate."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from .conftest import SF_ORACLE
+
+
+def test_approx_within_bounds(spark):
+    qs = entrymod.queries()
+    exact = {r["l_returnflag"]: r for r in qs["count_distinct_groups"](spark, SF_ORACLE).collect()}
+    approx = {r["l_returnflag"]: r for r in qs["count_distinct_approx"](spark, SF_ORACLE).collect()}
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col_e, col_a in (
+            ("n_suppliers", "n_suppliers_approx"),
+            ("n_parts", "n_parts_approx"),
+            ("n_orders", "n_orders_approx"),
+        ):
+            rel_err = abs(a[col_a] - e[col_e]) / e[col_e]
+            assert rel_err < 0.05, (flag, col_e, e[col_e], a[col_a])

@@ -543,6 +543,20 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB swap for q_count_distinct_groups: HLL-sketch
+    ``approx_count_distinct`` (±2.5% default rsd) — one pass, fixed-size
+    sketch state, no expand. No oracle entry: Spark's HLL++ and DuckDB's
+    HLL land on different estimates by construction; the exact twin above
+    is the correctness gate, and tests/test_approx.py bounds the error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.02).alias("n_suppliers_approx"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_orders_approx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # D7 — grouped sample stddev
 # ---------------------------------------------------------------------------
@@ -965,6 +979,7 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "global_aggs": q_global_aggs,
     "count_distinct_groups": q_count_distinct_groups,
+    "count_distinct_approx": q_count_distinct_approx,
     "stddev_consistency": q_stddev_consistency,
     "median_groups": q_median_groups,
     "argmax_leader": q_argmax_leader,

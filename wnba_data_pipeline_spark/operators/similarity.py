@@ -38,6 +38,7 @@ from ..sources.tables import load_table
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 3
 N_PLANES = 4  # LSH: 2^4 = 16 buckets
+DIM = 64  # embedding dimensionality of the driver's tables
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -207,10 +208,76 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
-# label centroids — array-column aggregation
+# embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
-DIM = 64  # embedding dimensionality of the driver's tables
+NEAR_VEC_OFFSET = 100_000
+PERTURB_DELTA = 0.5
+
+
+def _perturb(v: Column, vec_id: Column) -> Column:
+    """Deterministic near-copy: bump component (vec_id % DIM) by +0.5 —
+    cosine to the original stays ≈0.97, far above random-pair cosines
+    (≈0.0 in this corpus), so the planted pairs are cleanly separable."""
+    idx = (vec_id % F.lit(DIM)).cast("int")
+    return F.transform(
+        v,
+        lambda x, i: F.when(i == idx, x.cast("double") + F.lit(PERTURB_DELTA)).otherwise(x.cast("double")),
+    )
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: plant a perturbed copy of every
+    5th vector, then report all pairs with cosine ≥ 0.9 — which must be
+    exactly the planted (original, copy) pairs, since this corpus's random
+    cross-pair cosines top out ≈0.4.
+
+    Plan: the all-pairs comparison is the sf0.01 CORRECTNESS shape; at
+    100 TB the identical filter runs over the LSH-bucketed candidates of
+    ``q_sim_ann_lsh`` (same bucket column, same cosine expression) instead
+    of a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # two-step select: perturb FIRST, re-key second — aliasing `vec_id` in
+    # the same select would lateral-alias-resolve the lambda's outer
+    # `vec_id` reference to the shifted id and perturb the wrong component
+    pert = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", _perturb(F.col("embedding"), F.col("vec_id")).alias("embedding"))
+        .select((F.col("vec_id") + F.lit(NEAR_VEC_OFFSET)).alias("vec_id"), "embedding")
+    )
+    aug = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(pert)
+    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_cos", _cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("_cos") >= 0.9)
+        .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
+    )
+
+
+ORACLE_EMB_NEAR_DUP = f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEAR_VEC_OFFSET},
+         list_transform(range(len(embedding)), i ->
+           CASE WHEN i = vec_id % {DIM}
+                THEN CAST(embedding[i+1] AS DOUBLE) + {PERTURB_DELTA}
+                ELSE CAST(embedding[i+1] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 5 = 0
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cosine_sql("a.embedding", "b.embedding")} AS cos
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# label centroids — array-column aggregation
+# ---------------------------------------------------------------------------
 
 
 def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,11 +323,13 @@ FROM agg
 QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "emb_near_dup": q_emb_near_dup,
     "emb_label_centroids": q_emb_label_centroids,
 }
 
 ORACLES = {
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
+    "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "emb_label_centroids": _oracle_centroids(),
 }
