@@ -7,8 +7,9 @@ lazy scan node that Catalyst prunes (columns) and filters (predicates) at the
 parquet reader, so "load then filter" costs only what the query touches.
 
 Scale notes: at 100 TB these would be date/key-partitioned directories (see
-``sinks.write_partitioned``) so partition pruning kicks in on the date
-predicates (SURVEY §2 B2); the loader API is the same.
+``sinks.append_table(partition_by=...)`` and the raw layer in
+``plans.layers``) so partition pruning kicks in on the date predicates
+(SURVEY §2 B2); the loader API is the same.
 """
 
 from __future__ import annotations
