@@ -92,12 +92,25 @@ FROM f
 """
 
 
-def train_regressor(spark: SparkSession, sf_dir: str) -> dict:
-    """I1/I2/I5/I6 + I4: RF regression of price_mean from the count/discount
+# the reference trains THREE regressors on different targets
+# (award / team-success / player-performance, ``model_training.py:56-229``);
+# here: price level, discount behavior, and volume-per-order
+REG_TARGETS = {
+    "price_mean": REG_FEATURES,
+    "disc_mean": ["games", "qty_mean", "price_mean", "n_lines"],
+    "qty_per_game": ["games", "price_mean", "disc_mean", "n_lines"],
+}
+
+
+def train_regressor(spark: SparkSession, sf_dir: str, target: str = REG_TARGET) -> dict:
+    """I1/I2/I5/I6 + I4: RF regression of ``target`` from the remaining
     features, with the fit-only StandardScaler the reference pickles."""
-    feat = build_feature_frame(spark, sf_dir)
-    assembler = VectorAssembler(inputCols=REG_FEATURES, outputCol="features")
-    data = assembler.transform(feat).select("features", F.col(REG_TARGET).alias("target"))
+    features = REG_TARGETS.get(target, REG_FEATURES)
+    feat = build_feature_frame(spark, sf_dir).withColumn(
+        "qty_per_game", F.col("qty_sum") / F.col("games")
+    )
+    assembler = VectorAssembler(inputCols=features, outputCol="features")
+    data = assembler.transform(feat).select("features", F.col(target).alias("target"))
     train, test = data.randomSplit([0.8, 0.2], seed=SEED)
     rf = RandomForestRegressor(featuresCol="features", labelCol="target", numTrees=NUM_TREES, seed=SEED)
     model = rf.fit(train)
@@ -106,10 +119,11 @@ def train_regressor(spark: SparkSession, sf_dir: str) -> dict:
     pred = model.transform(test)
     mse = RegressionEvaluator(labelCol="target", metricName="mse").evaluate(pred)
     r2 = RegressionEvaluator(labelCol="target", metricName="r2").evaluate(pred)
-    importances = dict(zip(REG_FEATURES, model.featureImportances.toArray().tolist()))
+    importances = dict(zip(features, model.featureImportances.toArray().tolist()))
     return {
         "model": model,
         "scaler": scaler_model,
+        "target": target,
         "mse": mse,
         "r2": r2,
         "importances": importances,
@@ -157,9 +171,13 @@ def save_artifacts(result: dict, out_dir: str, name: str) -> dict:
 
 
 def q_ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = train_regressor(spark, sf_dir)
-    row = [(float(r["mse"]), float(r["r2"]), int(r["n_train"]), int(r["n_test"]))]
-    return spark.createDataFrame(row, "mse double, r2 double, n_train bigint, n_test bigint")
+    """One row per regression target — the reference's three RF regressors
+    (``model_training.py:56-229``) as a single metrics frame."""
+    rows = []
+    for target in REG_TARGETS:
+        r = train_regressor(spark, sf_dir, target)
+        rows.append((target, float(r["mse"]), float(r["r2"]), int(r["n_train"]), int(r["n_test"])))
+    return spark.createDataFrame(rows, "target string, mse double, r2 double, n_train bigint, n_test bigint")
 
 
 def q_ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
