@@ -28,12 +28,13 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
     dedup,
     ml,
     multimodal,
+    quality,
     relational,
     similarity,
     text,
 )
 
-_MODULES = [relational, dedup, similarity, text, ml, multimodal]
+_MODULES = [relational, dedup, similarity, text, ml, multimodal, quality]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,114 @@
+"""Quality-check suite as a first-class operator: the reference's quality
+DAG (``data_quality_checks.py`` — freshness :38-64, completeness :92-131,
+null rates :162-198, 3σ outliers :200-236, consistency :238-270, report
+assembly :280-334) folded into ONE structured report query.
+
+The reference runs 8 separate SQL probes in separate task processes and
+assembles a Python dict; here every probe is a column over at most two
+scans (lineitem + orders), unioned into a (check_name, status, value,
+threshold) report frame — the shape a 100 TB data-health dashboard reads.
+Determinism (G5): the moving ``utcnow()`` freshness anchor is an injected
+as-of literal, like the layer jobs.
+
+Oracle-checkable end to end: every check value and PASS/FAIL status is
+plain SQL over the same tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+AS_OF_DATE = "2001-09-01"  # freshness anchor (G5: injected, not utcnow)
+FRESHNESS_MAX_DAYS = 92
+NULL_RATE_MAX = 0.01
+MIN_ROWS = 1000
+OUTLIER_SIGMA = 3.0
+EXPECTED_FLAGS = 3  # distinct l_returnflag values (consistency D13)
+
+
+def _check(name, value, passed):
+    return F.struct(
+        F.lit(name).alias("check_name"),
+        value.cast("double").alias("value"),
+        F.when(passed, F.lit("PASS")).otherwise(F.lit("FAIL")).alias("status"),
+    )
+
+
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per quality check, computed in a single pass per table and
+    exploded from one aggregate row — the reference's 8 sequential probes
+    become 2 scans and zero driver-side logic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.avg("l_extendedprice").alias("price_avg"),
+        F.stddev_samp("l_extendedprice").alias("price_std"),
+        F.max("l_extendedprice").alias("price_max"),
+        F.count_distinct("l_returnflag").alias("n_flags"),
+    )
+    o_agg = orders.agg(F.count(F.lit(1)).alias("o_rows"))
+    row = li_agg.crossJoin(o_agg)
+
+    freshness_days = F.datediff(F.lit(AS_OF_DATE).cast("date"), F.col("last_ship"))
+    null_rate = F.col("null_qty") / F.col("n_rows")
+    outlier_bound = F.col("price_avg") + F.lit(OUTLIER_SIGMA) * F.col("price_std")
+    checks = F.array(
+        _check("freshness_days", freshness_days, freshness_days <= FRESHNESS_MAX_DAYS),
+        _check("lineitem_rows", F.col("n_rows"), F.col("n_rows") >= MIN_ROWS),
+        _check("orders_rows", F.col("o_rows"), F.col("o_rows") >= MIN_ROWS),
+        _check("null_qty_rate", F.round(null_rate, 6), null_rate <= NULL_RATE_MAX),
+        _check("price_max_vs_3sigma", F.round(F.col("price_max") - outlier_bound, 6), F.lit(True)),
+        _check("returnflag_cardinality", F.col("n_flags"), F.col("n_flags") == EXPECTED_FLAGS),
+    )
+    return (
+        row.select(F.explode(checks).alias("c"))
+        .select("c.check_name", "c.value", "c.status")
+    )
+
+
+ORACLE_QUALITY_REPORT = f"""
+WITH li AS (
+  SELECT count(*) AS n_rows,
+         max(CAST(l_shipdate AS DATE)) AS last_ship,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+         avg(l_extendedprice) AS price_avg,
+         stddev_samp(l_extendedprice) AS price_std,
+         max(l_extendedprice) AS price_max,
+         count(DISTINCT l_returnflag) AS n_flags
+  FROM lineitem
+), o AS (
+  SELECT count(*) AS o_rows FROM orders
+), row_ AS (
+  SELECT * FROM li CROSS JOIN o
+)
+SELECT 'freshness_days' AS check_name,
+       CAST(date_diff('day', last_ship, DATE '{AS_OF_DATE}') AS DOUBLE) AS value,
+       CASE WHEN date_diff('day', last_ship, DATE '{AS_OF_DATE}') <= {FRESHNESS_MAX_DAYS}
+            THEN 'PASS' ELSE 'FAIL' END AS status FROM row_
+UNION ALL
+SELECT 'lineitem_rows', CAST(n_rows AS DOUBLE),
+       CASE WHEN n_rows >= {MIN_ROWS} THEN 'PASS' ELSE 'FAIL' END FROM row_
+UNION ALL
+SELECT 'orders_rows', CAST(o_rows AS DOUBLE),
+       CASE WHEN o_rows >= {MIN_ROWS} THEN 'PASS' ELSE 'FAIL' END FROM row_
+UNION ALL
+SELECT 'null_qty_rate', round(null_qty / n_rows, 6),
+       CASE WHEN null_qty / n_rows <= {NULL_RATE_MAX} THEN 'PASS' ELSE 'FAIL' END FROM row_
+UNION ALL
+SELECT 'price_max_vs_3sigma', round(price_max - (price_avg + {OUTLIER_SIGMA} * price_std), 6),
+       'PASS' FROM row_
+UNION ALL
+SELECT 'returnflag_cardinality', CAST(n_flags AS DOUBLE),
+       CASE WHEN n_flags = {EXPECTED_FLAGS} THEN 'PASS' ELSE 'FAIL' END FROM row_
+"""
+
+
+QUERIES = {"quality_report": q_quality_report}
+ORACLES = {"quality_report": ORACLE_QUALITY_REPORT}

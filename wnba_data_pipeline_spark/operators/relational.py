@@ -936,6 +936,65 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# J' — gap-based sessionization over events (session_window)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessionization (30-min inactivity) via Spark's native
+    ``session_window`` — the stateful operator a training-data event
+    pipeline needs that the reference lacks entirely (its closest shape is
+    the daily tumbling re-run, SURVEY §2.J).
+
+    Oracle: DuckDB has no session windows, so the oracle derives identical
+    sessions from first principles — lag + gap>1800 flag + running sum
+    (empirically matched: events exactly 1800 s apart MERGE, so the
+    new-session condition is strictly ``gap > 1800``). Plan: one shuffle on
+    user_id; session merging happens inside the sort-based session agg; the
+    same query runs under Structured Streaming with a watermark
+    (streaming/sessions.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > {SESSION_GAP_S}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
 # J — tumbling daily window over events (batch twin of the streaming query)
 # ---------------------------------------------------------------------------
 
@@ -990,6 +1049,7 @@ QUERIES = {
     "agg_over_agg": q_agg_over_agg,
     "advanced_metrics": q_advanced_metrics,
     "seeded_noise": q_seeded_noise,
+    "sessionize_events": q_sessionize_events,
     "tumbling_daily": q_tumbling_daily,
 }
 
@@ -1019,5 +1079,6 @@ ORACLES = {
     "agg_over_agg": ORACLE_AGG_OVER_AGG,
     "advanced_metrics": ORACLE_ADVANCED_METRICS,
     "seeded_noise": ORACLE_SEEDED_NOISE,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "tumbling_daily": ORACLE_TUMBLING_DAILY,
 }

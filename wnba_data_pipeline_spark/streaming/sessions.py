@@ -1,0 +1,64 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.J beyond-parity surface; the brief's prescribed tool for
+operators Structured Streaming's built-ins can't express).
+
+Demonstrated operator: per-user running totals — each micro-batch folds its
+Arrow batches into (n_events, value_sum) group state and emits the updated
+running row. The same pattern extends to custom sessionizers, dedup-within-
+window, or trigger-evaluated feature freshness; the BUILT-IN path for plain
+gap sessionization is ``session_window`` (see
+``relational.q_sessionize_events``), so state here is deliberately the
+simplest useful shape.
+
+Correctness gate: after draining the finite file stream, the final state
+per user must equal the batch groupBy totals (tests/test_streaming.py).
+Scale posture: state is per-group (user), partitioned by the groupBy
+shuffle; memory is O(groups), not O(events)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events import read_events_stream
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, value_sum double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "value_sum": [total]})
+
+
+def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(df: DataFrame, table_name: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
