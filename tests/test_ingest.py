@@ -51,3 +51,22 @@ def test_literal_source(spark):
     df = ingest.literal_source(spark, rows, "team_id int, team_name string")
     assert df.count() == 12
     assert df.filter("team_id = 5").collect()[0]["team_name"] == "Team 5"
+
+
+def test_literal_source_canonical_team_schema(spark):
+    """The reference's hardcoded 12 WNBA teams (``ingest_wnba_daily.py:60-84``)
+    through the canonical fixed DDL (schemas.TEAM_DAILY_SCHEMA)."""
+    import datetime
+
+    from wnba_data_pipeline_spark.schemas import TEAM_DAILY_SCHEMA
+
+    as_of = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, f"Team {i}", f"City {i}", f"T{i:02d}", "East" if i % 2 else "West",
+         datetime.date(2024, 1, 1), "WNBA", as_of)
+        for i in range(12)
+    ]
+    df = ingest.literal_source(spark, rows, TEAM_DAILY_SCHEMA)
+    assert df.schema == TEAM_DAILY_SCHEMA
+    assert df.count() == 12
+    assert df.filter("CONFERENCE = 'East'").count() == 6
