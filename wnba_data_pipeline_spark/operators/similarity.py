@@ -246,11 +246,15 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("vec_id") + F.lit(NEAR_VEC_OFFSET)).alias("vec_id"), "embedding")
     )
     aug = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(pert)
-    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # norms precomputed PER VECTOR (O(n) folds) so the O(n²) pair stage
+    # evaluates only dot(a,b) — same arithmetic as _cosine, factored:
+    # dot/(sqrt(na)·sqrt(nb)) is unchanged, so values stay bit-identical
+    with_norm = aug.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    a = with_norm.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"))
+    b = with_norm.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("_cos", _cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("_cos", _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")))
         .filter(F.col("_cos") >= 0.9)
         .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
     )
