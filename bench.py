@@ -9,7 +9,7 @@ Methodology matches BASELINE.md ("compare warm query execution time, session
 already up, after one warm-up run"): each query's DataFrame is built ONCE
 (prepared-statement style — DuckDB's parse+plan is sub-ms, so including
 Spark's ~100-200 ms Python expression-build + analysis per repetition would
-measure the API, not the engine), then one warm-up run and best-of-three
+measure the API, not the engine), then one warm-up run and best-of-five
 timed executions, forced with the noop sink (all partitions materialize,
 nothing crosses to the driver).
 """
@@ -40,7 +40,7 @@ HEADLINE = (
 )
 
 WARMUPS = 1
-RUNS = 3
+RUNS = 5  # best-of-5: local timings wobble ±15%; min is the stable statistic
 
 
 def _force(df) -> None:
