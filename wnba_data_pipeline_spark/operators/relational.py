@@ -729,6 +729,41 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# H4 / H7 — real moving-now freshness (current_date + interval arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def q_freshness_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL moving-clock freshness probe
+    (``data_quality_checks.py:38-64``: ``utcnow() - last_update``; window
+    predicates ``CURRENT_DATE - INTERVAL 30 DAY``,
+    ``transform_player_stats.py:27-29``) — the one query family where the
+    as-of injection (G5) is NOT applied, exercising ``current_date()`` and
+    ``date_sub`` for real. Deterministic at DATE granularity: the session
+    timezone is pinned UTC and DuckDB's current_date is the process-UTC
+    date, so both engines agree on "today" (divergence window: the
+    sub-second midnight crossing between the two runs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("_last"))
+    return agg.select(
+        F.datediff(F.current_date(), F.col("_last")).cast("bigint").alias("days_since_last_ship"),
+        (F.col("_last") >= F.date_sub(F.current_date(), 30)).cast("int").alias("fresh_30d"),
+        (F.col("_last") >= F.date_sub(F.current_date(), 10000)).cast("int").alias("fresh_10000d"),
+    )
+
+
+ORACLE_FRESHNESS_NOW = """
+WITH agg AS (
+  SELECT max(CAST(l_shipdate AS DATE)) AS last_ship FROM lineitem
+)
+SELECT CAST(date_diff('day', last_ship, current_date) AS BIGINT) AS days_since_last_ship,
+       CAST(last_ship >= current_date - INTERVAL 30 DAY AS INT) AS fresh_30d,
+       CAST(last_ship >= current_date - INTERVAL 10000 DAY AS INT) AS fresh_10000d
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # D5 — aggregate over aggregates (team stats over player aggregates)
 # ---------------------------------------------------------------------------
 
@@ -1046,6 +1081,7 @@ QUERIES = {
     "scalar_funcs": q_scalar_funcs,
     "json_extract_events": q_json_extract_events,
     "kpi_json": q_kpi_json,
+    "freshness_now": q_freshness_now,
     "agg_over_agg": q_agg_over_agg,
     "advanced_metrics": q_advanced_metrics,
     "seeded_noise": q_seeded_noise,
@@ -1076,6 +1112,7 @@ ORACLES = {
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "json_extract_events": ORACLE_JSON_EXTRACT_EVENTS,
     "kpi_json": ORACLE_KPI_JSON,
+    "freshness_now": ORACLE_FRESHNESS_NOW,
     "agg_over_agg": ORACLE_AGG_OVER_AGG,
     "advanced_metrics": ORACLE_ADVANCED_METRICS,
     "seeded_noise": ORACLE_SEEDED_NOISE,
