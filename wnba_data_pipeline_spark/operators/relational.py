@@ -437,15 +437,24 @@ def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 (reference ``nlargest(10,'PPG')``,
     ``prepare_dashboard_data.py:174-178``; SURVEY F2). orderBy+limit compiles
     to TakeOrderedAndProject — per-partition heaps, only k rows cross to the
-    driver; tie-break on c_custkey keeps the cut deterministic."""
+    driver; tie-break on c_custkey keeps the cut deterministic.
+
+    Late materialization: aggregate the fact FIRST, take the top 10, then
+    enrich only those 10 rows against the dimension (the 10-row side is the
+    broadcast build). Joining the dim before the agg — the reference's
+    eager-pandas order — would drag c_name through the shuffle for every
+    customer that can't survive the limit. Equivalent because
+    customer(c_custkey → c_name) is a key-functional inner dim (TPC-H FK)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
+    top = (
+        orders.groupBy("o_custkey")
         .agg(_r6(F.sum("o_totalprice")).alias("total_spend"))
-        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
         .limit(10)
+    )
+    return F.broadcast(top).join(cust, top.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "total_spend"
     )
 
 
