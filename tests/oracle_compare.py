@@ -15,6 +15,10 @@ def _norm_cell(v):
         return "<NULL>"
     if isinstance(v, float):
         if math.isnan(v):
+            # DELIBERATE laxity: pandas surfaces SQL NULL doubles as NaN, so
+            # NaN and NULL are indistinguishable after toPandas()/df() anyway;
+            # queries therefore never OUTPUT literal NaN (guarded ratios map
+            # 0/0 to 0 or NULL explicitly), keeping this conflation unexercised.
             return "<NULL>"
         if v == int(v) and abs(v) < 1e15:
             return f"i:{int(v)}"
