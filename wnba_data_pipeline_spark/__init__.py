@@ -14,7 +14,8 @@ Layout
                  rolling means, cross-engine deterministic hashing,
                  text/vector expressions).
 - ``operators``  query builders: relational (SURVEY §2 A-H), quality suite,
-                 dedup, similarity search, text analysis, ML.
+                 dedup, similarity search, text analysis + corpus curation,
+                 multimodal (binary payload) processing, ML.
 - ``plans``      reference-domain layer jobs (raw → analytics →
                  ml_features → dashboard) over canonical schemas.
 - ``streaming``  Structured Streaming twins of the batch event queries.
