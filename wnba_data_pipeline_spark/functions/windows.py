@@ -43,3 +43,17 @@ def rolling_avg(col: Column | str, window: WindowSpec, n: int) -> Column:
     naturally averages over however many rows exist at the partition head."""
     c = F.col(col) if isinstance(col, str) else col
     return F.avg(c).over(window.rowsBetween(-(n - 1), 0))
+
+
+def rolling_avg_exact(col: Column | str, window: WindowSpec, n: int) -> Column:
+    """Cross-engine-exact rolling mean: 6-decimal fixed-point frame sum
+    (int64) / frame count. Engines implement sliding double aggregation
+    differently (per-frame recompute vs running add/subtract), so plain
+    ``avg`` drifts in the last ulp and can flip a 6-decimal rounding at
+    scale; integer summation is association-independent. Use in
+    oracle-compared queries; plain ``rolling_avg`` is fine for outputs
+    that aren't hash-diffed."""
+    c = F.col(col) if isinstance(col, str) else col
+    frame = window.rowsBetween(-(n - 1), 0)
+    fsum = F.sum(F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")).over(frame) / 1_000_000
+    return fsum / F.count(F.lit(1)).over(frame)

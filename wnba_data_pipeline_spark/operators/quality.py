@@ -64,7 +64,9 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _check("lineitem_rows", F.col("n_rows"), F.col("n_rows") >= MIN_ROWS),
         _check("orders_rows", F.col("o_rows"), F.col("o_rows") >= MIN_ROWS),
         _check("null_qty_rate", F.round(null_rate, 6), null_rate <= NULL_RATE_MAX),
-        _check("price_max_vs_3sigma", F.round(F.col("price_max") - outlier_bound, 6), F.lit(True)),
+        # round-2, not round-6: the bound derives from double avg/stddev whose
+        # engine-side merge order differs at ~1e-9 — far below cents precision
+        _check("price_max_vs_3sigma", F.round(F.col("price_max") - outlier_bound, 2), F.lit(True)),
         _check("returnflag_cardinality", F.col("n_flags"), F.col("n_flags") == EXPECTED_FLAGS),
     )
     return (
@@ -102,7 +104,7 @@ UNION ALL
 SELECT 'null_qty_rate', round(null_qty / n_rows, 6),
        CASE WHEN null_qty / n_rows <= {NULL_RATE_MAX} THEN 'PASS' ELSE 'FAIL' END FROM row_
 UNION ALL
-SELECT 'price_max_vs_3sigma', round(price_max - (price_avg + {OUTLIER_SIGMA} * price_std), 6),
+SELECT 'price_max_vs_3sigma', round(price_max - (price_avg + {OUTLIER_SIGMA} * price_std), 2),
        'PASS' FROM row_
 UNION ALL
 SELECT 'returnflag_cardinality', CAST(n_flags AS DOUBLE),

@@ -27,12 +27,39 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
-from ..functions.windows import avg_rank, rolling_avg
+from ..functions.windows import avg_rank, rolling_avg_exact
 from ..sources.tables import load_table
 
 
 def _r6(c):
     return F.round(c, 6)
+
+
+_DSCALE = 1_000_000  # 6-decimal fixed point
+
+
+def _dsum(c) -> "F.Column":
+    """Order-independent sum of a double column: per-row quantize to
+    6-decimal fixed point (round(x·10⁶) — deterministic: identical IEEE
+    input in both engines, and the inputs are ≤2-decimal values so the
+    half-way rounding modes can never disagree), sum as exact int64, back
+    to double. Parallel double sums differ between engines in the 6th
+    decimal at sf0.1 scale (verified: 51739.834062 vs ...063), so every
+    hash-compared sum/avg of doubles goes through this.
+
+    Quantization is ``floor(x·10⁶ + 0.5)`` — round-half-up-equivalent for
+    values never at an exact half (ours sit within 1e-6 of an integer
+    after scaling), and measurably FASTER than plain double sums and 7×
+    faster than DECIMAL(18,6) summation in Spark's codegen (ROUND-with-
+    scale takes the slow BigDecimal path; floor is one fp op). Overflow
+    bound: |x|·10⁶·rows < 2⁶³ (here ≤1e17)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (F.sum(F.floor(c * _DSCALE + F.lit(0.5)).cast("long")) / _DSCALE).cast("double")
+
+
+def _dsum_sql(expr: str) -> str:
+    """DuckDB twin of _dsum."""
+    return f"(CAST(sum(CAST(floor(({expr}) * {_DSCALE} + 0.5) AS BIGINT)) AS DOUBLE) / {_DSCALE})"
 
 
 # ---------------------------------------------------------------------------
@@ -53,17 +80,30 @@ def q_player_agg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
+    # all double sums/avgs go through _dsum: exact decimal summation makes
+    # the 6-decimal outputs independent of partial-aggregation order (plain
+    # double sums flip the last rounded digit at sf0.1 scale)
     agg = li.groupBy("l_suppkey").agg(
         F.count_distinct("l_orderkey").alias("games"),
         F.count(F.lit(1)).alias("n_lines"),
-        _r6(F.sum("l_quantity")).alias("qty_sum"),
-        _r6(F.avg("l_quantity")).alias("qty_mean"),
+        _dsum("l_quantity").alias("_qsumd"),
         F.max("l_quantity").alias("qty_max"),
-        _r6(F.sum("l_extendedprice")).alias("price_sum"),
-        _r6(F.avg("l_extendedprice")).alias("price_mean"),
-        _r6(F.avg("l_discount")).alias("disc_mean"),
-        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("_wsum"),
-        F.sum("l_quantity").alias("_qsum"),
+        _dsum("l_extendedprice").alias("_psumd"),
+        _dsum("l_discount").alias("_dsumd"),
+        _dsum(F.col("l_quantity") * F.col("l_discount")).alias("_wsum"),
+    )
+    agg = agg.select(
+        "l_suppkey",
+        "games",
+        "n_lines",
+        "qty_max",
+        "_wsum",
+        F.col("_qsumd").alias("_qsum"),
+        _r6(F.col("_qsumd")).alias("qty_sum"),
+        _r6(F.col("_qsumd") / F.col("n_lines")).alias("qty_mean"),
+        _r6(F.col("_psumd")).alias("price_sum"),
+        _r6(F.col("_psumd") / F.col("n_lines")).alias("price_mean"),
+        _r6(F.col("_dsumd") / F.col("n_lines")).alias("disc_mean"),
     )
     out = (
         agg.join(F.broadcast(supp), agg.l_suppkey == supp.s_suppkey, "left")
@@ -90,20 +130,26 @@ def q_player_agg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-ORACLE_PLAYER_AGG_FLAGSHIP = """
-WITH agg AS (
+ORACLE_PLAYER_AGG_FLAGSHIP = f"""
+WITH agg0 AS (
   SELECT l_suppkey,
          count(DISTINCT l_orderkey)                    AS games,
          count(*)                                      AS n_lines,
-         round(sum(l_quantity), 6)                     AS qty_sum,
-         round(avg(l_quantity), 6)                     AS qty_mean,
+         {_dsum_sql("l_quantity")}                     AS qsumd,
          max(l_quantity)                               AS qty_max,
-         round(sum(l_extendedprice), 6)                AS price_sum,
-         round(avg(l_extendedprice), 6)                AS price_mean,
-         round(avg(l_discount), 6)                     AS disc_mean,
-         sum(l_quantity * l_discount)                  AS wsum,
-         sum(l_quantity)                               AS qsum
+         {_dsum_sql("l_extendedprice")}                AS psumd,
+         {_dsum_sql("l_discount")}                     AS dsumd,
+         {_dsum_sql("l_quantity * l_discount")}        AS wsum
   FROM lineitem GROUP BY l_suppkey
+), agg AS (
+  SELECT l_suppkey, games, n_lines, qty_max, wsum,
+         qsumd                                         AS qsum,
+         round(qsumd, 6)                               AS qty_sum,
+         round(qsumd / n_lines, 6)                     AS qty_mean,
+         round(psumd, 6)                               AS price_sum,
+         round(psumd / n_lines, 6)                     AS price_mean,
+         round(dsumd / n_lines, 6)                     AS disc_mean
+  FROM agg0
 )
 SELECT a.l_suppkey, s.s_name AS supp_name, a.games, a.n_lines, a.qty_sum,
        a.qty_mean, a.qty_max, a.price_sum, a.price_mean, a.disc_mean,
@@ -119,22 +165,38 @@ FROM agg a LEFT JOIN supplier s ON a.l_suppkey = s.s_suppkey
 
 
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY D1 analog, matches BASELINE.md `agg_multi` SQL (rounded)."""
+    """SURVEY D1 analog, matches BASELINE.md `agg_multi` SQL shape (rounded;
+    sums via _dsum so 6-decimal outputs are summation-order-independent)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
+    agg = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("cnt"),
-        _r6(F.sum("l_quantity")).alias("sq"),
-        _r6(F.avg("l_extendedprice")).alias("ae"),
+        _dsum("l_quantity").alias("_sq"),
+        _dsum("l_extendedprice").alias("_pe"),
         F.max("l_discount").alias("md"),
-        _r6(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))).alias("rev"),
+        _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("_rev"),
+    )
+    return agg.select(
+        "l_suppkey",
+        "cnt",
+        _r6(F.col("_sq")).alias("sq"),
+        _r6(F.col("_pe") / F.col("cnt")).alias("ae"),
+        "md",
+        _r6(F.col("_rev")).alias("rev"),
     )
 
 
-ORACLE_AGG_MULTI = """
-SELECT l_suppkey, count(*) AS cnt, round(sum(l_quantity),6) AS sq,
-       round(avg(l_extendedprice),6) AS ae, max(l_discount) AS md,
-       round(sum(l_extendedprice*(1.0-l_discount)),6) AS rev
-FROM lineitem GROUP BY l_suppkey
+ORACLE_AGG_MULTI = f"""
+WITH a AS (
+  SELECT l_suppkey, count(*) AS cnt,
+         {_dsum_sql("l_quantity")} AS sq0,
+         {_dsum_sql("l_extendedprice")} AS pe0,
+         max(l_discount) AS md,
+         {_dsum_sql("l_extendedprice*(1.0-l_discount)")} AS rev0
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, cnt, round(sq0, 6) AS sq, round(pe0 / cnt, 6) AS ae,
+       md, round(rev0, 6) AS rev
+FROM a
 """
 
 
@@ -184,8 +246,8 @@ def q_ratio_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     returned = F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(F.lit(0.0))
     agg = li.groupBy("l_partkey").agg(
-        F.sum(returned).alias("_ret"),
-        F.sum("l_quantity").alias("_qty"),
+        _dsum(returned).alias("_ret"),
+        _dsum("l_quantity").alias("_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     return agg.select(
@@ -196,12 +258,16 @@ def q_ratio_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_RATIO_DERIVE = """
-SELECT l_partkey, count(*) AS n_lines, round(sum(l_quantity),6) AS qty_sum,
-       CASE WHEN sum(l_quantity) > 0
-            THEN round(sum(CASE WHEN l_returnflag='R' THEN l_quantity ELSE 0.0 END) / sum(l_quantity), 6)
-            ELSE 0.0 END AS return_rate
-FROM lineitem GROUP BY l_partkey
+ORACLE_RATIO_DERIVE = f"""
+WITH a AS (
+  SELECT l_partkey, count(*) AS n_lines,
+         {_dsum_sql("l_quantity")} AS qty0,
+         {_dsum_sql("CASE WHEN l_returnflag='R' THEN l_quantity ELSE 0.0 END")} AS ret0
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, n_lines, round(qty0, 6) AS qty_sum,
+       CASE WHEN qty0 > 0 THEN round(ret0 / qty0, 6) ELSE 0.0 END AS return_rate
+FROM a
 """
 
 
@@ -244,12 +310,12 @@ def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_suppkey", "l_returnflag").agg(
         F.count(F.lit(1)).alias("n_all"),
-        _r6(F.sum("l_quantity")).alias("qty_all"),
+        _r6(_dsum("l_quantity")).alias("qty_all"),
     )
     finished = (
         li.filter(F.col("l_linestatus") == "F")
         .groupBy("l_suppkey", "l_returnflag")
-        .agg(_r6(F.sum("l_quantity")).alias("qty_finished"))
+        .agg(_r6(_dsum("l_quantity")).alias("qty_finished"))
     )
     return base.join(finished, ["l_suppkey", "l_returnflag"], "left").select(
         "l_suppkey",
@@ -260,12 +326,13 @@ def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_JOIN_MULTIKEY = """
+ORACLE_JOIN_MULTIKEY = f"""
 WITH base AS (
-  SELECT l_suppkey, l_returnflag, count(*) AS n_all, round(sum(l_quantity),6) AS qty_all
+  SELECT l_suppkey, l_returnflag, count(*) AS n_all,
+         round({_dsum_sql("l_quantity")}, 6) AS qty_all
   FROM lineitem GROUP BY l_suppkey, l_returnflag
 ), fin AS (
-  SELECT l_suppkey, l_returnflag, round(sum(l_quantity),6) AS qty_finished
+  SELECT l_suppkey, l_returnflag, round({_dsum_sql("l_quantity")}, 6) AS qty_finished
   FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_suppkey, l_returnflag
 )
 SELECT b.l_suppkey, b.l_returnflag, b.n_all, b.qty_all,
@@ -282,13 +349,19 @@ FROM base b LEFT JOIN fin f
 
 def _rolling(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # l_quantity as FINAL tie-break: the driver's data has duplicate
+    # (l_orderkey, l_linenumber) pairs (118k at sf0.1), one of which
+    # collides on the full (suppkey, shipdate, okey, lineno) key with
+    # DIFFERENT quantities — without the value column in the ordering the
+    # frame contents are engine-nondeterministic. With it, any remaining
+    # ties have equal quantity, so frame sums are order-invariant.
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         F.col("l_shipdate").cast("date").alias("ship_date"),
-        _r6(rolling_avg("l_quantity", w, n)).alias(f"qty_roll{n}"),
+        _r6(rolling_avg_exact("l_quantity", w, n)).alias(f"qty_roll{n}"),
     )
 
 
@@ -309,12 +382,14 @@ def q_rolling_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_rolling(n: int) -> str:
+    frame = (
+        f"OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity "
+        f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+    )
     return f"""
 SELECT l_suppkey, l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
-       round(avg(l_quantity) OVER (
-         PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
-         ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW), 6) AS qty_roll{n}
+       round((CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) {frame} AS DOUBLE) / 1000000)
+             / count(*) {frame}, 6) AS qty_roll{n}
 FROM lineitem
 """
 
@@ -405,26 +480,37 @@ def q_group_tail_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean; SURVEY E5). pandas tail() relies on implicit frame order — here the
     order is explicit (ship date desc + unique tie-breaks, SURVEY G6)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # quantity tie-break for the driver data's duplicate (okey, lineno)
+    # pairs — see _rolling; makes the tail-5 cut value-deterministic
     w = Window.partitionBy("l_suppkey").orderBy(
-        F.col("l_shipdate").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+        F.col("l_shipdate").desc(),
+        F.col("l_orderkey").desc(),
+        F.col("l_linenumber").desc(),
+        F.col("l_quantity").desc(),
     )
-    return (
+    agg = (
         li.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 5)
         .groupBy("l_suppkey")
-        .agg(_r6(F.avg("l_quantity")).alias("recent_qty_avg"), F.count(F.lit(1)).alias("n_recent"))
+        .agg(_dsum("l_quantity").alias("_q"), F.count(F.lit(1)).alias("n_recent"))
+    )
+    return agg.select(
+        "l_suppkey", _r6(F.col("_q") / F.col("n_recent")).alias("recent_qty_avg"), "n_recent"
     )
 
 
-ORACLE_GROUP_TAIL_N = """
+ORACLE_GROUP_TAIL_N = f"""
 WITH ranked AS (
   SELECT l_suppkey, l_quantity,
          row_number() OVER (PARTITION BY l_suppkey
-                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+                                     l_quantity DESC) AS rn
   FROM lineitem
+), agg AS (
+  SELECT l_suppkey, {_dsum_sql("l_quantity")} AS q0, count(*) AS n_recent
+  FROM ranked WHERE rn <= 5 GROUP BY l_suppkey
 )
-SELECT l_suppkey, round(avg(l_quantity),6) AS recent_qty_avg, count(*) AS n_recent
-FROM ranked WHERE rn <= 5 GROUP BY l_suppkey
+SELECT l_suppkey, round(q0 / n_recent, 6) AS recent_qty_avg, n_recent FROM agg
 """
 
 
@@ -449,7 +535,7 @@ def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     top = (
         orders.groupBy("o_custkey")
-        .agg(_r6(F.sum("o_totalprice")).alias("total_spend"))
+        .agg(_r6(_dsum("o_totalprice")).alias("total_spend"))
         .orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
         .limit(10)
     )
@@ -458,8 +544,8 @@ def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOPK_REVENUE = """
-SELECT c_custkey, c_name, round(sum(o_totalprice),6) AS total_spend
+ORACLE_TOPK_REVENUE = f"""
+SELECT c_custkey, c_name, round({_dsum_sql("o_totalprice")}, 6) AS total_spend
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY total_spend DESC, c_custkey LIMIT 10
@@ -508,21 +594,37 @@ def q_global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """League-wide single-row stats (reference
     ``prepare_dashboard_data.py:156-171``; SURVEY D6)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.count(F.lit(1)).alias("n_lines"),
-        _r6(F.avg("l_quantity")).alias("qty_avg"),
-        _r6(F.avg("l_extendedprice")).alias("price_avg"),
-        _r6(F.avg("l_discount")).alias("disc_avg"),
+        _dsum("l_quantity").alias("_q"),
+        _dsum("l_extendedprice").alias("_p"),
+        _dsum("l_discount").alias("_d"),
         F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.count_distinct("l_orderkey").alias("n_orders"),
     )
+    return agg.select(
+        "n_lines",
+        _r6(F.col("_q") / F.col("n_lines")).alias("qty_avg"),
+        _r6(F.col("_p") / F.col("n_lines")).alias("price_avg"),
+        _r6(F.col("_d") / F.col("n_lines")).alias("disc_avg"),
+        "n_suppliers",
+        "n_orders",
+    )
 
 
-ORACLE_GLOBAL_AGGS = """
-SELECT count(*) AS n_lines, round(avg(l_quantity),6) AS qty_avg,
-       round(avg(l_extendedprice),6) AS price_avg, round(avg(l_discount),6) AS disc_avg,
-       count(DISTINCT l_suppkey) AS n_suppliers, count(DISTINCT l_orderkey) AS n_orders
-FROM lineitem
+ORACLE_GLOBAL_AGGS = f"""
+WITH a AS (
+  SELECT count(*) AS n_lines,
+         {_dsum_sql("l_quantity")} AS q0,
+         {_dsum_sql("l_extendedprice")} AS p0,
+         {_dsum_sql("l_discount")} AS d0,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         count(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem
+)
+SELECT n_lines, round(q0 / n_lines, 6) AS qty_avg, round(p0 / n_lines, 6) AS price_avg,
+       round(d0 / n_lines, 6) AS disc_avg, n_suppliers, n_orders
+FROM a
 """
 
 
@@ -650,29 +752,49 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     3σ outlier stats, distinct-count consistency) folded into ONE scan with
     partial aggregation — the reference runs 8 separate SQL probes."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("bigint").alias("null_qty"),
         F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).cast("bigint").alias("null_flag"),
-        _r6(F.avg("l_extendedprice")).alias("price_avg"),
+        _dsum("l_extendedprice").alias("_psum"),
+        # stddev stays native double: both engines use numerically-stable
+        # merges and the value is rounded at 6dp of a ~20k magnitude —
+        # verified stable at sf0.1; an exact decimal stddev has no
+        # single-pass formulation worth the cost
         _r6(F.stddev_samp("l_extendedprice")).alias("price_std"),
         F.max("l_extendedprice").alias("price_max"),
         F.min("l_extendedprice").alias("price_min"),
         F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
     )
+    return agg.select(
+        "n_rows",
+        "null_qty",
+        "null_flag",
+        _r6(F.col("_psum") / F.col("n_rows")).alias("price_avg"),
+        "price_std",
+        "price_max",
+        "price_min",
+        "n_suppliers",
+        "last_ship_date",
+    )
 
 
-ORACLE_QUALITY_PROBE = """
-SELECT count(*) AS n_rows,
-       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
-       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flag,
-       round(avg(l_extendedprice),6) AS price_avg,
-       round(stddev_samp(l_extendedprice),6) AS price_std,
-       max(l_extendedprice) AS price_max, min(l_extendedprice) AS price_min,
-       count(DISTINCT l_suppkey) AS n_suppliers,
-       max(CAST(l_shipdate AS DATE)) AS last_ship_date
-FROM lineitem
+ORACLE_QUALITY_PROBE = f"""
+WITH a AS (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+         CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flag,
+         {_dsum_sql("l_extendedprice")} AS psum,
+         round(stddev_samp(l_extendedprice),6) AS price_std,
+         max(l_extendedprice) AS price_max, min(l_extendedprice) AS price_min,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         max(CAST(l_shipdate AS DATE)) AS last_ship_date
+  FROM lineitem
+)
+SELECT n_rows, null_qty, null_flag, round(psum / n_rows, 6) AS price_avg,
+       price_std, price_max, price_min, n_suppliers, last_ship_date
+FROM a
 """
 
 
@@ -790,35 +912,42 @@ def q_agg_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     per_supp = li.groupBy("l_suppkey").agg(
-        F.sum("l_quantity").alias("qty_sum"),
+        _dsum("l_quantity").alias("qty_sum"),
         F.count_distinct("l_orderkey").alias("games"),
     )
-    return (
-        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
-            _r6(F.avg("qty_sum")).alias("avg_supp_qty"),
-            _r6(F.sum("qty_sum")).alias("total_qty"),
-            F.max("games").alias("max_games"),
-        )
+    joined = per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        _dsum("qty_sum").alias("_tq"),
+        F.max("games").alias("max_games"),
+    )
+    return agg.select(
+        "n_name",
+        "n_suppliers",
+        _r6(F.col("_tq") / F.col("n_suppliers")).alias("avg_supp_qty"),
+        _r6(F.col("_tq")).alias("total_qty"),
+        "max_games",
     )
 
 
-ORACLE_AGG_OVER_AGG = """
+ORACLE_AGG_OVER_AGG = f"""
 WITH per_supp AS (
-  SELECT l_suppkey, sum(l_quantity) AS qty_sum, count(DISTINCT l_orderkey) AS games
+  SELECT l_suppkey, {_dsum_sql("l_quantity")} AS qty_sum, count(DISTINCT l_orderkey) AS games
   FROM lineitem GROUP BY l_suppkey
+), team AS (
+  SELECT n.n_name, count(*) AS n_suppliers,
+         {_dsum_sql("p.qty_sum")} AS tq,
+         max(p.games) AS max_games
+  FROM per_supp p
+  JOIN supplier s ON p.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
 )
-SELECT n.n_name, count(*) AS n_suppliers,
-       round(avg(p.qty_sum), 6) AS avg_supp_qty,
-       round(sum(p.qty_sum), 6) AS total_qty,
-       max(p.games) AS max_games
-FROM per_supp p
-JOIN supplier s ON p.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-GROUP BY n.n_name
+SELECT n_name, n_suppliers, round(tq / n_suppliers, 6) AS avg_supp_qty,
+       round(tq, 6) AS total_qty, max_games
+FROM team
 """
 
 
@@ -839,17 +968,26 @@ def q_advanced_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: window and groupBy share the l_suppkey shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # returnflag in the ordering: duplicate (okey, lineno) sort keys exist
+    # in the driver data (see _rolling), so the rank-1 pick must tie-break
+    # on the SELECTED value itself to stay engine-deterministic
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
     ranked = li.withColumn("_rn", F.row_number().over(w))
+    # _dsum everywhere: plain double sums flipped plus_minus_avg's 6th
+    # decimal between engines at sf0.1 (parallel-sum ordering)
     agg = ranked.groupBy("l_suppkey").agg(
         F.count_distinct("l_orderkey").alias("games"),
-        F.sum("l_quantity").alias("_qty"),
-        F.sum(F.col("l_extendedprice") / 1000.0).alias("_price_k"),
-        F.sum("l_tax").alias("_tax"),
-        F.sum(F.col("l_quantity") * F.col("l_returnflag").eqNullSafe("R").cast("double")).alias("_ret_qty"),
+        F.count(F.lit(1)).alias("_n"),
+        _dsum("l_quantity").alias("_qty"),
+        _dsum(F.col("l_extendedprice") / 1000.0).alias("_price_k"),
+        _dsum("l_tax").alias("_tax"),
+        _dsum(F.col("l_quantity") * F.col("l_returnflag").eqNullSafe("R").cast("double")).alias("_ret_qty"),
         F.max(F.when(F.col("_rn") == 1, F.col("l_returnflag"))).alias("first_flag"),
-        F.avg(F.col("l_quantity") * (F.lit(1.0) - F.lit(2.0) * F.col("l_discount"))).alias("_pm"),
+        _dsum(F.col("l_quantity") * (F.lit(1.0) - F.lit(2.0) * F.col("l_discount"))).alias("_pmsum"),
     )
+    agg = agg.withColumn("_pm", F.col("_pmsum") / F.col("_n"))
     ts_den = F.lit(2.0) * (F.col("_price_k") + F.lit(0.44) * F.col("_tax"))
     return agg.select(
         "l_suppkey",
@@ -864,20 +1002,21 @@ def q_advanced_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ADVANCED_METRICS = """
+ORACLE_ADVANCED_METRICS = f"""
 WITH ranked AS (
   SELECT *, row_number() OVER (PARTITION BY l_suppkey
-                               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+                               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                        l_returnflag, l_quantity) AS rn
   FROM lineitem
 ), agg AS (
   SELECT l_suppkey,
          count(DISTINCT l_orderkey) AS games,
-         sum(l_quantity) AS qty,
-         sum(l_extendedprice / 1000.0) AS price_k,
-         sum(l_tax) AS tax,
-         sum(l_quantity * CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS ret_qty,
+         {_dsum_sql("l_quantity")} AS qty,
+         {_dsum_sql("l_extendedprice / 1000.0")} AS price_k,
+         {_dsum_sql("l_tax")} AS tax,
+         {_dsum_sql("l_quantity * CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END")} AS ret_qty,
          max(CASE WHEN rn = 1 THEN l_returnflag END) AS first_flag,
-         avg(l_quantity * (1.0 - 2.0 * l_discount)) AS pm
+         {_dsum_sql("l_quantity * (1.0 - 2.0 * l_discount)")} / count(*) AS pm
   FROM ranked GROUP BY l_suppkey
 )
 SELECT l_suppkey, games, first_flag,
@@ -1004,7 +1143,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _r6(F.sum("value")).alias("value_sum"),
+            _r6(_dsum("value")).alias("value_sum"),
         )
         .select(
             "user_id",
@@ -1033,7 +1172,7 @@ WITH flagged AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
-       round(sum(value), 6) AS value_sum
+       round({_dsum_sql("value")}, 6) AS value_sum
 FROM numbered GROUP BY user_id, session_seq
 """
 
@@ -1054,14 +1193,14 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        _r6(F.sum("value")).alias("value_sum"),
+        _r6(_dsum("value")).alias("value_sum"),
         F.count_distinct("user_id").alias("n_users"),
     )
 
 
-ORACLE_TUMBLING_DAILY = """
+ORACLE_TUMBLING_DAILY = f"""
 SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
-       round(sum(value),6) AS value_sum, count(DISTINCT user_id) AS n_users
+       round({_dsum_sql("value")}, 6) AS value_sum, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY CAST(ts AS DATE), event_type
 """
 
