@@ -76,7 +76,10 @@ def run_analytics_layer(spark: SparkSession, base: str, as_of: str = DEFAULT_AS_
     )
     overwrite_table(stats, _p(base, "analytics", "supplier_stats"))
 
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    # l_quantity tie-break: the testdata has duplicate (okey, lineno) pairs,
+    # so without it rolling frames are run-order nondeterministic and the
+    # "reruns are byte-identical" guarantee above would not hold
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
     rolling = li.select(
         "l_suppkey",
         "l_orderkey",
