@@ -59,14 +59,18 @@ def main() -> None:
     # Local-scale tuning (documented in session.get_spark): the sf0.1 files
     # are ~10 MB, so the default 128 MB maxPartitionBytes leaves a 32-core
     # machine scanning on 3 tasks; 1 MB splits restore scan parallelism.
-    # 4 shuffle partitions fit the tiny shuffles; AQE coalesces further.
-    # On a real cluster these stay at their 100 TB-posture defaults.
+    # AQE's default 64 MB advisory size would coalesce every post-shuffle
+    # stage of this small dataset to ONE partition, serializing the
+    # rolling-window sort; 2 MB keeps those stages parallel (measured:
+    # rolling_5 0.88 s → 0.54 s). On a real cluster these stay at their
+    # 100 TB-posture defaults.
     spark = get_spark(
         "wnba-pipeline-bench",
-        shuffle_partitions=4,
+        shuffle_partitions=32,
         extra_confs={
             "spark.sql.files.maxPartitionBytes": "1m",
             "spark.sql.files.openCostInBytes": "256k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
             "spark.local.dir": "/dev/shm/spark-bench-local",
         },
     )
