@@ -33,8 +33,14 @@ def avg_rank(order_col: Column | str, *, partition_by: list[Column | str] | None
     ordering = order.asc() if ascending else order.desc()
     part = [F.col(c) if isinstance(c, str) else c for c in (partition_by or [])]
     w_rank = Window.partitionBy(*part).orderBy(ordering)
-    w_ties = Window.partitionBy(*part, order)
-    return F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - F.lit(1)) / F.lit(2.0)
+    # Tie count = peers of the current row under the SAME (partition, order)
+    # spec: RANGE BETWEEN CURRENT ROW AND CURRENT ROW is the ORDER-BY-peers
+    # frame. Sharing the spec lets Catalyst evaluate rank and the tie count
+    # in ONE Window pass over one sort; a partitionBy(part, order) count
+    # would plan a second sort + second Window pass (same shuffle, 2× the
+    # window passes — measured on the sf0.1 orders fact).
+    w_peers = w_rank.rangeBetween(Window.currentRow, Window.currentRow)
+    return F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_peers) - F.lit(1)) / F.lit(2.0)
 
 
 def rolling_avg(col: Column | str, window: WindowSpec, n: int) -> Column:
