@@ -231,6 +231,89 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard — blocked all-pairs exact similarity (the non-LSH baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup detection with BLOCKED all-pairs:
+    candidate pairs come from equality on (lang, source) plus a length
+    proximity guard, not from hashing. This is the exact baseline the
+    MinHash-LSH path (``q_dedup_minhash``) approximates.
+
+    Scale posture: the quadratic term is bounded by the largest block, so
+    the blocking key choice IS the scale knob — (lang, source) caps block
+    size at corpus/|blocks|, and the ±40-char length band cuts surviving
+    pairs ~10×. Still O(block²) worst-case: at 100 TB you either add a
+    sharper blocking key (e.g. a SimHash prefix from
+    ``q_simhash_fingerprint``) or switch to the LSH path; this operator is
+    the ground-truth oracle you validate that approximation against at sampled
+    scale. (Word 3-grams, not char n-grams: the synthetic corpus draws from
+    a ~31-word vocabulary, so char-4-gram sets saturate and separate
+    nothing, while the ~29k-point trigram space keeps organic pairs far
+    below the 0.5 threshold.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pert = docs.filter(F.col("n_chars") >= 200).select(
+        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+        "lang",
+        "source",
+    )
+    aug = docs.select("doc_id", "text", "lang", "source").unionByName(pert)
+    words = F.split(F.col("text"), " ")
+    shingled = aug.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("nc"),
+        _shingles(F.col("text"), words).alias("sh"),
+    )
+    a, b = shingled.alias("a"), shingled.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.nc") - F.col("b.nc")) <= F.lit(40)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH aug AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {NEAR_COPY_OFFSET}, regexp_replace(text, ' [^ ]+$', ''), lang, source
+  FROM documents WHERE n_chars >= 200
+), tok AS (
+  SELECT doc_id, lang, source, text, length(text) AS nc,
+         string_split(text, ' ') AS words
+  FROM aug
+), shingled AS (
+  SELECT doc_id, lang, source, nc, {_SHINGLES_SQL} AS sh FROM tok
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+  FROM shingled a JOIN shingled b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id AND abs(a.nc - b.nc) <= 40
+) WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash — 16-bit fingerprint over the word multiset
 # ---------------------------------------------------------------------------
 
@@ -285,11 +368,13 @@ FROM votes
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "ngram_jaccard": q_ngram_jaccard,
     "simhash_fingerprint": q_simhash_fingerprint,
 }
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_fingerprint": _oracle_simhash(),
 }
