@@ -81,6 +81,16 @@ def test_dedup_exact_single_shuffle(spark):
     assert _n_exchanges(plan) == 1, plan
 
 
+def test_avg_rank_single_window_pass(spark):
+    # avg_rank counts ties via the ORDER-BY-peers RANGE frame under the
+    # rank's own spec, so rank + tie count plan as ONE Window over ONE sort
+    # on the single partition Exchange (functions/windows.py:avg_rank)
+    plan = _plan(spark, "rank_partition_avg")
+    assert _n_exchanges(plan) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Sort", plan)) == 1, plan
+
+
 def test_raw_layer_partition_pruning(spark, tmp_path):
     """A6's 100 TB claim, proven: a ship-month predicate over the
     partitioned raw layer must prune at the partition level (scan only the
