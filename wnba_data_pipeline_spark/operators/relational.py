@@ -1119,6 +1119,135 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# B6 + E4 + F2 + G1/B11 — the composed award mart (dashboard end-to-end)
+# ---------------------------------------------------------------------------
+
+AWARD_TOP = 10
+
+
+def q_award_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full dashboard-award shape in ONE plan: multi-term
+    weighted scores over the entity aggregate (mvp/dpoy/sixmoy,
+    ``feature_engineering.py:60-96``), global pandas-average ranks per award
+    (``prepare_dashboard_data.py:71-75``), per-award top-10 cut, tagged
+    union (``prepare_dashboard_data.py:211-224``). Every piece passes
+    individually elsewhere; this is the composed end-to-end oracle pair.
+
+    Spark-first composition: instead of the reference's three separate
+    top-10 frames concatenated (which would re-run the aggregate subtree
+    once per award), the three scores UNPIVOT to (award, score) rows —
+    G1's tagged union becomes an explode — so ONE window pass per spec over
+    a single shuffle on the award key ranks all three marts at once.
+
+    Plan: fact scan → one shuffle (supplier agg) → score projection →
+    explode ×3 → one mart-sized shuffle on award → windows (rank + peers
+    count share one pass; row_number adds its own) → top-10 filter →
+    broadcast supplier-name join on the 30 surviving rows.
+
+    Determinism: every score term is arithmetic over _dsum outputs and
+    counts in identical literal-first association in both engines, so rank
+    tie groups can never be flipped by parallel summation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_orderkey").alias("games"),
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum("l_quantity").alias("_qty"),
+        _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("_rev"),
+        _dsum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(F.lit(0.0))).alias("_ret"),
+        _dsum("l_discount").alias("_disc"),
+    )
+    scored = agg.select(
+        "l_suppkey",
+        (F.col("_qty") / F.col("games")).alias("qty_pg"),
+        (F.col("_rev") / F.col("games") / F.lit(1000.0)).alias("rev_kpg"),
+        (F.col("n_lines").cast("double") / F.col("games")).alias("lines_pg"),
+        (F.col("_disc") / F.col("n_lines")).alias("disc_mean"),
+        F.when(F.col("_qty") > 0, F.col("_ret") / F.col("_qty")).otherwise(F.lit(0.0)).alias("ret_rate"),
+    )
+    scored = scored.select(
+        "l_suppkey",
+        (
+            F.lit(0.4) * F.col("qty_pg")
+            + F.lit(0.25) * F.col("rev_kpg")
+            + F.lit(0.2) * F.col("lines_pg")
+            + F.lit(0.15) * (F.lit(1.0) - F.col("disc_mean"))
+        ).alias("mvp_score"),
+        (
+            F.lit(0.5) * F.col("ret_rate") + F.lit(0.3) * F.col("lines_pg") + F.lit(0.2) * F.col("qty_pg")
+        ).alias("dpoy_score"),
+        (F.lit(0.6) * F.col("qty_pg") + F.lit(0.4) * F.col("rev_kpg")).alias("sixmoy_score"),
+    )
+    unpivoted = scored.select(
+        "l_suppkey",
+        F.explode(
+            F.array(
+                F.struct(F.lit("MVP").alias("award"), F.col("mvp_score").alias("score")),
+                F.struct(F.lit("DPOY").alias("award"), F.col("dpoy_score").alias("score")),
+                F.struct(F.lit("SIXMOY").alias("award"), F.col("sixmoy_score").alias("score")),
+            )
+        ).alias("a"),
+    ).select("l_suppkey", "a.award", "a.score")
+    w_cut = Window.partitionBy("award").orderBy(F.col("score").desc(), F.col("l_suppkey"))
+    top = (
+        unpivoted.withColumn("score_rank", avg_rank("score", partition_by=["award"]).cast("double"))
+        .withColumn("_rn", F.row_number().over(w_cut))
+        .filter(F.col("_rn") <= AWARD_TOP)
+    )
+    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+        "award",
+        "l_suppkey",
+        F.col("s_name").alias("supp_name"),
+        _r6(F.col("score")).alias("score"),
+        "score_rank",
+    )
+
+
+ORACLE_AWARD_MART = f"""
+WITH agg AS (
+  SELECT l_suppkey,
+         count(DISTINCT l_orderkey) AS games,
+         count(*) AS n_lines,
+         {_dsum_sql("l_quantity")} AS qty,
+         {_dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS rev,
+         {_dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS ret,
+         {_dsum_sql("l_discount")} AS disc
+  FROM lineitem GROUP BY l_suppkey
+), derived AS (
+  SELECT l_suppkey,
+         qty / games AS qty_pg,
+         rev / games / 1000.0 AS rev_kpg,
+         CAST(n_lines AS DOUBLE) / games AS lines_pg,
+         disc / n_lines AS disc_mean,
+         CASE WHEN qty > 0 THEN ret / qty ELSE 0.0 END AS ret_rate
+  FROM agg
+), scored AS (
+  SELECT l_suppkey,
+         0.4 * qty_pg + 0.25 * rev_kpg + 0.2 * lines_pg + 0.15 * (1.0 - disc_mean) AS mvp_score,
+         0.5 * ret_rate + 0.3 * lines_pg + 0.2 * qty_pg AS dpoy_score,
+         0.6 * qty_pg + 0.4 * rev_kpg AS sixmoy_score
+  FROM derived
+), unpivoted AS (
+  SELECT l_suppkey, 'MVP' AS award, mvp_score AS score FROM scored
+  UNION ALL
+  SELECT l_suppkey, 'DPOY', dpoy_score FROM scored
+  UNION ALL
+  SELECT l_suppkey, 'SIXMOY', sixmoy_score FROM scored
+), ranked AS (
+  SELECT l_suppkey, award, score,
+         (rank() OVER (PARTITION BY award ORDER BY score DESC)
+          + (count(*) OVER (PARTITION BY award, score) - 1) / 2.0) AS score_rank,
+         row_number() OVER (PARTITION BY award ORDER BY score DESC, l_suppkey) AS rn
+  FROM unpivoted
+)
+SELECT r.award, r.l_suppkey, s.s_name AS supp_name,
+       round(r.score, 6) AS score, r.score_rank
+FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rn <= {AWARD_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # J' — gap-based sessionization over events (session_window)
 # ---------------------------------------------------------------------------
 
@@ -1233,6 +1362,7 @@ QUERIES = {
     "agg_over_agg": q_agg_over_agg,
     "advanced_metrics": q_advanced_metrics,
     "seeded_noise": q_seeded_noise,
+    "award_mart": q_award_mart,
     "sessionize_events": q_sessionize_events,
     "tumbling_daily": q_tumbling_daily,
 }
@@ -1264,6 +1394,7 @@ ORACLES = {
     "agg_over_agg": ORACLE_AGG_OVER_AGG,
     "advanced_metrics": ORACLE_ADVANCED_METRICS,
     "seeded_noise": ORACLE_SEEDED_NOISE,
+    "award_mart": ORACLE_AWARD_MART,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "tumbling_daily": ORACLE_TUMBLING_DAILY,
 }

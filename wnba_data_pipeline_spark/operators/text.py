@@ -229,6 +229,82 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints — per-window k-gram hash minima (MOSS-style)
+# ---------------------------------------------------------------------------
+
+WINNOW_WINDOW = 4
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing (the algorithm ``q_doc_fingerprint``'s global min is
+    the degenerate w=∞ case of): hash every POSITIONAL character 8-gram,
+    slide a window of {WINNOW_WINDOW} consecutive hashes, keep each
+    window's minimum — the distinct minima are the document's fingerprint
+    set, guaranteeing any match of length ≥ k+w-1 between two documents
+    shares a fingerprint (the winnowing coverage property).
+
+    Zero-shuffle codegen map stage; expected fingerprint density is
+    2/(w+1) of positions, reported per doc. Oracle: identical positional
+    grams / window slices via DuckDB list_slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = SHINGLE_CHARS, WINNOW_WINDOW
+    grams = docs.filter(F.length("text") >= k + w - 1).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length(text) - {k - 1}), i -> substring(text, i, {k}))"
+        ).alias("_grams"),
+    )
+    hashed = grams.select("doc_id", F.transform(F.col("_grams"), md5_long).alias("_hh"))
+    wins = hashed.select(
+        "doc_id",
+        F.size("_hh").cast("long").alias("n_grams"),
+        F.expr(f"transform(sequence(1, size(_hh) - {w - 1}), j -> array_min(slice(_hh, j, {w})))").alias("_wins"),
+    )
+    fps = wins.select(
+        "doc_id",
+        "n_grams",
+        F.size("_wins").cast("long").alias("n_windows"),
+        F.array_distinct("_wins").alias("_fps"),
+    )
+    return fps.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        F.size("_fps").cast("long").alias("n_fingerprints"),
+        F.array_min("_fps").alias("fp_min"),
+        F.array_max("_fps").alias("fp_max"),
+        F.round(F.size("_fps") / F.col("n_windows"), 6).alias("fp_density"),
+    )
+
+
+ORACLE_DOC_WINNOW = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(length(text) - {SHINGLE_CHARS - 1}),
+                        i -> substr(text, i + 1, {SHINGLE_CHARS})) AS grams
+  FROM documents
+  WHERE length(text) >= {SHINGLE_CHARS + WINNOW_WINDOW - 1}
+), h AS (
+  SELECT doc_id, list_transform(grams, s -> {md5_long_sql("s")}) AS hh FROM g
+), w AS (
+  SELECT doc_id, CAST(len(hh) AS BIGINT) AS n_grams,
+         list_transform(range(len(hh) - {WINNOW_WINDOW - 1}),
+                        j -> list_min(list_slice(hh, j + 1, j + {WINNOW_WINDOW}))) AS wins
+  FROM h
+), f AS (
+  SELECT doc_id, n_grams, CAST(len(wins) AS BIGINT) AS n_windows,
+         list_distinct(wins) AS fps
+  FROM w
+)
+SELECT doc_id, n_grams, n_windows,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+       round(len(fps) / n_windows, 6) AS fp_density
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # hash-based stratified corpus sampling
 # ---------------------------------------------------------------------------
 
@@ -281,13 +357,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two shuffles (per-doc-term agg, per-term doc freq) + one
     broadcast-able join of the term dictionary back to the doc-term frame —
     the vocabulary (distinct terms) is orders of magnitude smaller than the
-    corpus at any scale. The final top-k is a per-doc window."""
+    corpus at any scale. The final top-k is a per-doc window. Corpus size
+    enters the plan as a broadcast 1-row aggregate cross-joined into the
+    idf projection (exactly the oracle's ``CROSS JOIN n``) — no
+    driver-side ``count()``, so the operator stays a single composable
+    lazy plan."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # driver-side scalar: corpus size (one tiny job)
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.select("term", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    idf = df_.crossJoin(F.broadcast(n)).select("term", F.log(F.col("_n_docs") / F.col("df")).alias("idf"))
     scored = tf.join(F.broadcast(idf), "term").withColumn("tfidf", F.col("tf") * F.col("idf"))
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
@@ -372,6 +452,7 @@ QUERIES = {
     "lang_id_agreement": q_lang_id_agreement,
     "text_corpus_rollup": q_text_corpus_rollup,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "corpus_sample": q_corpus_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_topk": q_bigram_topk,
@@ -382,6 +463,7 @@ ORACLES = {
     "lang_id_agreement": _oracle_lang_id(),
     "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "doc_winnow": ORACLE_DOC_WINNOW,
     "corpus_sample": _oracle_corpus_sample(),
     "tfidf_top_terms": _oracle_tfidf(),
     "bigram_topk": ORACLE_BIGRAM_TOPK,
