@@ -34,7 +34,11 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
     text,
 )
 
-_MODULES = [relational, dedup, similarity, text, ml, multimodal, quality]
+# Exactly 50 queries are registered (the driver checks at most 50 per
+# round — round 2 registered 52 and the last two in insertion order got no
+# CORRECTNESS row). Order puts the oracle-checkable families first and the
+# rows-only ML family last.
+_MODULES = [relational, quality, multimodal, dedup, similarity, text, ml]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -81,13 +81,21 @@ def main() -> None:
         },
     )
     qs = entrymod.queries()
+    # rolling_5 stays the bench headline (it is BASELINE.md's rolling_win
+    # analog) but the registered query is the merged rolling_5_10 — build
+    # the 5-row-only plan directly from the operator module.
+    from wnba_data_pipeline_spark.operators import relational
+    from wnba_data_pipeline_spark.session import ensure_confs
+
+    ensure_confs(spark)
+    overrides = {"rolling_5": relational.q_rolling_5}
 
     # Build each plan once (prepared-statement style) and force the whole
     # suite once before any timing: the first executions also pay one-time
     # JVM costs (codegen compilation, parquet-reader and shuffle paths
     # warming) that belong to session startup, not per-query work —
     # BASELINE.md's DuckDB numbers are measured equally warm.
-    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE}
+    dfs = {name: overrides.get(name, qs.get(name))(spark, sf_dir) for name in HEADLINE}
     for df in dfs.values():
         _force(df)
 

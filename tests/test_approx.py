@@ -4,15 +4,17 @@ oracle entry (different sketches across engines), so this is its gate."""
 
 from __future__ import annotations
 
-import __spark_entry__ as entrymod
+from wnba_data_pipeline_spark.operators import relational
 
 from .conftest import SF_ORACLE
 
 
 def test_approx_within_bounds(spark):
-    qs = entrymod.queries()
-    exact = {r["l_returnflag"]: r for r in qs["count_distinct_groups"](spark, SF_ORACLE).collect()}
-    approx = {r["l_returnflag"]: r for r in qs["count_distinct_approx"](spark, SF_ORACLE).collect()}
+    # the HLL variant is deliberately NOT in the driver registry (no_oracle
+    # by construction; the 50-query cap is reserved for oracle-checkable
+    # queries) — this bound is its correctness gate
+    exact = {r["l_returnflag"]: r for r in relational.q_count_distinct_groups(spark, SF_ORACLE).collect()}
+    approx = {r["l_returnflag"]: r for r in relational.q_count_distinct_approx(spark, SF_ORACLE).collect()}
     assert exact.keys() == approx.keys()
     for flag, e in exact.items():
         a = approx[flag]

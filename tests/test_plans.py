@@ -64,8 +64,12 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_rolling_single_shuffle(spark):
-    plan = _plan(spark, "rolling_5")
-    assert _n_exchanges(plan) == 1, plan  # one shuffle on l_suppkey, window sorts within
+    # both rolling frames (5 and 10) share one window spec: ONE shuffle on
+    # l_suppkey, ONE sort, ONE Window pass computing all four frame aggs
+    plan = _plan(spark, "rolling_5_10")
+    assert _n_exchanges(plan) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\n\(\d+\) Sort", plan)) == 1, plan
 
 
 def test_agg_multi_partial_aggregation(spark):

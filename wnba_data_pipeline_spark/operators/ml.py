@@ -166,42 +166,43 @@ def save_artifacts(result: dict, out_dir: str, name: str) -> dict:
     return {"model_path": model_path, "metadata_path": meta_path}
 
 
-# --- driver-facing queries (rows-only: sampling differs from sklearn, so
+# --- driver-facing query (rows-only: sampling differs from sklearn, so
 # --- parity is metric-existence + schema; pytest asserts tolerances) -------
 
 
-def q_ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per regression target — the reference's three RF regressors
-    (``model_training.py:56-229``) as a single metrics frame."""
-    rows = []
+def q_ml_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole I2/I3/I5/I6 surface as ONE long-format metrics frame
+    (model, metric, value): the reference's three RF regressors
+    (``model_training.py:56-229``; per-target mse/r2/n_train/n_test), the
+    injury classifier (``model_training.py:231-282``; accuracy), and the
+    per-feature importances (``model_training.py:84``). One frame keeps the
+    whole non-SQL-expressible ML family inside a single driver rows-only
+    row, freeing registry slots for oracle-checkable queries."""
+    rows: list[tuple[str, str, float]] = []
     for target in REG_TARGETS:
         r = train_regressor(spark, sf_dir, target)
-        rows.append((target, float(r["mse"]), float(r["r2"]), int(r["n_train"]), int(r["n_test"])))
-    return spark.createDataFrame(rows, "target string, mse double, r2 double, n_train bigint, n_test bigint")
-
-
-def q_ml_classification_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = train_classifier(spark, sf_dir)
-    row = [(float(r["accuracy"]), int(r["n_train"]), int(r["n_test"]))]
-    return spark.createDataFrame(row, "accuracy double, n_train bigint, n_test bigint")
-
-
-def q_ml_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = train_regressor(spark, sf_dir)
-    rows = [(k, float(v)) for k, v in sorted(r["importances"].items())]
-    return spark.createDataFrame(rows, "feature string, importance double")
+        model = f"rf_reg_{target}"
+        rows.append((model, "mse", float(r["mse"])))
+        rows.append((model, "r2", float(r["r2"])))
+        rows.append((model, "n_train", float(r["n_train"])))
+        rows.append((model, "n_test", float(r["n_test"])))
+        if target == REG_TARGET:
+            rows.extend((model, f"importance_{k}", float(v)) for k, v in sorted(r["importances"].items()))
+    c = train_classifier(spark, sf_dir)
+    rows.append(("rf_clf_injury", "accuracy", float(c["accuracy"])))
+    rows.append(("rf_clf_injury", "n_train", float(c["n_train"])))
+    rows.append(("rf_clf_injury", "n_test", float(c["n_test"])))
+    return spark.createDataFrame(rows, "model string, metric string, value double")
 
 
 QUERIES = {
     "label_median_split": q_label_median_split,
-    "ml_rf_regression_metrics": q_ml_regression_metrics,
-    "ml_rf_classification_metrics": q_ml_classification_metrics,
-    "ml_rf_feature_importances": q_ml_feature_importances,
+    "ml_rf_metrics": q_ml_metrics,
 }
 
-# the three ml_rf_* queries intentionally have NO oracle entry: RF training
-# is not SQL-expressible and split sampling differs from sklearn; the driver
-# records its weaker rows-only check for them (documented in SURVEY §5.4)
+# ml_rf_metrics intentionally has NO oracle entry: RF training is not
+# SQL-expressible and split sampling differs from sklearn; the driver
+# records its weaker rows-only check for it (documented in SURVEY §5.4)
 ORACLES = {
     "label_median_split": ORACLE_LABEL_MEDIAN_SPLIT,
 }
