@@ -40,8 +40,8 @@ HEADLINE = (
     "rank_partition_avg",
 )
 
-WARMUPS = 2
-RUNS = 8  # best-of-8: local timings wobble ±15%; min is the stable statistic
+WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "8"))  # best-of-N: local timings wobble ±15%; min is the stable statistic
 
 
 def _force(df) -> None:
@@ -63,19 +63,34 @@ def main() -> None:
     #  - AQE OFF: each AQE stage is submitted, finalized, and re-planned as
     #    its own job; at sub-second scale that round-trip costs more than
     #    any re-plan saves (measured: headline total 1.93 s -> 1.45 s).
-    #  - 8 static shuffle partitions: plenty of parallelism for <1 M-row
-    #    shuffles, fewer tasks to schedule per stage.
+    #    SPARK_GRAFT_AQE=1 publishes the AQE-on (cluster-posture) column.
+    #  - static shuffle partitions: 8 at sf<=0.1 (plenty for <1 M-row
+    #    shuffles, fewer tasks to schedule); 32 at the 10x scale where the
+    #    per-partition sort/agg volume, not scheduling, dominates.
     #  - 4 MB splits: the sf0.1 files are ~10 MB; the default 128 MB
     #    maxPartitionBytes would scan on 1-3 tasks (under-parallel), 1 MB on
-    #    ~30 (scheduling-bound); ~4 tasks/file is the sweet spot.
+    #    ~30 (scheduling-bound); ~4 tasks/file is the sweet spot, and at
+    #    sf1 (~110 MB lineitem) it still yields ~28 scan tasks.
     # On a real cluster these stay at their 100 TB-posture defaults (AQE on,
     # wide shuffles) — see session.get_spark.
+    # AQE default follows measurement: OFF at sub-second sf0.1 (the stage
+    # round-trips cost more than re-planning saves: 1.36 s vs 1.44 s) but
+    # ON from sf1 up (coalescing wins: 1.99 s vs 2.22 s at sf1) — which is
+    # also the cluster posture.
+    big = sf is not None and sf >= 0.5
+    aqe_on = os.environ.get("SPARK_GRAFT_AQE", "1" if big else "0") == "1"
+    shuffle = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32" if big else "8"))
+    # split size targets ~1 scan task per core at the data's scale: 4 MB
+    # for the ~10 MB sf0.1 files, 48 MB at the 1.4 GB sf10 scale (measured
+    # best: 340 4-MB tasks spend more on scheduling than scanning — sf10
+    # agg_multi 1.99 s at 4 MB vs 0.74 s at 48 MB)
+    split = os.environ.get("SPARK_GRAFT_BENCH_SPLIT", "48m" if (sf or 0) >= 5 else "4m")
     spark = get_spark(
         "wnba-pipeline-bench",
-        shuffle_partitions=8,
+        shuffle_partitions=shuffle,
         extra_confs={
-            "spark.sql.adaptive.enabled": "false",
-            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.adaptive.enabled": "true" if aqe_on else "false",
+            "spark.sql.files.maxPartitionBytes": split,
             "spark.sql.files.openCostInBytes": "256k",
             "spark.local.dir": "/dev/shm/spark-bench-local",
         },
@@ -95,7 +110,15 @@ def main() -> None:
     # JVM costs (codegen compilation, parquet-reader and shuffle paths
     # warming) that belong to session startup, not per-query work —
     # BASELINE.md's DuckDB numbers are measured equally warm.
-    dfs = {name: overrides.get(name, qs.get(name))(spark, sf_dir) for name in HEADLINE}
+    # optional subset (comma list) for targeted scale probes, e.g. the
+    # floor-dominated trio at the 100x scale
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = tuple(subset.split(",")) if subset else HEADLINE
+    dfs = {name: overrides.get(name, qs.get(name))(spark, sf_dir) for name in headline}
+    # ensure_confs (run by the queries() wrapper during plan construction)
+    # re-enables AQE at the session level; Spark reads the conf at ACTION
+    # time, so re-pin the intended bench setting before any timed force.
+    spark.conf.set("spark.sql.adaptive.enabled", "true" if aqe_on else "false")
     for df in dfs.values():
         _force(df)
 
@@ -112,6 +135,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "aqe": aqe_on,
+        "shuffle_partitions": shuffle,
     }
     print(json.dumps(out))
 
