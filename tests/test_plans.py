@@ -95,6 +95,25 @@ def test_avg_rank_single_window_pass(spark):
     assert len(re.findall(r"\n\(\d+\) Sort", plan)) == 1, plan
 
 
+def test_award_mart_exchanges_windows_post_agg(spark):
+    # fact scan -> supplier agg (count_distinct games costs the standard
+    # two-exchange distinct pair) -> scores -> explode x3 -> ONE mart-sized
+    # shuffle on award -> windows -> top-10 filter -> broadcast name join:
+    # 3 data shuffles total, only the first two over fact-sized data, dim
+    # side broadcast
+    plan = _plan(spark, "award_mart")
+    assert _n_exchanges(plan) == 3, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_tfidf_is_single_plan_with_broadcast_count(spark):
+    # corpus size must enter as a broadcast 1-row aggregate (no driver-side
+    # count() action): the plan itself contains the nested-loop cross join
+    # of the 1-row count — building the DataFrame runs NO job
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
 def test_raw_layer_partition_pruning(spark, tmp_path):
     """A6's 100 TB claim, proven: a ship-month predicate over the
     partitioned raw layer must prune at the partition level (scan only the

@@ -447,6 +447,90 @@ ORDER BY n DESC, bigram LIMIT {NGRAM_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark-contamination check — n-gram overlap vs an eval set
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 5  # word n-gram size; standard contamination checks use 5-13
+EVAL_MOD = 50  # doc_id % 50 == 0 defines the held-out eval set
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document, the
+    eval-set document it shares the most word 5-grams with (and the count) —
+    the pre-training pass that answers "is the eval set in the training
+    data?". Eval set = every 50th doc; eval docs appear in the corpus too,
+    so they self-report with full overlap (the built-in positive control).
+
+    Plan: both sides explode to DISTINCT (doc, gram-hash) pairs; the eval
+    side is tiny (corpus/50) and BROADCASTS, so the fact-sized side never
+    shuffles for the probe join; per-(corpus, eval) counts shuffle only the
+    matching pairs, and the per-doc argmax is a map-side-combining max_by
+    (ordered by (count, -eval_id): deterministic without a window). At
+    100 TB this is the standard decontamination sweep shape: corpus-side
+    scan + broadcast eval grams.
+
+    Not in the 50-slot driver registry (capped); its DuckDB twin runs in
+    tests/test_contamination.py with the same hash-differential rigor."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(CONTAM_NGRAM)),
+        lambda i: md5_long(
+            F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(k + 1)) for k in range(CONTAM_NGRAM)]
+            )
+        ),
+    )
+    eligible = docs.filter(F.size(words) >= CONTAM_NGRAM)
+    corpus = eligible.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+    eval_side = (
+        eligible.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode(F.array_distinct(grams)).alias("gh"))
+    )
+    overlaps = (
+        corpus.join(F.broadcast(eval_side), "gh")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        overlaps.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                "eval_doc_id", F.struct(F.col("n_shared"), (-F.col("eval_doc_id")).alias("_neg"))
+            ).alias("top_eval_doc"),
+            F.max("n_shared").alias("max_shared"),
+        )
+        .select("doc_id", "top_eval_doc", F.col("max_shared").cast("long").alias("max_shared"))
+    )
+
+
+def _oracle_contamination() -> str:
+    gram = " || ' ' || ".join(f"words[i+{k + 1}]" for k in range(CONTAM_NGRAM))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= {CONTAM_NGRAM}
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(words) - {CONTAM_NGRAM - 1}),
+                                             i -> {md5_long_sql(f"({gram})")}))) AS gh
+  FROM tok
+), ovl AS (
+  SELECT c.doc_id, e.doc_id AS eval_doc_id, count(*) AS n_shared
+  FROM grams c JOIN grams e ON c.gh = e.gh
+  WHERE e.doc_id % {EVAL_MOD} = 0
+  GROUP BY c.doc_id, e.doc_id
+)
+SELECT doc_id, eval_doc_id AS top_eval_doc, CAST(n_shared AS BIGINT) AS max_shared
+FROM ovl
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, eval_doc_id) = 1
+"""
+
+
+ORACLE_CONTAMINATION_CHECK = _oracle_contamination()
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_agreement": q_lang_id_agreement,
