@@ -59,6 +59,50 @@ def tumbling_daily_stream(spark: SparkSession, sf_dir: str, *, watermark: str = 
     )
 
 
+def hopping_6h_stream(spark: SparkSession, sf_dir: str, *, watermark: str = "1 day") -> DataFrame:
+    """Sliding (hopping) window aggregation — 1-day windows every 6 hours,
+    so each event lands in 4 overlapping windows. The windowing shape the
+    reference's daily cron can't express at all, and the state-cost dial a
+    100 TB stream tunes (state size ×(window/slide)); watermark bounds it
+    exactly as for tumbling."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def hopping_6h_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the hopping stream (same F.window call in batch mode)
+    for the cross-check."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, table_name: str) -> None:
     """Drain the (finite) file stream into an in-memory sink — availableNow
     processes everything then stops; complete mode emits final windows
