@@ -1,6 +1,7 @@
-"""Differential gate for the contamination-check operator — it lives
-outside the 50-slot driver registry, so its DuckDB twin runs here with the
-same hash-differential rigor the driver applies to registered queries."""
+"""Differential gates for the LLM-pipeline operators that live OUTSIDE the
+50-slot driver registry (contamination check, sequence packing) — their
+DuckDB twins run here with the same hash-differential rigor the driver
+applies to registered queries."""
 
 from __future__ import annotations
 
@@ -24,6 +25,42 @@ def test_eval_docs_self_report_full_overlap(spark):
     assert eval_ids, "eval set unexpectedly empty"
     for d in eval_ids:
         assert rows[d]["top_eval_doc"] == d
+
+
+def test_sequence_packing_matches_oracle(spark, duck):
+    sdf = text.q_sequence_packing(spark, SF_ORACLE)
+    ddf = duck.sql(text.ORACLE_SEQUENCE_PACKING).df()
+    compare(sdf, ddf, "sequence_packing")
+
+
+def test_sequence_packing_invariants(spark):
+    rows = text.q_sequence_packing(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= text.PACK_BUCKETS
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert total_docs == 500  # every document lands in exactly one pack
+    for r in rows:
+        assert 0 <= r["n_fit"] <= r["n_docs"]
+        assert 0.0 <= r["fill_ratio"] <= 1.0
+        assert r["used_tok"] <= text.PACK_BUDGET
+
+
+def test_embedding_quantize_matches_oracle(spark, duck):
+    from wnba_data_pipeline_spark.operators import similarity
+
+    sdf = similarity.q_embedding_quantize_int8(spark, SF_ORACLE)
+    ddf = duck.sql(similarity.ORACLE_EMBEDDING_QUANTIZE_INT8).df()
+    compare(sdf, ddf, "embedding_quantize_int8")
+
+
+def test_embedding_quantize_bounds(spark):
+    from wnba_data_pipeline_spark.operators import similarity
+
+    rows = similarity.q_embedding_quantize_int8(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["code_max"] <= 127  # symmetric int8 range by construction
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9  # half-step bound
+        assert r["rel_l2_err"] < 0.05  # int8 keeps 64-dim vectors within 5%
 
 
 def test_contamination_plan_broadcasts_eval_side(spark):

@@ -580,6 +580,68 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the 100 TB storage path
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: scale = max|x|/127,
+    code_i = floor(x_i/scale + 0.5) (the same round-half-up-via-floor both
+    engines share — engine-native round() half-mode is the trap), then the
+    reconstruction-error stats a storage pipeline gates on before swapping
+    float32 embeddings for int8 (4× smaller, the standard 100 TB move).
+
+    Zero-shuffle codegen map: absmax / codes / errors are per-row left
+    folds, bit-identical cross-engine like every fold in this module.
+
+    Not in the 50-slot driver registry (capped); DuckDB twin runs in
+    tests/test_contamination.py with the same differential rigor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("_v")
+    absmax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    ).withColumn("_scale", absmax / F.lit(127.0))
+
+    scale = F.col("_scale")
+    codes = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
+    errs = F.transform(v, lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale))
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
+    out = d.withColumn("_codes", codes).withColumn("_errs", errs)
+    return out.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate("_codes", F.lit(0).cast("long"), lambda acc, c: acc + c).alias("code_sum"),
+        F.aggregate("_codes", F.lit(0).cast("long"), lambda acc, c: F.greatest(acc, F.abs(c))).alias("code_max"),
+        F.round(F.aggregate("_errs", F.lit(0.0), lambda acc, e: F.greatest(acc, e)), 6).alias("max_abs_err"),
+        F.round(F.sqrt(sq(F.col("_errs"))) / F.sqrt(sq(v)), 6).alias("rel_l2_err"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE_INT8 = """
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                     (a, b) -> greatest(a, b)) / 127.0 AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS codes,
+         list_transform(v, x -> abs(x - floor(x / scale + 0.5) * scale)) AS errs
+  FROM d
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_max,
+       round(list_reduce(errs, (a, b) -> greatest(a, b)), 6) AS max_abs_err,
+       round(sqrt(list_reduce(list_transform(errs, e -> e * e), (a, b) -> a + b))
+             / sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 6) AS rel_l2_err
+FROM q
+"""
+
+
 QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,

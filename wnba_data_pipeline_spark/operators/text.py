@@ -531,6 +531,85 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, eval_doc_
 ORACLE_CONTAMINATION_CHECK = _oracle_contamination()
 
 
+# ---------------------------------------------------------------------------
+# sequence packing — deterministic hash-bucket packing to a token budget
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per training sequence
+PACK_BUCKETS = 64  # hash buckets ~ corpus_tokens / (docs_per_bucket * budget)
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign every document to one of
+    PACK_BUCKETS packs by content hash, lay documents out inside each pack
+    in (hash, doc_id) order, and report per-pack statistics — n_docs, total
+    tokens, how many fit inside the PACK_BUDGET cut (running-sum ≤ budget),
+    and the fill ratio of the cut.
+
+    Greedy first-fit packing is inherently sequential; the distributed
+    version every large corpus uses is exactly this: a deterministic
+    partition into packs (hash → order-independent, engine-independent,
+    reshuffle-proof — same argument as ``q_corpus_sample``) plus an
+    in-pack ordered layout. One shuffle on the pack id; the running sum is
+    a window inside each (small) pack.
+
+    Not in the 50-slot driver registry (capped); DuckDB twin runs in
+    tests/test_contamination.py with the same differential rigor."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    assigned = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (h % F.lit(PACK_BUCKETS)).alias("pack_id"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("pack_id")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assigned.withColumn("running_tok", F.sum("n_tok").over(w))
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tok"),
+            F.sum(F.when(F.col("running_tok") <= PACK_BUDGET, 1).otherwise(0)).cast("long").alias("n_fit"),
+            F.max(F.when(F.col("running_tok") <= PACK_BUDGET, F.col("running_tok"))).cast("long").alias("used_tok"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "total_tok",
+            "n_fit",
+            F.coalesce(F.col("used_tok"), F.lit(0)).alias("used_tok"),
+            F.round(F.coalesce(F.col("used_tok"), F.lit(0)) / F.lit(float(PACK_BUDGET)), 6).alias("fill_ratio"),
+        )
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         ({md5_long_sql("'pack:' || CAST(doc_id AS VARCHAR)")}) % {PACK_BUCKETS} AS pack_id,
+         {md5_long_sql("'pack:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), packed AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY pack_id ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running_tok
+  FROM assigned
+)
+SELECT pack_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       CAST(sum(CASE WHEN running_tok <= {PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+       CAST(coalesce(max(CASE WHEN running_tok <= {PACK_BUDGET} THEN running_tok END), 0) AS BIGINT) AS used_tok,
+       round(coalesce(max(CASE WHEN running_tok <= {PACK_BUDGET} THEN running_tok END), 0) / {float(PACK_BUDGET)}, 6) AS fill_ratio
+FROM packed GROUP BY pack_id
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_agreement": q_lang_id_agreement,
