@@ -1,0 +1,73 @@
+"""Scale-layout sinks: idempotent partition re-ingest (dynamic partition
+overwrite) and clustered writes whose parquet row-group statistics actually
+prune range predicates — both verified against real files, not just plans."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.sources.sinks import read_table, upsert_partitions, write_clustered
+from wnba_data_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _with_ym(df):
+    return df.withColumn("ship_ym", F.date_format(F.col("l_shipdate"), "yyyy-MM"))
+
+
+def test_upsert_partitions_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "raw_lineitem")
+    li = _with_ym(load_table(spark, SF_SMOKE, "lineitem"))
+    upsert_partitions(li, path, ("ship_ym",))
+    n1 = read_table(spark, path).count()
+
+    # re-run ONE month (the reference's daily-cron re-run shape): the
+    # month's partition is replaced, nothing duplicates, nothing else moves
+    march = li.filter(F.col("ship_ym") == "2001-03")
+    n_march = march.count()
+    assert n_march > 0
+    upsert_partitions(march, path, ("ship_ym",))
+    after = read_table(spark, path)
+    assert after.count() == n1  # total unchanged: replace, not append
+    assert after.filter(F.col("ship_ym") == "2001-03").count() == n_march
+
+    # a corrected re-run (subset of rows) must SHRINK only that partition
+    fixed = march.filter(F.col("l_linenumber") == 1)
+    upsert_partitions(fixed, path, ("ship_ym",))
+    after2 = read_table(spark, path)
+    assert after2.filter(F.col("ship_ym") == "2001-03").count() == fixed.count()
+    assert after2.filter(F.col("ship_ym") != "2001-03").count() == n1 - n_march
+
+
+def test_clustered_write_rowgroup_stats_prune(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    write_clustered(li, path, "l_orderkey", n_files=4)
+
+    # read the ACTUAL parquet footers: each file covers a narrow key range,
+    # and the per-file [min, max] ranges are pairwise disjoint — the
+    # property that lets a range predicate skip whole files/row-groups
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges  # disjoint: a key-range scan prunes files
+
+    # and the data round-trips completely
+    assert read_table(spark, path).count() == li.count()

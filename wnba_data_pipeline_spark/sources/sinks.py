@@ -43,6 +43,44 @@ def overwrite_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
     w.parquet(path)
 
 
+def upsert_partitions(df: DataFrame, path: str, partition_by: tuple[str, ...], column_order: tuple[str, ...] = ()) -> None:
+    """Idempotent partition re-ingest: overwrite ONLY the partitions present
+    in ``df``, leave every other partition untouched (dynamic partition
+    overwrite). The fix for the reference's re-run hazard — its daily cron
+    re-runs positional-INSERT the same execution date again
+    (``ingest_nba_daily.py:141,172``, ``catchup=False`` retries), silently
+    duplicating rows. Here re-running a day replaces exactly that day.
+
+    At 100 TB this is the standard incremental-ingest contract: the job is
+    keyed by partition (date), re-runs are idempotent, and the write
+    touches only the partitions the batch covers."""
+    if column_order:
+        df = df.select(*column_order)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_clustered(df: DataFrame, path: str, cluster_by: str, *, n_files: int = 4) -> None:
+    """Layout-optimized write: range-repartition on ``cluster_by`` and sort
+    within partitions, so every output file covers a narrow, disjoint range
+    of the cluster key and its parquet row-group min/max statistics prune
+    range predicates at read time (verified against the actual footers in
+    tests/test_layout.py). The single-column form of the lakehouse
+    OPTIMIZE ... ZORDER move; at 100 TB this is what turns a time-range
+    scan from 'read everything' into 'read two files'."""
+    (
+        df.repartitionByRange(n_files, cluster_by)
+        .sortWithinPartitions(cluster_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
