@@ -28,3 +28,12 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_exactly_at_driver_cap():
+    # the correctness driver checks at most 50 queries in insertion order
+    # (round 2 registered 52 and the last two got no CORRECTNESS row);
+    # every registered query must stay inside the checked set
+    assert len(_QUERIES) == 50
+    # and every oracle belongs to a registered query (no orphans)
+    assert set(_ORACLES) <= set(_QUERIES)

@@ -47,6 +47,29 @@ def test_avg_rank_matches_pandas(sp, rows):
         assert got[i] == pytest.approx(want[pdf.index[pdf["i"] == i][0]])
 
 
+_text = st.text(alphabet="abcdefgh ", min_size=0, max_size=30)
+# shared substring at least k + w - 1 = 11 chars: the winnowing guarantee's
+# minimum detectable match length
+_shared = st.text(alphabet="abcdefgh ", min_size=11, max_size=24)
+
+
+@given(a=_text, b=_text, c=_text, d=_text, shared=_shared)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnowing_coverage_guarantee(sp, a, b, c, d, shared):
+    """The MOSS coverage property, on arbitrary strings: two documents
+    sharing ANY substring of length ≥ k+w-1 must share a fingerprint —
+    a window of w consecutive gram positions fits inside the shared span,
+    and both documents select the same minimum from it."""
+    from wnba_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    docs = sp.createDataFrame(
+        [(1, a + shared + b), (2, c + shared + d)], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in winnow_fingerprints(docs).collect()}
+    assert set(fps) == {1, 2}
+    assert fps[1] & fps[2], (a, shared, b, c, d)
+
+
 @given(rows=_vals, n=st.integers(2, 6))
 @_SETTINGS
 def test_rolling_avg_matches_pandas(sp, rows, n):

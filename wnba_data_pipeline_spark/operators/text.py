@@ -247,6 +247,24 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     2/(w+1) of positions, reported per doc. Oracle: identical positional
     grams / window slices via DuckDB list_slice."""
     docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    return fps.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("fp_min"),
+        F.array_max("fps").alias("fp_max"),
+        F.round(F.size("fps") / F.col("n_windows"), 6).alias("fp_density"),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_grams, n_windows, fps array<long>): the
+    winnowing fingerprint set, exposed separately so the coverage guarantee
+    (two documents sharing a substring of length ≥ k+w-1 share a
+    fingerprint) is property-testable on arbitrary strings
+    (tests/test_properties.py)."""
     k, w = SHINGLE_CHARS, WINNOW_WINDOW
     grams = docs.filter(F.length("text") >= k + w - 1).select(
         "doc_id",
@@ -260,20 +278,11 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_hh").cast("long").alias("n_grams"),
         F.expr(f"transform(sequence(1, size(_hh) - {w - 1}), j -> array_min(slice(_hh, j, {w})))").alias("_wins"),
     )
-    fps = wins.select(
+    return wins.select(
         "doc_id",
         "n_grams",
         F.size("_wins").cast("long").alias("n_windows"),
-        F.array_distinct("_wins").alias("_fps"),
-    )
-    return fps.select(
-        "doc_id",
-        "n_grams",
-        "n_windows",
-        F.size("_fps").cast("long").alias("n_fingerprints"),
-        F.array_min("_fps").alias("fp_min"),
-        F.array_max("_fps").alias("fp_max"),
-        F.round(F.size("_fps") / F.col("n_windows"), 6).alias("fp_density"),
+        F.array_distinct("_wins").alias("fps"),
     )
 
 
