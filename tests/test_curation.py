@@ -1,0 +1,70 @@
+"""End-to-end corpus-curation pipeline tests (plans/curation.py): the
+quality → sample → dedup → pack funnel must be monotone, remove exactly the
+planted duplicates, respect the pack budget, and be rerun-deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.operators.dedup import EXACT_COPY_OFFSET
+from wnba_data_pipeline_spark.plans import curation
+from wnba_data_pipeline_spark.sources.sinks import overwrite_table, read_table
+from wnba_data_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _plant_dups(spark, tmp_path):
+    """A corpus dir whose documents table contains planted exact copies —
+    the input shape dedup must clean."""
+    src = str(tmp_path / "src")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(EXACT_COPY_OFFSET)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies)
+    overwrite_table(aug, f"{src}/documents.parquet")
+    return src
+
+
+def test_curation_funnel(spark, tmp_path):
+    src = _plant_dups(spark, tmp_path)
+    base = str(tmp_path / "wh")
+    report = {r["stage"]: (r["n_docs"], r["n_tokens"]) for r in curation.run_curation(spark, src, base).collect()}
+
+    # funnel monotone: every stage keeps at most the previous stage's docs
+    counts = [report[s][0] for s in curation.STAGES]
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:])), report
+    # packing re-lays-out but never drops documents
+    assert report["packed"][0] == report["deduped"][0]
+
+    # dedup removed EXACTLY the planted copies that survived the gates:
+    # survivors keep the lowest doc_id, so no planted-offset id remains
+    # whose original also survived sampling
+    deduped = read_table(spark, f"{base}/curation/deduped")
+    surviving = {r["doc_id"] for r in deduped.select("doc_id").collect()}
+    originals = {d for d in surviving if d < EXACT_COPY_OFFSET}
+    for d in surviving:
+        if d >= EXACT_COPY_OFFSET:
+            assert d - EXACT_COPY_OFFSET not in originals, d
+    # and the planted pairs that did flow through were collapsed: any doc
+    # with dup_count == 2 is an original whose copy was dropped
+    assert deduped.filter(F.col("dup_count") == 2).count() > 0
+
+    # the training-ready view respects the budget inside every pack
+    seqs = curation.packed_sequences(spark, base)
+    assert seqs.filter(F.col("running_tok") > curation.PACK_BUDGET).count() == 0
+    assert seqs.count() > 0
+
+
+def test_curation_rerun_is_deterministic(spark, tmp_path):
+    src = _plant_dups(spark, tmp_path)
+    base1, base2 = str(tmp_path / "wh1"), str(tmp_path / "wh2")
+    r1 = {tuple(r) for r in curation.run_curation(spark, src, base1).collect()}
+    r2 = {tuple(r) for r in curation.run_curation(spark, src, base2).collect()}
+    assert r1 == r2
+    d1 = {tuple(r) for r in read_table(spark, f"{base1}/curation/deduped").drop("curated_at").collect()}
+    d2 = {tuple(r) for r in read_table(spark, f"{base2}/curation/deduped").drop("curated_at").collect()}
+    assert d1 == d2

@@ -52,6 +52,23 @@ SIMHASH_BITS = 16
 # ---------------------------------------------------------------------------
 
 
+def exact_survivors(docs: DataFrame) -> DataFrame:
+    """Exact-dedup transform over any (… doc_id, text …) frame: content-hash
+    every row, keep the lowest doc_id per hash, annotate the copy count.
+    One shuffle on content_hash (uniform by construction), one window pass
+    (row_number + count share the partitioning). Reused by
+    ``q_dedup_exact`` (planted-copy check) and the curation pipeline."""
+    w_pick = Window.partitionBy("content_hash").orderBy("doc_id")
+    w_cnt = Window.partitionBy("content_hash")
+    return (
+        docs.withColumn("content_hash", md5_long(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: plant an exact copy of every short document, content-hash
     everything, keep the lowest doc_id per hash and count the copies.
@@ -69,14 +86,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies)
-    w_pick = Window.partitionBy("content_hash").orderBy("doc_id")
-    w_cnt = Window.partitionBy("content_hash")
-    return (
-        aug.withColumn("content_hash", md5_long(F.col("text")))
-        .withColumn("_rn", F.row_number().over(w_pick))
-        .withColumn("dup_count", F.count(F.lit(1)).over(w_cnt))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars", "content_hash", "dup_count")
+    return exact_survivors(aug).select(
+        "doc_id", "lang", "source", "n_chars", "content_hash", "dup_count"
     )
 
 

@@ -59,11 +59,10 @@ def _count_in_sql(words: str, vocab_sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document curation stats: token counts (split + BPE-ish regex),
-    type-token ratio, average token length, stopword ratio, and a composite
-    quality score. One codegen'd map stage, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """(… doc_id, lang, text …) → per-document curation stats — the
+    reusable transform behind ``q_text_stats`` and the curation pipeline
+    (``plans/curation.py``). One codegen'd map stage, no shuffle."""
     words = F.split(F.col("text"), " ")
     n = F.size(words).cast("long")
     n_uniq = F.size(F.array_distinct(words)).cast("long")
@@ -86,6 +85,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality_score"),
     )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation stats: token counts (split + BPE-ish regex),
+    type-token ratio, average token length, stopword ratio, and a composite
+    quality score. One codegen'd map stage, no shuffle."""
+    return doc_stats(load_table(spark, sf_dir, "documents"))
 
 
 ORACLE_TEXT_STATS = f"""
@@ -322,6 +328,18 @@ FROM f
 SAMPLE_RATES = {"en": 80, "de": 50, "es": 50, "fr": 50, "zh": 25}  # percent
 
 
+def sample_gate(docs: DataFrame) -> DataFrame:
+    """Hash-stratified sampling filter (reusable transform): keep rows
+    where md5-int64('sample:'+doc_id) % 100 < rate(lang)."""
+    gate = md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % F.lit(100)
+    rate = None
+    for lang, r in SAMPLE_RATES.items():
+        cond = F.when(F.col("lang") == lang, F.lit(r))
+        rate = cond if rate is None else rate.when(F.col("lang") == lang, F.lit(r))
+    rate = rate.otherwise(F.lit(0))
+    return docs.filter(gate < rate)
+
+
 def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus sampling by language with HASH-based selection:
     a doc survives iff md5-int64('sample:'+doc_id) % 100 < rate(lang).
@@ -333,13 +351,7 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle filter; at 100 TB this is a scan with the gate evaluated
     in codegen."""
     docs = load_table(spark, sf_dir, "documents")
-    gate = md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % F.lit(100)
-    rate = None
-    for lang, r in SAMPLE_RATES.items():
-        cond = F.when(F.col("lang") == lang, F.lit(r))
-        rate = cond if rate is None else rate.when(F.col("lang") == lang, F.lit(r))
-    rate = rate.otherwise(F.lit(0))
-    return docs.filter(gate < rate).select("doc_id", "lang", "source", "n_chars")
+    return sample_gate(docs).select("doc_id", "lang", "source", "n_chars")
 
 
 def _oracle_corpus_sample() -> str:
@@ -548,6 +560,27 @@ PACK_BUDGET = 512  # tokens per training sequence
 PACK_BUCKETS = 64  # hash buckets ~ corpus_tokens / (docs_per_bucket * budget)
 
 
+def pack_docs(docs: DataFrame) -> DataFrame:
+    """(… doc_id, text …) → (doc_id, n_tok, pack_id, running_tok): the
+    deterministic pack layout (reusable transform — see
+    ``q_sequence_packing`` for the reasoning and the curation pipeline for
+    the composed use). One shuffle on pack_id; running sum inside packs."""
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    assigned = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (h % F.lit(PACK_BUCKETS)).alias("pack_id"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("pack_id")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return assigned.withColumn("running_tok", F.sum("n_tok").over(w))
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: assign every document to one of
     PACK_BUCKETS packs by content hash, lay documents out inside each pack
@@ -564,21 +597,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Not in the 50-slot driver registry (capped); DuckDB twin runs in
     tests/test_contamination.py with the same differential rigor."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    h = md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
-    assigned = docs.select(
-        "doc_id",
-        n_tok.alias("n_tok"),
-        (h % F.lit(PACK_BUCKETS)).alias("pack_id"),
-        h.alias("_h"),
-    )
-    w = (
-        Window.partitionBy("pack_id")
-        .orderBy("_h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = assigned.withColumn("running_tok", F.sum("n_tok").over(w))
+    packed = pack_docs(load_table(spark, sf_dir, "documents"))
     return (
         packed.groupBy("pack_id")
         .agg(

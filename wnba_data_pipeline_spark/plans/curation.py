@@ -1,0 +1,108 @@
+"""Corpus-curation pipeline: the LLM-training-data analog of the medallion
+layer chain (``plans/layers.py``) — quality filter → stratified language
+sampling → exact dedup → sequence packing, composed from the operator
+library's reusable transforms as ONE lazy lineage per stage write.
+
+This is the composed form of the build brief's north star: the reference
+pipeline curates box scores for a dashboard; a 100 TB training-data
+pipeline curates documents for a tokenizer, and these are its passes. Each
+stage is the already-oracle-verified transform (``operators/text.py``,
+``operators/dedup.py``); the pipeline adds the funnel composition, the
+warehouse layout, and a stage-count report — the data-health artifact a
+curation run ships with.
+
+Scale posture: quality filter and sample gate are zero-shuffle codegen
+filters stacked on the scan; dedup shuffles once on the (uniform) content
+hash; packing shuffles once on the pack id. Stage outputs land in the
+curation warehouse (parquet, catalog-registrable like every layer) so each
+stage is independently inspectable and resumable.
+
+Determinism (SURVEY G5): stage gates are hash-derived (no RNG), so a rerun
+— or a run on a reshuffled 100 TB copy — selects byte-identical corpora;
+the ``as_of`` audit column is injected like the layer jobs'.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_survivors
+from ..operators.text import PACK_BUDGET, doc_stats, pack_docs, sample_gate
+from ..sources.sinks import overwrite_table, read_table
+from ..sources.tables import load_table
+
+QUALITY_MIN = 0.5  # composite quality-score gate (doc_stats)
+DEFAULT_AS_OF = "2001-09-01 00:00:00"
+
+STAGES = ("corpus", "quality_kept", "sampled", "deduped", "packed")
+
+
+def _p(base: str, *parts: str) -> str:
+    return os.path.join(base, *parts)
+
+
+def run_curation(
+    spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFAULT_AS_OF
+) -> DataFrame:
+    """Run the four-stage funnel over ``documents``; writes every stage to
+    the curation warehouse and returns the funnel report (stage, n_docs,
+    n_tokens) as a DataFrame (also persisted)."""
+    audit = F.lit(as_of).cast("timestamp_ntz").alias("curated_at")
+    docs = load_table(spark, sf_dir, "documents")
+    overwrite_table(docs.select("*", audit), _p(base, "curation", "corpus"))
+
+    # 1. quality gate: join the per-doc stats back to the text — both are
+    # zero-shuffle maps over the same scan, so the join broadcasts the
+    # filtered stats at mart scale / co-partitions at 100 TB
+    stats = doc_stats(docs)
+    kept = (
+        docs.join(stats.select("doc_id", "quality_score"), "doc_id")
+        .filter(F.col("quality_score") >= QUALITY_MIN)
+    )
+    overwrite_table(kept.select("*", audit), _p(base, "curation", "quality_kept"))
+
+    # 2. stratified sampling (hash gate — reshuffle-proof)
+    sampled = sample_gate(read_table(spark, _p(base, "curation", "quality_kept")))
+    overwrite_table(sampled, _p(base, "curation", "sampled"))
+
+    # 3. exact dedup (content hash, keep lowest doc_id)
+    deduped = exact_survivors(read_table(spark, _p(base, "curation", "sampled")))
+    overwrite_table(deduped, _p(base, "curation", "deduped"))
+
+    # 4. sequence packing to the token budget
+    packed = pack_docs(read_table(spark, _p(base, "curation", "deduped")))
+    overwrite_table(packed, _p(base, "curation", "packed"))
+
+    report = funnel_report(spark, base)
+    overwrite_table(report, _p(base, "curation", "funnel_report"))
+    return report
+
+
+def funnel_report(spark: SparkSession, base: str) -> DataFrame:
+    """(stage, n_docs, n_tokens) per funnel stage, in funnel order."""
+    frames = []
+    for idx, stage in enumerate(STAGES):
+        df = read_table(spark, _p(base, "curation", stage))
+        n_tok = (
+            F.sum("n_tok") if "n_tok" in df.columns
+            else F.sum(F.size(F.split(F.col("text"), " ")))
+        )
+        frames.append(
+            df.agg(F.count(F.lit(1)).alias("n_docs"), n_tok.cast("long").alias("n_tokens")).select(
+                F.lit(idx).alias("stage_idx"), F.lit(stage).alias("stage"), "n_docs", "n_tokens"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def packed_sequences(spark: SparkSession, base: str) -> DataFrame:
+    """The training-ready view: documents that fit their pack's budget cut
+    (running_tok ≤ PACK_BUDGET), ordered within packs."""
+    packed = read_table(spark, _p(base, "curation", "packed"))
+    return packed.filter(F.col("running_tok") <= PACK_BUDGET).orderBy("pack_id", "running_tok")
