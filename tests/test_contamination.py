@@ -63,6 +63,25 @@ def test_embedding_quantize_bounds(spark):
         assert r["rel_l2_err"] < 0.05  # int8 keeps 64-dim vectors within 5%
 
 
+def test_payload_resize_matches_oracle(spark, duck):
+    from wnba_data_pipeline_spark.operators import multimodal
+
+    sdf = multimodal.q_payload_resize(spark, SF_ORACLE)
+    ddf = duck.sql(multimodal.ORACLE_PAYLOAD_RESIZE).df()
+    compare(sdf, ddf, "payload_resize")
+
+
+def test_payload_resize_geometry(spark):
+    from wnba_data_pipeline_spark.operators import multimodal
+
+    rows = multimodal.q_payload_resize(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        expect = min(r["n_bytes"], multimodal.RESIZE_TARGET)
+        assert r["n_resized"] == expect  # no-upscale policy
+        assert 0 <= r["first_byte"] <= 255 and 0 <= r["last_byte"] <= 255
+
+
 def test_contamination_plan_broadcasts_eval_side(spark):
     df = text.q_contamination_check(spark, SF_ORACLE)
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")

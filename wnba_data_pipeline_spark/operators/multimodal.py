@@ -141,6 +141,69 @@ FROM frames
 """
 
 
+RESIZE_TARGET = 64  # fake resize: stride-resample payload to 64 bytes
+
+
+def q_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize over binary payloads (the brief's decode→RESIZE step): each
+    payload is stride-resampled to RESIZE_TARGET bytes — indices
+    floor(i·n/target) for i in 0..target-1, the nearest-neighbor
+    downsampling kernel — inside ``mapInPandas``, emitting the resized
+    payload VALUES (as a checksum + endpoints, keeping the output
+    hash-comparable) plus the stride geometry. A real image resize swaps
+    the kernel behind ``_try_decode_image``; the Spark plumbing — binary
+    in, Arrow batch crossing, binary-derived columns out — is identical.
+
+    Payloads shorter than the target pass through unchanged (n_resized =
+    n_bytes), like a real resizer's no-upscale policy.
+
+    Not in the 50-slot driver registry (capped); DuckDB twin runs in
+    tests/test_contamination.py with the same differential rigor."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = attach_payload(docs)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"doc_id": [], "n_bytes": [], "n_resized": [], "resized_sum": [], "first_byte": [], "last_byte": []}
+            for doc_id, payload in zip(batch["doc_id"], batch["payload"]):
+                n = len(payload)
+                if n <= RESIZE_TARGET:
+                    resized = payload
+                else:
+                    resized = bytes(payload[(i * n) // RESIZE_TARGET] for i in range(RESIZE_TARGET))
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(n)
+                out["n_resized"].append(len(resized))
+                out["resized_sum"].append(sum(resized))
+                out["first_byte"].append(resized[0])
+                out["last_byte"].append(resized[-1])
+            yield pd.DataFrame(out)
+
+    return binary.mapInPandas(
+        resize,
+        "doc_id bigint, n_bytes bigint, n_resized bigint, resized_sum bigint, first_byte bigint, last_byte bigint",
+    )
+
+
+ORACLE_PAYLOAD_RESIZE = f"""
+WITH r AS (
+  SELECT doc_id, length(text) AS n,
+         CASE WHEN length(text) <= {RESIZE_TARGET}
+              THEN list_transform(range(length(text)), i -> ord(substr(text, i + 1, 1)))
+              ELSE list_transform(range({RESIZE_TARGET}),
+                                  i -> ord(substr(text, CAST((i * length(text)) // {RESIZE_TARGET} AS INTEGER) + 1, 1)))
+         END AS bytes
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       CAST(len(bytes) AS BIGINT) AS n_resized,
+       CAST(list_sum(bytes) AS BIGINT) AS resized_sum,
+       CAST(bytes[1] AS BIGINT) AS first_byte,
+       CAST(bytes[len(bytes)] AS BIGINT) AS last_byte
+FROM r
+"""
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
     "frame_sample": q_frame_sample,
