@@ -469,6 +469,88 @@ ORDER BY n DESC, bigram LIMIT {NGRAM_TOP}
 
 
 # ---------------------------------------------------------------------------
+# repetition detection — degenerate / boilerplate text signal
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 3
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition statistics: the most-repeated word trigram's
+    count and its share of all trigram positions — the quality signal that
+    catches degenerate generations and boilerplate (high max-repeat share)
+    that per-token stats like TTR miss. A curation pipeline thresholds
+    ``top_tri_share`` alongside ``doc_stats``'s quality score.
+
+    Plan: per-row trigram expansion (zero-shuffle) → one count shuffle on
+    (doc_id, trigram) → per-doc max via a map-side-combining agg; no
+    window. Not in the 50-slot driver registry (capped); DuckDB twin runs
+    in tests/test_contamination.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    tris = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(REP_NGRAM)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + F.lit(1)),
+            F.element_at(words, i + F.lit(2)),
+            F.element_at(words, i + F.lit(3)),
+        ),
+    )
+    exploded = (
+        docs.filter(F.size(words) >= REP_NGRAM)
+        .select("doc_id", F.explode(tris).alias("tri"))
+    )
+    counts = exploded.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_trigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_trigrams"),
+            F.max("n").cast("long").alias("top_tri_count"),
+            # deterministic argmax: highest count, then lexicographically
+            # smallest trigram (max_by on (n, reversed-string) is not
+            # expressible; min_by over (-n, tri) is)
+            F.min_by("tri", F.struct((-F.col("n")).alias("_neg"), F.col("tri"))).alias("top_tri"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_distinct_trigrams",
+            "top_tri_count",
+            "top_tri",
+            F.round(F.col("top_tri_count") / F.col("n_trigrams"), 6).alias("top_tri_share"),
+        )
+    )
+
+
+ORACLE_REPETITION_STATS = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= {REP_NGRAM}
+), tris AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(words) - {REP_NGRAM - 1}),
+                               i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])) AS tri
+  FROM tok
+), counts AS (
+  SELECT doc_id, tri, count(*) AS n FROM tris GROUP BY doc_id, tri
+), ranked AS (
+  SELECT doc_id, tri, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, tri) AS rn,
+         sum(n) OVER (PARTITION BY doc_id) AS n_trigrams,
+         count(*) OVER (PARTITION BY doc_id) AS n_distinct
+  FROM counts
+)
+SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams,
+       CAST(n_distinct AS BIGINT) AS n_distinct_trigrams,
+       CAST(n AS BIGINT) AS top_tri_count, tri AS top_tri,
+       round(n / n_trigrams, 6) AS top_tri_share
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # benchmark-contamination check — n-gram overlap vs an eval set
 # ---------------------------------------------------------------------------
 
