@@ -87,40 +87,17 @@ def test_repetition_stats_match_oracle(spark, duck):
 
 
 def test_repetition_flags_planted_degenerate_doc(spark):
-    # a degenerate doc (one trigram looped) must stand out with share ~1.0
-    # while organic docs stay low
+    # a degenerate doc (one trigram looped) must stand out with a high
+    # max-repeat share while organic text stays flat
     from pyspark.sql import functions as F
 
     docs = spark.createDataFrame(
         [(1, "the cat sat " * 40), (2, "a b c d e f g h i j k l m n o p q r s t u v w x y z")],
         "doc_id long, text string",
     ).select("doc_id", F.trim("text").alias("text"))
-    import wnba_data_pipeline_spark.operators.text as t
-
-    rows = {r["doc_id"]: r for r in _rep_over(t, docs).collect()}
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
     assert rows[1]["top_tri_share"] > 0.3  # looped text dominated by one trigram
     assert rows[2]["top_tri_share"] < 0.1  # organic text is flat
-
-
-def _rep_over(t, docs):
-    """Run the repetition expressions over an arbitrary docs frame."""
-    from pyspark.sql import functions as F
-
-    words = F.split(F.col("text"), " ")
-    tris = F.transform(
-        F.sequence(F.lit(0), F.size(words) - F.lit(t.REP_NGRAM)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i + F.lit(1)),
-            F.element_at(words, i + F.lit(2)),
-            F.element_at(words, i + F.lit(3)),
-        ),
-    )
-    exploded = docs.filter(F.size(words) >= t.REP_NGRAM).select("doc_id", F.explode(tris).alias("tri"))
-    counts = exploded.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
-    return counts.groupBy("doc_id").agg(
-        F.sum("n").alias("n_trigrams"), F.max("n").alias("top_n")
-    ).select("doc_id", (F.col("top_n") / F.col("n_trigrams")).alias("top_tri_share"))
 
 
 def test_payload_resize_matches_oracle(spark, duck):

@@ -486,7 +486,12 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, trigram) → per-doc max via a map-side-combining agg; no
     window. Not in the 50-slot driver registry (capped); DuckDB twin runs
     in tests/test_contamination.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(… doc_id, text …) → per-doc repetition stats (reusable transform
+    behind ``q_repetition_stats``; see there for semantics)."""
     words = F.split(F.col("text"), " ")
     tris = F.transform(
         F.sequence(F.lit(0), F.size(words) - F.lit(REP_NGRAM)),
