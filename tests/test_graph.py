@@ -1,0 +1,69 @@
+"""Connected-components / cluster-survivor tests: chains, multi-component
+graphs, and the composed near-dup flow (planted MULTI-HOP near-dup chains
+through MinHash pairs → transitive clusters → one survivor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.operators.dedup import _shingles
+from wnba_data_pipeline_spark.operators.graph import cluster_survivors, connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_chain_collapses_to_one_component(spark):
+    # a 6-vertex path (diameter 5) plus an isolated pair
+    comps = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]))
+    got = {r["id"]: r["comp"] for r in comps.collect()}
+    assert {got[i] for i in (1, 2, 3, 4, 5, 6)} == {1}
+    assert got[10] == got[11] == 10
+
+
+def test_components_ignore_edge_direction_and_duplicates(spark):
+    comps = connected_components(_edges(spark, [(2, 1), (1, 2), (3, 2), (2, 3), (3, 1)]))
+    got = {r["id"]: r["comp"] for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_cluster_survivors_keep_lowest(spark):
+    pairs = spark.createDataFrame([(7, 8), (8, 9), (20, 21)], "doc_a long, doc_b long")
+    out = {r["id"]: (r["comp"], r["is_survivor"]) for r in cluster_survivors(pairs).collect()}
+    assert out[7] == (7, True) and out[8] == (7, False) and out[9] == (7, False)
+    assert out[20] == (20, True) and out[21] == (20, False)
+
+
+def test_multi_hop_near_dup_chain_dedups_transitively(spark):
+    """The composed flow: a doc and two successive last-word-dropped copies
+    form a CHAIN of near-dup pairs (doc≈copy1, copy1≈copy2 — doc vs copy2
+    may or may not pair directly); the cluster step must still collapse all
+    three to one survivor."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    text0 = base.strip()
+    text1 = text0.rsplit(" ", 1)[0]  # drop last word
+    text2 = text1.rsplit(" ", 1)[0]  # drop another
+    docs = spark.createDataFrame(
+        [(100, text0), (101, text1), (102, text2), (500, "completely different words here entirely unrelated")],
+        "doc_id long, text string",
+    )
+    words = F.split(F.col("text"), " ")
+    shingled = docs.select("doc_id", _shingles(F.col("text"), words).alias("sh"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.sh", "b.sh")) / F.size(F.array_union("a.sh", "b.sh")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    out = {r["id"]: (r["comp"], r["is_survivor"]) for r in cluster_survivors(pairs).collect()}
+    # the three chained near-dups form ONE cluster surviving as doc 100
+    assert out[100] == (100, True)
+    assert out[101][0] == 100 and not out[101][1]
+    assert out[102][0] == 100 and not out[102][1]
+    # the unrelated doc never entered the pair graph at all
+    assert 500 not in out

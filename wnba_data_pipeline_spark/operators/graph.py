@@ -1,0 +1,83 @@
+"""Connected components over a pair set — the iterative step that turns
+near-duplicate PAIRS (``dedup_minhash`` / ``emb_near_dup_bucketed``) into
+duplicate CLUSTERS with one survivor each.
+
+Pairwise output alone under-deduplicates: near-duplication is transitive in
+practice (A≈B, B≈C ⇒ keep one of {A, B, C}), so production dedup closes the
+pair set into components first. This is the one genuinely ITERATIVE
+algorithm in the engine (SURVEY §2's category "not SQL-expressible — no
+oracle entry"): min-label propagation, the dataframe-native form of the
+classic large-star/small-star MapReduce connectivity algorithm —
+every vertex repeatedly adopts the smallest component id among itself and
+its neighbors, converging in O(graph diameter) rounds.
+
+Spark-specifics that make the loop viable at scale:
+- each round is one shuffle join (labels ⋈ symmetrized edges) + a groupBy
+  min — all map-side-combining aggregates;
+- ``localCheckpoint`` truncates the lineage every round; without it the
+  plan doubles per iteration and the driver's analysis time explodes by
+  round ~15 (the standard iterative-Spark trap);
+- convergence is detected with a 1-row count of changed labels, the only
+  driver-side action per round.
+
+No DuckDB oracle (iterative; the driver records rows-only checks for such
+ops) — correctness is pytest-verified on chains, planted multi-hop
+near-dup clusters, and invariants (tests/test_graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, *, max_iter: int = 25) -> DataFrame:
+    """(src, dst) undirected pair set → (id, comp): every vertex labeled
+    with the smallest vertex id reachable from it.
+
+    Raises after ``max_iter`` non-converged rounds rather than returning a
+    partial labeling — at O(diameter) rounds needed, a pair graph from
+    near-dup detection (tiny cluster diameters) converges in single
+    digits, so hitting the cap means the input is not the expected shape.
+    """
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def cluster_survivors(pairs: DataFrame, *, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Near-dup pairs → (id, comp, is_survivor): close the pair set into
+    components and keep the smallest id per component (the same
+    keep-lowest policy as ``exact_survivors``). Join the result back to
+    the corpus and filter ``is_survivor`` to deduplicate transitively."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    comps = connected_components(edges)
+    return comps.withColumn("is_survivor", F.col("id") == F.col("comp"))
