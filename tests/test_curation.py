@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from wnba_data_pipeline_spark.operators.dedup import EXACT_COPY_OFFSET
+from wnba_data_pipeline_spark.operators.dedup import EXACT_COPY_OFFSET, NEAR_COPY_OFFSET, minhash_pairs
 from wnba_data_pipeline_spark.plans import curation
 from wnba_data_pipeline_spark.sources.sinks import overwrite_table, read_table
 from wnba_data_pipeline_spark.sources.tables import load_table
@@ -15,15 +15,21 @@ from .conftest import SF_SMOKE
 
 
 def _plant_dups(spark, tmp_path):
-    """A corpus dir whose documents table contains planted exact copies —
-    the input shape dedup must clean."""
+    """A corpus dir whose documents table contains planted EXACT copies and
+    planted NEAR-copies (last word dropped) — the input shapes the exact
+    and transitive near-dup stages must clean."""
     src = str(tmp_path / "src")
     docs = load_table(spark, SF_SMOKE, "documents")
     copies = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + F.lit(EXACT_COPY_OFFSET)).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
-    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies)
+    near = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("n_chars") >= 200)).select(
+        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    aug = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(copies).unionByName(near)
     overwrite_table(aug, f"{src}/documents.parquet")
     return src
 
@@ -38,7 +44,7 @@ def test_curation_funnel(spark, tmp_path):
     assert counts[0] > 0
     assert all(a >= b for a, b in zip(counts, counts[1:])), report
     # packing re-lays-out but never drops documents
-    assert report["packed"][0] == report["deduped"][0]
+    assert report["packed"][0] == report["near_deduped"][0]
 
     # dedup removed EXACTLY the planted copies that survived the gates:
     # survivors keep the lowest doc_id, so no planted-offset id remains
@@ -52,6 +58,13 @@ def test_curation_funnel(spark, tmp_path):
     # and the planted pairs that did flow through were collapsed: any doc
     # with dup_count == 2 is an original whose copy was dropped
     assert deduped.filter(F.col("dup_count") == 2).count() > 0
+
+    # the transitive near-dup stage leaves NO near-dup pair behind: running
+    # the pair finder over its own output must come back empty
+    near_deduped = read_table(spark, f"{base}/curation/near_deduped")
+    assert minhash_pairs(near_deduped.select("doc_id", "text")).count() == 0
+    # and it actually removed something (planted near-copies flowed through)
+    assert report["near_deduped"][0] < report["deduped"][0]
 
     # the training-ready view respects the budget inside every pack
     seqs = curation.packed_sequences(spark, base)

@@ -166,26 +166,17 @@ def _minhash_band_keys_sql() -> str:
 _SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%{P}))" for a, b in COEFFS) + "]"
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH: plant a near-copy (last word
-    dropped) of every long document, then find pairs with Jaccard ≥ 0.5
-    among banded-bucket candidates.
+def minhash_pairs(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame:
+    """(… doc_id, text …) → near-dup pairs (doc_a, doc_b, jaccard) via
+    MinHash-LSH — the reusable transform behind ``q_dedup_minhash`` and
+    the curation pipeline's near-dup stage.
 
     Plan: shingle+signature are per-row expressions (no shuffle); explode
-    N_BANDS band keys; self-join on band_key (the LSH bucket join — the step
-    that replaces O(n²) all-pairs at 100 TB); distinct candidate pairs; exact
-    shingle-Jaccard verification ONLY on candidates. Output is deterministic
-    because the hash family is fixed: both engines compute identical
-    signatures, so identical candidates survive.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    pert = docs.filter(F.col("n_chars") >= 200).select(
-        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
-        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
-    )
-    aug = docs.select("doc_id", "text").unionByName(pert)
+    N_BANDS band keys; self-join on band_key (the LSH bucket join — the
+    step that replaces O(n²) all-pairs at 100 TB); distinct candidate
+    pairs; exact shingle-Jaccard verification ONLY on candidates."""
     words = F.split(F.col("text"), " ")
-    shingled = aug.select("doc_id", _shingles(F.col("text"), words).alias("sh"))
+    shingled = docs.select("doc_id", _shingles(F.col("text"), words).alias("sh"))
     banded = shingled.select("doc_id", F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key"))
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -206,9 +197,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH: plant a near-copy (last word
+    dropped) of every long document, then find pairs with Jaccard ≥ 0.5
+    among banded-bucket candidates. Output is deterministic because the
+    hash family is fixed: both engines compute identical signatures, so
+    identical candidates survive. (Plan notes: ``minhash_pairs``.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    pert = docs.filter(F.col("n_chars") >= 200).select(
+        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(pert)
+    return minhash_pairs(aug)
 
 
 ORACLE_DEDUP_MINHASH = f"""

@@ -29,7 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_survivors
+from ..operators.dedup import exact_survivors, minhash_pairs
+from ..operators.graph import cluster_survivors
 from ..operators.text import PACK_BUDGET, doc_stats, pack_docs, sample_gate
 from ..sources.sinks import overwrite_table, read_table
 from ..sources.tables import load_table
@@ -37,7 +38,7 @@ from ..sources.tables import load_table
 QUALITY_MIN = 0.5  # composite quality-score gate (doc_stats)
 DEFAULT_AS_OF = "2001-09-01 00:00:00"
 
-STAGES = ("corpus", "quality_kept", "sampled", "deduped", "packed")
+STAGES = ("corpus", "quality_kept", "sampled", "deduped", "near_deduped", "packed")
 
 
 def _p(base: str, *parts: str) -> str:
@@ -72,8 +73,18 @@ def run_curation(
     deduped = exact_survivors(read_table(spark, _p(base, "curation", "sampled")))
     overwrite_table(deduped, _p(base, "curation", "deduped"))
 
-    # 4. sequence packing to the token budget
-    packed = pack_docs(read_table(spark, _p(base, "curation", "deduped")))
+    # 4. transitive near-dup removal: MinHash-LSH pairs → connected
+    # components (the iterative step) → drop every non-survivor. The
+    # cluster labeling runs over the PAIR graph only (tiny next to the
+    # corpus); the corpus-side removal is one anti-join on doc_id.
+    deduped = read_table(spark, _p(base, "curation", "deduped"))
+    pairs = minhash_pairs(deduped.select("doc_id", "text"))
+    losers = cluster_survivors(pairs).filter(~F.col("is_survivor")).select(F.col("id").alias("doc_id"))
+    near_deduped = deduped.join(losers, "doc_id", "left_anti")
+    overwrite_table(near_deduped, _p(base, "curation", "near_deduped"))
+
+    # 5. sequence packing to the token budget
+    packed = pack_docs(read_table(spark, _p(base, "curation", "near_deduped")))
     overwrite_table(packed, _p(base, "curation", "packed"))
 
     report = funnel_report(spark, base)
