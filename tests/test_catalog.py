@@ -40,3 +40,40 @@ def test_catalog_round_trip_and_pruning(spark, tmp_path):
     # re-registration is idempotent (IF NOT EXISTS semantics)
     catalog.register_catalog(spark, base)
     assert spark.table("analytics.supplier_stats").count() == via_path.count()
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The co-located-join contract: two tables bucketed by the join key
+    with matching bucket counts must join with ZERO Exchange in the plan —
+    the layout that makes a repeated 100 TB join key shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    catalog.write_bucketed(
+        li, "bucketed.li", bucket_by="l_orderkey", n_buckets=8,
+        path=str(tmp_path / "li"), sort_by="l_orderkey",
+    )
+    catalog.write_bucketed(
+        orders, "bucketed.ord", bucket_by="o_orderkey", n_buckets=8,
+        path=str(tmp_path / "ord"), sort_by="o_orderkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the merge path
+    try:
+        a, b = spark.table("bucketed.li"), spark.table("bucketed.ord")
+        j = a.join(b, a.l_orderkey == b.o_orderkey).groupBy("l_orderkey").agg(
+            F.sum("l_quantity").alias("q"), F.max("o_totalprice").alias("p")
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+        assert "SortMergeJoin" in plan, plan
+        # no shuffle anywhere: join AND the follow-on groupBy ride the
+        # bucket partitioning
+        import re
+
+        assert not re.search(r"\n\(\d+\) Exchange", plan), plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -28,6 +28,36 @@ from .layers import layer_tables
 PARTITIONED = ("raw.lineitem_box", "raw.orders_box")
 
 
+def write_bucketed(
+    df,
+    qualified: str,
+    *,
+    bucket_by: str,
+    n_buckets: int,
+    path: str,
+    sort_by: str | None = None,
+) -> None:
+    """Write ``df`` as a BUCKETED (and optionally sorted) external catalog
+    table — the co-located-join layout: two tables bucketed by the same key
+    with the same bucket count join WITHOUT any shuffle (each bucket pair
+    joins locally), and per-bucket ``sortBy`` lets the sort-merge join skip
+    its sorts too. Asserted against the physical plan in
+    tests/test_catalog.py.
+
+    This is the 100 TB answer to a repeated join key: pay one clustered
+    write, then every subsequent join on that key is exchange-free. Bucket
+    metadata lives in the catalog, which is why this sits in the catalog
+    veneer (``bucketBy`` requires ``saveAsTable``)."""
+    db, tbl = qualified.split(".")
+    spark = df.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+    w = df.write.mode("overwrite").format("parquet").option("path", path).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(qualified)
+
+
 def register_catalog(spark: SparkSession, base: str) -> list[str]:
     """Register every layer table under its database; returns the qualified
     names registered. Re-registration points the catalog at the current
