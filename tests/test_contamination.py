@@ -100,6 +100,14 @@ def test_repetition_flags_planted_degenerate_doc(spark):
     assert rows[2]["top_tri_share"] < 0.1  # organic text is flat
 
 
+def test_trend_stats_match_oracle(spark, duck):
+    from wnba_data_pipeline_spark.operators import relational
+
+    sdf = relational.q_trend_stats(spark, SF_ORACLE)
+    ddf = duck.sql(relational.ORACLE_TREND_STATS).df()
+    compare(sdf, ddf, "trend_stats")
+
+
 def test_payload_resize_matches_oracle(spark, duck):
     from wnba_data_pipeline_spark.operators import multimodal
 

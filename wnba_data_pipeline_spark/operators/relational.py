@@ -1121,6 +1121,42 @@ FROM orders
 
 
 # ---------------------------------------------------------------------------
+# D-family extension — regression aggregates (per-entity trend detection)
+# ---------------------------------------------------------------------------
+
+
+def q_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier price trend: OLS slope of extendedprice over ship-day
+    (``regr_slope``), the qty/price correlation, and the sample count —
+    the D-family extension a monitoring pipeline uses to flag drifting
+    entities (the reference eyeballs dashboards instead). Native
+    regression aggregates in BOTH engines — one hash-agg shuffle, no UDF.
+
+    Cross-engine note: covariance-style merges are numerically stable in
+    both engines; outputs are rounded at 6dp like every float here, and
+    the differential test sweeps all three scale factors. Not in the
+    50-slot driver registry (capped); DuckDB twin runs in
+    tests/test_contamination.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit("2000-01-01").cast("date")).cast("double")
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _r6(F.regr_slope(F.col("l_extendedprice"), day)).alias("price_slope"),
+        _r6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+    )
+
+
+ORACLE_TREND_STATS = """
+SELECT l_suppkey, count(*) AS n_lines,
+       round(regr_slope(l_extendedprice,
+                        CAST(date_diff('day', DATE '2000-01-01', CAST(l_shipdate AS DATE)) AS DOUBLE)), 6)
+         AS price_slope,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # B6 + E4 + F2 + G1/B11 — the composed award mart (dashboard end-to-end)
 # ---------------------------------------------------------------------------
 
