@@ -100,6 +100,29 @@ def test_repetition_flags_planted_degenerate_doc(spark):
     assert rows[2]["top_tri_share"] < 0.1  # organic text is flat
 
 
+def test_embedding_spectrum_invariants(spark):
+    from wnba_data_pipeline_spark.operators import similarity
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    n_vecs = load_table(spark, SF_ORACLE, "embeddings").count()
+    rows = {r["label"]: r for r in similarity.q_embedding_spectrum(spark, SF_ORACLE).collect()}
+    assert sum(r["n_vecs"] for r in rows.values()) == n_vecs
+    for r in rows.values():
+        # the top eigenvalue is a positive share of the total variance,
+        # and at least the per-dimension average (lambda_max >= trace/dim)
+        assert 0 < r["top_eig"] <= r["total_var"] + 1e-9
+        assert r["explained"] >= 1.0 / similarity.DIM - 1e-9
+        assert 0 < r["explained"] <= 1.0
+
+
+def test_embedding_spectrum_rerun_deterministic(spark):
+    from wnba_data_pipeline_spark.operators import similarity
+
+    r1 = sorted(tuple(r) for r in similarity.q_embedding_spectrum(spark, SF_ORACLE).collect())
+    r2 = sorted(tuple(r) for r in similarity.q_embedding_spectrum(spark, SF_ORACLE).collect())
+    assert r1 == r2  # sorted-input + fixed-start power iteration
+
+
 def test_trend_stats_match_oracle(spark, duck):
     from wnba_data_pipeline_spark.operators import relational
 

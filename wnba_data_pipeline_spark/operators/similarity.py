@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -581,8 +582,62 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
-# int8 embedding quantization — the 100 TB storage path
+# per-label covariance spectrum — grouped applyInPandas (numpy in executor)
 # ---------------------------------------------------------------------------
+
+POWER_ITERS = 60
+
+
+def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top covariance eigenvalue + explained-variance ratio over
+    the embedding clusters — the anisotropy probe an embedding-quality
+    pipeline runs (a collapsed cluster shows one dominant direction).
+
+    This is the engine's grouped ``applyInPandas`` representative: eigen
+    decomposition is genuinely not expressible in DataFrame expressions,
+    so each label's vectors cross to Python ONCE as an Arrow batch and
+    numpy runs power iteration in the executor. Determinism: rows are
+    sorted by vec_id inside the UDF (Arrow batch order follows partition
+    order, which is run-dependent; numpy reductions are order-sensitive in
+    the last ulp) and the fixed-iteration power method starts from a
+    constant vector — reruns are bit-identical, outputs rounded at 6dp.
+
+    Scale: one shuffle on label; per-group memory is O(group × dim) —
+    for huge groups the swap is a distributed Gram matrix (64×64 partial
+    sums via an aggregate), the documented scale path. No oracle
+    (iterative linear algebra); invariants + determinism in
+    tests/test_contamination.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        n = len(X)
+        Xc = X - X.mean(axis=0)
+        C = (Xc.T @ Xc) / max(n - 1, 1)
+        v = np.full(C.shape[0], 1.0 / np.sqrt(C.shape[0]))
+        for _ in range(POWER_ITERS):
+            v = C @ v
+            v = v / np.linalg.norm(v)
+        lam = float(v @ C @ v)
+        total = float(np.trace(C))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [n],
+                "top_eig": [round(lam, 6)],
+                "explained": [round(lam / total, 6)],
+                "total_var": [round(total, 6)],
+            }
+        )
+
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(spectrum, "label int, n_vecs long, top_eig double, explained double, total_var double")
+    )
 
 
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
