@@ -14,6 +14,16 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src long, dst long")
 
 
+def test_empty_pair_set_is_a_no_op(spark):
+    # a clean corpus produces zero pairs; the component step must converge
+    # immediately and remove nothing (curation's near-dedup stage relies
+    # on this being safe)
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty_edges).count() == 0
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert cluster_survivors(empty_pairs).count() == 0
+
+
 def test_chain_collapses_to_one_component(spark):
     # a 6-vertex path (diameter 5) plus an isolated pair
     comps = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]))
