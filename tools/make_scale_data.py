@@ -38,10 +38,14 @@ SPANS = {
     "o_custkey": 15_000,
     "c_custkey": 15_000,
     "s_suppkey": 1_000,
+    # events: user count ×N with each replica keeping the original per-user
+    # timeline — sessionization scales in GROUPS, the representative axis
+    "event_id": 100_000,
+    "user_id": 1_500,
 }
 
-# the tables the six BASELINE.md headline queries touch
-TABLES = ("lineitem", "orders", "customer", "supplier")
+# the six BASELINE.md headline queries' tables + the stateful family's
+TABLES = ("lineitem", "orders", "customer", "supplier", "events")
 
 
 def main() -> None:
