@@ -279,11 +279,21 @@ FROM a
 def q_join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer enrichment join + weighted linear score (reference
     ``feature_engineering.py:58-96``, ``prepare_dashboard_data.py:64-96``;
-    SURVEY C1/B6). customer is the small dimension → explicit broadcast, so
-    the 100 TB fact side never shuffles (BASELINE.md `join_derive`)."""
+    SURVEY C1/B6).
+
+    No join hint on purpose (round-3 verdict item 1): customer GROWS with
+    the dataset (150 k rows at sf0.1 → 15 M at sf100), so a hard-coded
+    ``F.broadcast`` is a multi-GB executor OOM at scale AND was measured
+    slower at sf10 (the broadcast relation is rebuilt and shipped per
+    execution). Catalyst's stats-based planning broadcasts automatically
+    below ``autoBroadcastJoinThreshold`` (the sf≤1 case) and AQE picks
+    shuffle-hash/SMJ from runtime sizes above it — the measured-best plan
+    at every scale (matrix in BASELINE.md round-4 addendum). For a
+    repeated-key production layout use ``plans.catalog.write_bucketed``
+    to co-locate both sides and skip the shuffle entirely."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left").select(
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "left").select(
         "o_orderkey",
         F.col("c_name").alias("cust_name"),
         _r6(F.col("o_totalprice") * 0.3 + F.col("c_acctbal") * 0.1).alias("score"),
