@@ -123,17 +123,28 @@ def main() -> None:
         _force(df)
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, df in dfs.items():
         for _ in range(WARMUPS):
             _force(df)
-        best = min(_timed(df) for _ in range(RUNS))
-        timings[name] = round(best, 4)
+        runs = sorted(_timed(df) for _ in range(RUNS))
+        timings[name] = round(runs[0], 4)
+        # publish the distribution, not just the min: round-over-round
+        # deltas are only interpretable against the run-to-run spread
+        # (local[32] timings wobble; a headline shift inside the noise
+        # band is noise, outside it is a regression)
+        spread[name] = {
+            "min": round(runs[0], 4),
+            "median": round(runs[len(runs) // 2], 4),
+            "max": round(runs[-1], 4),
+        }
 
     out = {
         "metric": "headline_warm_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
         "aqe": aqe_on,
         "shuffle_partitions": shuffle,
