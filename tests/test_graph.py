@@ -38,6 +38,29 @@ def test_components_ignore_edge_direction_and_duplicates(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_long_chain_converges_within_default_cap(spark):
+    # a 300-vertex path has diameter 299 — plain min-label propagation
+    # would need ~300 rounds and abort at the 25-round cap; the
+    # pointer-doubling shortcut converges in O(log diameter) (~9 rounds
+    # of label work), so the default cap holds even for pathological
+    # chain-shaped near-dup graphs (round-4 ADVICE: degrade, don't abort)
+    n = 300
+    comps = connected_components(_edges(spark, [(i, i + 1) for i in range(n)]))
+    got = {r["id"]: r["comp"] for r in comps.collect()}
+    assert len(got) == n + 1 and set(got.values()) == {0}
+
+
+def test_max_iter_is_exposed_and_enforced(spark):
+    # callers can tighten the cap through the public surface; an
+    # impossible cap still raises rather than returning a partial labeling
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    assert cluster_survivors(pairs, max_iter=10).count() == 4
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, [(i, i + 1) for i in range(50)]), max_iter=1)
+
+
 def test_cluster_survivors_keep_lowest(spark):
     pairs = spark.createDataFrame([(7, 8), (8, 9), (20, 21)], "doc_a long, doc_b long")
     out = {r["id"]: (r["comp"], r["is_survivor"]) for r in cluster_survivors(pairs).collect()}

@@ -46,6 +46,38 @@ def test_boxscore_fanout_skips_failed_games(spark):
     pd.testing.assert_frame_equal(pdf, expected, check_dtype=False)
 
 
+def test_boxscore_fanout_retries_transient_failures(spark, tmp_path):
+    """The reference's retries=3 task policy (``ingest_nba_daily.py:22``):
+    a game whose fetch fails twice then succeeds must land its rows, and a
+    game that fails every attempt is still skipped. The stub counts
+    attempts in files (the fetcher runs in executor workers — in-memory
+    counters would not cross the process boundary)."""
+    import os
+
+    counter_dir = str(tmp_path)
+
+    def flaky(game_id: str) -> list[dict]:
+        path = os.path.join(counter_dir, game_id.replace("/", "_"))
+        n_prior = os.path.getsize(path) if os.path.exists(path) else 0
+        with open(path, "ab") as f:
+            f.write(b"x")
+        if game_id.endswith("g1"):
+            raise RuntimeError("permanent failure")
+        if n_prior < 2:
+            raise RuntimeError("transient failure")  # attempts 1 and 2
+        return [{"game_id": game_id, "player_id": 1, "points": 7}]
+
+    ids = ingest.scoreboard_source(spark, _scoreboard, ["2024-01-01"]).repartition(3)
+    box = ingest.boxscore_fanout(
+        ids, flaky, "game_id string, player_id int, points int", retries=3
+    )
+    got = sorted(r["game_id"] for r in box.collect())
+    # g0/g2 succeeded on the third attempt; g1 exhausted its retries
+    assert got == ["2024-01-01-g0", "2024-01-01-g2"]
+    sizes = {f: os.path.getsize(os.path.join(counter_dir, f)) for f in os.listdir(counter_dir)}
+    assert sizes == {"2024-01-01-g0": 3, "2024-01-01-g1": 3, "2024-01-01-g2": 3}
+
+
 def test_literal_source(spark):
     rows = [(i, f"Team {i}") for i in range(12)]
     df = ingest.literal_source(spark, rows, "team_id int, team_name string")

@@ -33,6 +33,11 @@ def test_flagship_broadcasts_dim(spark):
 
 def test_join_enrich_broadcasts_and_prunes(spark):
     plan = _plan(spark, "join_left_enrich")
+    # no code-level hint since round 4: at the oracle SF this asserts
+    # Catalyst's STATS-BASED auto-broadcast of the small dim (customer ≪
+    # autoBroadcastJoinThreshold's 10 MB default) — the planner picking the
+    # right strategy from sizes, which is exactly the no-hint posture's
+    # claim; above the threshold AQE picks from runtime sizes instead
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     # fact side scan reads only the 3 needed columns
     m = re.search(r"ReadSchema: struct<([^>]*)>.*?orders", plan, re.S) or re.search(
@@ -131,6 +136,38 @@ def test_raw_layer_partition_pruning(spark, tmp_path):
     assert m and "ship_ym" in m.group(1), plan
     # the predicate must NOT appear as a post-scan Filter on data
     assert df.count() > 0
+
+
+def test_split_distinct_paths_match_oracle(spark, duck, monkeypatch):
+    # the scale-switched count-distinct shape (split distinct subtree +
+    # join-back, relational._use_split_distinct) must return the SAME rows
+    # as the inline-Expand shape the oracle gate runs at sf0.01 — forced on
+    # here and hash-compared against the same DuckDB oracles
+    from wnba_data_pipeline_spark.operators import relational
+
+    from .oracle_compare import compare
+
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_DISTINCT", "1")
+    for name in ("quality_probe", "tumbling_daily"):
+        sdf = relational.QUERIES[name](spark, SF_ORACLE)
+        compare(sdf, duck.sql(relational.ORACLES[name]).df(), f"{name}[split]")
+
+
+def test_split_distinct_plan_shape(spark, monkeypatch):
+    # Spark's inline single-distinct rewrite drags every agg buffer through
+    # a first-level aggregation GROUPED BY the distinct column (4-agg-node
+    # chain over the full row set — the sf10 cost signature). The split
+    # shape decouples them: the distinct subtree carries only the key, and
+    # the join-back must be a BROADCAST (1-row / ~150-group side), never a
+    # shuffle join over the fact data.
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_DISTINCT", "1")
+    for name in ("quality_probe", "tumbling_daily"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+        assert "Broadcast" in plan, plan  # BHJ (tumbling) / BNLJ 1-row (probe)
+    # inline shape: no join anywhere — the single-scan double-agg chain
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_DISTINCT", "0")
+    assert "Join" not in _plan(spark, "quality_probe")
 
 
 def test_whole_stage_codegen_everywhere(spark):

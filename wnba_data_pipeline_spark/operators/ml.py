@@ -111,7 +111,10 @@ def train_regressor(spark: SparkSession, sf_dir: str, target: str = REG_TARGET) 
     )
     assembler = VectorAssembler(inputCols=features, outputCol="features")
     data = assembler.transform(feat).select("features", F.col(target).alias("target"))
-    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    # cache both splits: each is consumed by several jobs (two fits + two
+    # evaluator passes + the count) and would otherwise replay the
+    # agg-shuffle + randomSplit lineage per job
+    train, test = (d.cache() for d in data.randomSplit([0.8, 0.2], seed=SEED))
     rf = RandomForestRegressor(featuresCol="features", labelCol="target", numTrees=NUM_TREES, seed=SEED)
     model = rf.fit(train)
     scaler = StandardScaler(inputCol="features", outputCol="scaled", withMean=True, withStd=True)
@@ -120,7 +123,7 @@ def train_regressor(spark: SparkSession, sf_dir: str, target: str = REG_TARGET) 
     mse = RegressionEvaluator(labelCol="target", metricName="mse").evaluate(pred)
     r2 = RegressionEvaluator(labelCol="target", metricName="r2").evaluate(pred)
     importances = dict(zip(features, model.featureImportances.toArray().tolist()))
-    return {
+    result = {
         "model": model,
         "scaler": scaler_model,
         "target": target,
@@ -130,6 +133,9 @@ def train_regressor(spark: SparkSession, sf_dir: str, target: str = REG_TARGET) 
         "n_train": train.count(),
         "n_test": test.count(),
     }
+    train.unpersist()
+    test.unpersist()
+    return result
 
 
 def train_classifier(spark: SparkSession, sf_dir: str) -> dict:
@@ -138,19 +144,24 @@ def train_classifier(spark: SparkSession, sf_dir: str) -> dict:
     feat = build_feature_frame(spark, sf_dir).join(labeled, "l_suppkey")
     assembler = VectorAssembler(inputCols=CLF_FEATURES, outputCol="features")
     data = assembler.transform(feat).select("features", "label")
-    train, test = data.randomSplit([0.8, 0.2], seed=SEED)
+    # cached for the same reason as the regressor: the split feeds the fit,
+    # the evaluator pass, and the count — one materialization, three reads
+    train, test = (d.cache() for d in data.randomSplit([0.8, 0.2], seed=SEED))
     rf = RandomForestClassifier(featuresCol="features", labelCol="label", numTrees=NUM_TREES, seed=SEED)
     model = rf.fit(train)
     pred = model.transform(test)
     acc = MulticlassClassificationEvaluator(labelCol="label", metricName="accuracy").evaluate(pred)
     importances = dict(zip(CLF_FEATURES, model.featureImportances.toArray().tolist()))
-    return {
+    result = {
         "model": model,
         "accuracy": acc,
         "importances": importances,
         "n_train": train.count(),
         "n_test": test.count(),
     }
+    train.unpersist()
+    test.unpersist()
+    return result
 
 
 def save_artifacts(result: dict, out_dir: str, name: str) -> dict:

@@ -23,6 +23,9 @@ top-k. See tests/test_plans.py for the plan-shape assertions.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -60,6 +63,32 @@ def _dsum(c) -> "F.Column":
 def _dsum_sql(expr: str) -> str:
     """DuckDB twin of _dsum."""
     return f"(CAST(sum(CAST(floor(({expr}) * {_DSCALE} + 0.5) AS BIGINT)) AS DOUBLE) / {_DSCALE})"
+
+
+_SCALE_SWITCH_SF = 0.5  # same threshold as bench.py's AQE-posture switch
+
+
+def _use_split_distinct(sf_dir: str) -> bool:
+    """Pick the count-distinct physical shape by data scale.
+
+    ``count_distinct`` alongside other aggregates compiles to an Expand
+    (every input row duplicated per grouping-set) — one scan, but the
+    doubled row volume through the partial agg dominates once the scan is
+    no longer floor-bound. The split plan computes the distinct count in
+    its own subtree and joins it back: one extra (tiny, broadcast) stage,
+    measured 13% faster at sf10 for quality_probe and slower at sf0.1
+    where the extra stage sits on the per-job floor (BASELINE.md round-3
+    addendum; re-measured round 5). Threshold matches the bench's AQE
+    posture switch; ``SPARK_GRAFT_SPLIT_DISTINCT=0/1`` forces either shape
+    (the measurement override). For extreme scale where even the distinct
+    subtree's shuffle hurts, ``operators/sketches.py`` is the documented
+    approximate (HLL, mergeable-state) variant of the same probes."""
+    forced = os.environ.get("SPARK_GRAFT_SPLIT_DISTINCT")
+    if forced is not None:
+        return forced == "1"
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.0
+    return sf >= _SCALE_SWITCH_SF
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +301,7 @@ FROM a
 
 
 # ---------------------------------------------------------------------------
-# C1 / B6 — left join + weighted-score derived column (broadcast build side)
+# C1 / B6 — left join + weighted-score derived column (no hint: planner picks)
 # ---------------------------------------------------------------------------
 
 
@@ -282,15 +311,16 @@ def q_join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY C1/B6).
 
     No join hint on purpose (round-3 verdict item 1): customer GROWS with
-    the dataset (150 k rows at sf0.1 → 15 M at sf100), so a hard-coded
-    ``F.broadcast`` is a multi-GB executor OOM at scale AND was measured
-    slower at sf10 (the broadcast relation is rebuilt and shipped per
-    execution). Catalyst's stats-based planning broadcasts automatically
-    below ``autoBroadcastJoinThreshold`` (the sf≤1 case) and AQE picks
-    shuffle-hash/SMJ from runtime sizes above it — the measured-best plan
-    at every scale (matrix in BASELINE.md round-4 addendum). For a
-    repeated-key production layout use ``plans.catalog.write_bucketed``
-    to co-locate both sides and skip the shuffle entirely."""
+    the dataset (15 k rows at sf0.1 → 1.5 M at the 100×-replica "sf10"
+    bench layout → 15 M at sf1000), so a hard-coded ``F.broadcast`` is a
+    multi-GB executor OOM at scale. Catalyst's stats-based planning
+    broadcasts automatically below ``autoBroadcastJoinThreshold`` (the
+    small-SF case) and AQE picks shuffle-hash/SMJ from runtime sizes above
+    it; the sf1/sf10 strategy matrix (no-hint/AQE vs forced shuffle-hash
+    vs forced broadcast) is published in the BASELINE.md round-5 addendum
+    with raw numbers in ``BENCH_SCALE_r05.json``. For a repeated-key
+    production layout use ``plans.catalog.write_bucketed`` to co-locate
+    both sides and skip the shuffle entirely."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return orders.join(cust, orders.o_custkey == cust.c_custkey, "left").select(
@@ -762,9 +792,15 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole quality DAG (``data_quality_checks.py:38-270``;
     SURVEY B9/D10-D13: freshness max, completeness counts, null-case sums,
     3σ outlier stats, distinct-count consistency) folded into ONE scan with
-    partial aggregation — the reference runs 8 separate SQL probes."""
+    partial aggregation — the reference runs 8 separate SQL probes.
+
+    Above the scale switch the distinct count moves to its own subtree
+    (distinct → count, broadcast-joined back onto the 1-row stats): the
+    inline ``count_distinct`` compiles to an Expand that doubles every row
+    through the partial agg, and at sf10 the split plan is measured faster
+    (see ``_use_split_distinct``). Both shapes return identical rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    base_aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("bigint").alias("null_qty"),
         F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).cast("bigint").alias("null_flag"),
@@ -776,9 +812,17 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.stddev_samp("l_extendedprice")).alias("price_std"),
         F.max("l_extendedprice").alias("price_max"),
         F.min("l_extendedprice").alias("price_min"),
-        F.count_distinct("l_suppkey").alias("n_suppliers"),
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
-    )
+    ]
+    if _use_split_distinct(sf_dir):
+        stats = li.agg(*base_aggs)
+        distinct = li.select("l_suppkey").distinct().agg(
+            F.count(F.lit(1)).alias("n_suppliers")
+        )
+        # 1-row × 1-row: the cross join is a broadcast of one tuple
+        agg = stats.crossJoin(F.broadcast(distinct))
+    else:
+        agg = li.agg(*base_aggs, F.count_distinct("l_suppkey").alias("n_suppliers"))
     return agg.select(
         "n_rows",
         "null_qty",
@@ -1363,12 +1407,32 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day aggregation over the event stream table (SURVEY §2.J:
     the reference's 'streaming' is daily incremental batch; this is the batch
     twin of streaming/events.py's Structured Streaming query — identical
-    grouping, so results can be cross-checked)."""
+    grouping, so results can be cross-checked).
+
+    Above the scale switch the per-group user count splits into its own
+    distinct subtree joined back on the (tiny) group key — the inline
+    ``count_distinct`` Expand was this query's 6.6× sf10 signature (see
+    ``_use_split_distinct``; the n_users side collapses 10 M events to the
+    distinct (day, type, user) set before its second agg, and the final
+    join is a broadcast over ~150 group rows). Identical rows either way;
+    ``streaming/events.py`` runs the same grouping incrementally and
+    ``operators/sketches.py`` is the mergeable approximate variant."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.col("ts").cast("date").alias("day"),
-        "event_type",
-    ).agg(
+    day = F.col("ts").cast("date").alias("day")
+    if _use_split_distinct(sf_dir):
+        base = ev.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(_dsum("value")).alias("value_sum"),
+        )
+        users = (
+            ev.select(day, "event_type", "user_id")
+            .distinct()
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        # every (day, type) group has ≥1 user, so inner join loses nothing
+        return base.join(users, ["day", "event_type"])
+    return ev.groupBy(day, "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         _r6(_dsum("value")).alias("value_sum"),
         F.count_distinct("user_id").alias("n_users"),

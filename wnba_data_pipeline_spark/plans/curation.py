@@ -46,11 +46,14 @@ def _p(base: str, *parts: str) -> str:
 
 
 def run_curation(
-    spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFAULT_AS_OF
+    spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFAULT_AS_OF,
+    *, cc_max_iter: int = 25,
 ) -> DataFrame:
     """Run the four-stage funnel over ``documents``; writes every stage to
     the curation warehouse and returns the funnel report (stage, n_docs,
-    n_tokens) as a DataFrame (also persisted)."""
+    n_tokens) as a DataFrame (also persisted). ``cc_max_iter`` bounds the
+    connected-components rounds in the near-dedup stage (log-diameter
+    convergence — see ``operators.graph.connected_components``)."""
     audit = F.lit(as_of).cast("timestamp_ntz").alias("curated_at")
     docs = load_table(spark, sf_dir, "documents")
     overwrite_table(docs.select("*", audit), _p(base, "curation", "corpus"))
@@ -79,7 +82,11 @@ def run_curation(
     # corpus); the corpus-side removal is one anti-join on doc_id.
     deduped = read_table(spark, _p(base, "curation", "deduped"))
     pairs = minhash_pairs(deduped.select("doc_id", "text"))
-    losers = cluster_survivors(pairs).filter(~F.col("is_survivor")).select(F.col("id").alias("doc_id"))
+    losers = (
+        cluster_survivors(pairs, max_iter=cc_max_iter)
+        .filter(~F.col("is_survivor"))
+        .select(F.col("id").alias("doc_id"))
+    )
     near_deduped = deduped.join(losers, "doc_id", "left_anti")
     overwrite_table(near_deduped, _p(base, "curation", "near_deduped"))
 

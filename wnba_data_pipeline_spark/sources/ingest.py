@@ -25,6 +25,7 @@ under test (SURVEY §2.A notes the same).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Iterable, Iterator
 
 import pandas as pd
@@ -48,20 +49,34 @@ def boxscore_fanout(
     schema: StructType | str,
     *,
     id_col: str = "game_id",
+    retries: int = 3,
+    retry_delay_s: float = 0.0,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> DataFrame:
     """A2: per-game fan-out fetch as a ``mapInPandas`` adapter. Each executor
-    task loops its partition's ids, calling the fetcher once per game and
-    skipping games whose fetch raises — the reference's try/except-continue
-    (``ingest_nba_daily.py:85-87``) moved into the distributed path."""
+    task loops its partition's ids, calling the fetcher once per game with
+    bounded retry, and skipping games whose fetch still raises after the
+    last attempt — the reference's ``retries=3`` task policy with a fixed
+    delay (``ingest_nba_daily.py:22``) plus its try/except-continue
+    (``ingest_nba_daily.py:85-87``), both moved into the distributed path.
+    ``retry_delay_s`` defaults to 0 (the reference's 5-minute task delay is
+    an orchestrator setting, not a per-request one); ``sleep`` is
+    injectable so tests assert the backoff without waiting it out."""
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             frames = []
             for gid in batch[id_col]:
-                try:
-                    rows = fetcher(gid)
-                except Exception:
-                    continue  # per-game failure tolerance
+                rows = None
+                for attempt in range(max(1, retries)):
+                    try:
+                        rows = fetcher(gid)
+                        break
+                    except Exception:
+                        if attempt + 1 >= max(1, retries):
+                            break  # per-game failure tolerance: skip the game
+                        if retry_delay_s:
+                            sleep(retry_delay_s)
                 if rows:
                     frames.append(pd.DataFrame(rows))
             if frames:
