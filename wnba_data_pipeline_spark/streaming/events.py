@@ -21,26 +21,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# events.parquet physical schema under nanosAsLong (see sources.tables):
-# the nanos timestamp arrives as bigint and is rebuilt with exact integer
-# arithmetic, same as the batch loader.
-EVENTS_PHYSICAL_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over ``events.parquet``, normalized to a plain
+    TIMESTAMP ``ts`` (event-time watermarks require it; the session
+    timezone is pinned to UTC so values match the NTZ batch twin).
+
+    The file source needs an explicit schema, and the physical ``ts`` type
+    varies by data generation (TIMESTAMP(NANOS) → bigint under
+    ``nanosAsLong``; TIMESTAMP(MICROS) → timestamp_ntz) — so probe the
+    footer with a one-off batch read (schema only, no data scan) and
+    branch the rebuild exactly like the batch loader
+    (``sources.tables.load_table``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file source wants a DIRECTORY; point it at the sf dir and glob the
     # single events file out of the other tables
     stream = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        spark.readStream.schema(probe.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # plain TIMESTAMP (not NTZ): event-time watermarks require it; the
-    # session timezone is pinned to UTC so values match the NTZ batch twin
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(probe.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos arrive as bigint and are rebuilt with exact integer
+        # arithmetic (div, not float: ~1.7e18 exceeds double's mantissa)
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_daily_stream(spark: SparkSession, sf_dir: str, *, watermark: str = "1 day") -> DataFrame:
