@@ -123,6 +123,82 @@ def test_embedding_spectrum_rerun_deterministic(spark):
     assert r1 == r2  # sorted-input + fixed-start power iteration
 
 
+def test_embedding_spectrum_gram_path_matches_pandas(spark):
+    # the distributed Gram partial-moments path (the 100 TB shape: executor
+    # memory independent of group size) must agree with the grouped-pandas
+    # path at the published 6dp on every label
+    from wnba_data_pipeline_spark.operators import similarity
+
+    pandas_rows = {r["label"]: r for r in similarity.q_embedding_spectrum(spark, SF_ORACLE, mode="pandas").collect()}
+    gram_rows = {r["label"]: r for r in similarity.q_embedding_spectrum(spark, SF_ORACLE, mode="gram").collect()}
+    assert set(pandas_rows) == set(gram_rows)
+    for label, p in pandas_rows.items():
+        g = gram_rows[label]
+        assert p["n_vecs"] == g["n_vecs"]
+        for col in ("top_eig", "explained", "total_var"):
+            # both are rounded at 6dp from fp sums with different association
+            # orders — allow one ulp of the rounding grid
+            assert abs(p[col] - g[col]) <= 1e-6, (label, col, p[col], g[col])
+
+
+def test_embedding_spectrum_degenerate_groups(spark):
+    # n=1 groups and zero-variance (identical-vector) groups short-circuit
+    # to (top_eig=0, explained=0) in BOTH paths instead of NaN (round-4
+    # ADVICE: 0/0 from single-vector / constant clusters)
+    from wnba_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0, 3.0]),          # singleton label
+            (2, 1, [4.0, 5.0, 6.0]),          # identical pair → zero variance
+            (3, 1, [4.0, 5.0, 6.0]),
+            (4, 2, [1.0, 0.0, 0.0]),          # healthy group
+            (5, 2, [0.0, 1.0, 0.0]),
+            (6, 2, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    for mode in ("pandas", "gram"):
+        rows = {r["label"]: r for r in similarity.embedding_spectrum(emb, mode=mode).collect()}
+        for lbl in (0, 1):
+            assert rows[lbl]["top_eig"] == 0.0, mode
+            assert rows[lbl]["explained"] == 0.0, mode
+        assert rows[0]["n_vecs"] == 1 and rows[1]["n_vecs"] == 2
+        assert rows[2]["top_eig"] > 0 and 0 < rows[2]["explained"] <= 1.0
+
+
+def test_embedding_quantize_zero_vector_guarded(spark):
+    # an all-zero vector (failed upstream embedding job) must quantize to
+    # all-zero codes with zero error in BOTH engines — not NaN (round-4
+    # ADVICE: unguarded absmax/127 divides by zero and the engines diverge)
+    import duckdb
+
+    from wnba_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    srows = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    assert srows[1]["scale"] == 0.0  # ε/127 rounds to 0 at 6dp
+    assert srows[1]["code_sum"] == 0 and srows[1]["code_max"] == 0
+    assert srows[1]["max_abs_err"] == 0.0 and srows[1]["rel_l2_err"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        "SELECT 1 AS vec_id, [0.0, 0.0, 0.0, 0.0] AS embedding "
+        "UNION ALL SELECT 2, [1.0, -2.0, 0.5, 0.0]"
+    )
+    drows = {r[0]: r for r in con.execute(similarity.ORACLE_EMBEDDING_QUANTIZE_INT8).fetchall()}
+    con.close()
+    for vid, s in srows.items():
+        d = drows[vid]
+        assert (s["scale"], s["code_sum"], s["code_max"], s["max_abs_err"], s["rel_l2_err"]) == (
+            d[1], d[2], d[3], d[4], d[5],
+        ), vid
+
+
 def test_trend_stats_match_oracle(spark, duck):
     from wnba_data_pipeline_spark.operators import relational
 

@@ -30,6 +30,8 @@ Scale posture (100 TB):
 from __future__ import annotations
 
 import hashlib
+import os as _os
+import re as _re
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -582,65 +584,165 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
-# per-label covariance spectrum — grouped applyInPandas (numpy in executor)
+# per-label covariance spectrum — grouped applyInPandas OR distributed Gram
 # ---------------------------------------------------------------------------
 
 POWER_ITERS = 60
+SPECTRUM_SCHEMA = "label int, n_vecs long, top_eig double, explained double, total_var double"
+_SPECTRUM_SCALE_SF = 0.5  # same threshold family as relational's split-distinct switch
+_VAR_EPS = 1e-9  # below this total variance the group is numerically degenerate
 
 
-def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sf_of(sf_dir: str) -> float:
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.0
+
+
+def _top_eig(C) -> float:
+    """Fixed-start, fixed-iteration power method (deterministic reruns);
+    returns 0.0 for a (numerically) zero matrix instead of dividing by 0.
+
+    The start vector is a generic fixed direction (cos ramp), NOT the
+    constant vector: centered data gives the constant direction special
+    status (a zero-mean covariance annihilates it for symmetric inputs —
+    e.g. a centered orthonormal set — and power iteration would start in
+    the null space and report 0)."""
+    import numpy as np
+
+    d = C.shape[0]
+    v = np.cos(np.arange(d) + 0.5)
+    v = v / np.linalg.norm(v)
+    for _ in range(POWER_ITERS):
+        v = C @ v
+        nrm = float(np.linalg.norm(v))
+        if nrm == 0.0:
+            return 0.0
+        v = v / nrm
+    return float(v @ C @ v)
+
+
+def _spectrum_row(label: int, n: int, C) -> tuple:
+    """Shared eigensolve + degenerate short-circuit for BOTH spectrum paths:
+    a single-vector or zero-variance group has no principal direction —
+    report (0, 0) instead of the 0/0 NaN the naive ratio produces."""
+    import numpy as np
+
+    total = float(np.trace(C))
+    if n < 2 or total <= _VAR_EPS:
+        return (label, n, 0.0, 0.0, round(max(total, 0.0), 6))
+    lam = _top_eig(C)
+    return (label, n, round(lam, 6), round(lam / total, 6), round(total, 6))
+
+
+def embedding_spectrum(emb: DataFrame, *, mode: str = "pandas") -> DataFrame:
     """Per-label top covariance eigenvalue + explained-variance ratio over
     the embedding clusters — the anisotropy probe an embedding-quality
     pipeline runs (a collapsed cluster shows one dominant direction).
 
-    This is the engine's grouped ``applyInPandas`` representative: eigen
-    decomposition is genuinely not expressible in DataFrame expressions,
-    so each label's vectors cross to Python ONCE as an Arrow batch and
-    numpy runs power iteration in the executor. Determinism: rows are
-    sorted by vec_id inside the UDF (Arrow batch order follows partition
-    order, which is run-dependent; numpy reductions are order-sensitive in
-    the last ulp) and the fixed-iteration power method starts from a
-    constant vector — reruns are bit-identical, outputs rounded at 6dp.
+    Two physical paths, identical results (equality-tested at 6dp in
+    tests/test_contamination.py):
 
-    Scale: one shuffle on label; per-group memory is O(group × dim) —
-    for huge groups the swap is a distributed Gram matrix (64×64 partial
-    sums via an aggregate), the documented scale path. No oracle
-    (iterative linear algebra); invariants + determinism in
+    - ``mode="pandas"`` — grouped ``applyInPandas``: each label's vectors
+      cross to Python ONCE as an Arrow batch and numpy runs power
+      iteration in the executor. Determinism: rows are sorted by vec_id
+      inside the UDF and the fixed-iteration power method starts from a
+      fixed generic vector — reruns are bit-identical, outputs rounded at 6dp.
+      Per-group memory is O(group × dim): right while every label group
+      fits an executor.
+
+    - ``mode="gram"`` — the 100 TB path: per-partition numpy computes the
+      partial moments (n, Σx, ΣxxT) via ``mapInPandas``, the dim²-sized
+      partials are summed with a posexplode + hash aggregate (map-side
+      combine — the corpus itself never shuffles), and the driver
+      eigensolves the labels × (dim×dim) covariance matrices. Executor
+      memory is O(batch × dim) regardless of group size — a dominant
+      label no longer OOMs — and the driver crossing is
+      labels × (1+dim+dim²) doubles, independent of corpus size.
+
+    Both paths share the eigensolve and the degenerate-group rule
+    (``_spectrum_row``): n<2 or zero-variance → (top_eig=0, explained=0).
+    No oracle (iterative linear algebra is not SQL-expressible);
+    invariants + cross-path equality + rerun-determinism in
     tests/test_contamination.py."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    if mode == "pandas":
 
-    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        n = len(X)
-        Xc = X - X.mean(axis=0)
-        C = (Xc.T @ Xc) / max(n - 1, 1)
-        v = np.full(C.shape[0], 1.0 / np.sqrt(C.shape[0]))
-        for _ in range(POWER_ITERS):
-            v = C @ v
-            v = v / np.linalg.norm(v)
-        lam = float(v @ C @ v)
-        total = float(np.trace(C))
-        return pd.DataFrame(
-            {
-                "label": [int(pdf["label"].iloc[0])],
-                "n_vecs": [n],
-                "top_eig": [round(lam, 6)],
-                "explained": [round(lam / total, 6)],
-                "total_var": [round(total, 6)],
-            }
+        def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id")
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n = len(X)
+            Xc = X - X.mean(axis=0)
+            C = (Xc.T @ Xc) / max(n - 1, 1)
+            row = _spectrum_row(int(pdf["label"].iloc[0]), n, C)
+            return pd.DataFrame([row], columns=["label", "n_vecs", "top_eig", "explained", "total_var"])
+
+        return (
+            emb.select("vec_id", "label", "embedding")
+            .groupBy("label")
+            .applyInPandas(spectrum, SPECTRUM_SCHEMA)
         )
 
-    return (
-        emb.select("vec_id", "label", "embedding")
-        .groupBy("label")
-        .applyInPandas(spectrum, "label int, n_vecs long, top_eig double, explained double, total_var double")
+    if mode != "gram":
+        raise ValueError(f"unknown spectrum mode: {mode!r}")
+
+    def partial_moments(batches):
+        for pdf in batches:
+            labels, stats = [], []
+            for label, grp in pdf.groupby("label"):
+                X = np.array(grp["embedding"].tolist(), dtype=np.float64)
+                s = X.sum(axis=0)
+                G = X.T @ X
+                labels.append(int(label))
+                stats.append(np.concatenate(([float(len(X))], s, G.ravel())).tolist())
+            yield pd.DataFrame({"label": labels, "stats": stats})
+
+    partials = emb.select("label", "embedding").mapInPandas(
+        partial_moments, "label int, stats array<double>"
     )
+    # partial rows are O(partitions × labels); the element-wise sum is a
+    # hash aggregate over (label, pos) with map-side combine
+    combined = (
+        partials.select("label", F.posexplode("stats").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in combined:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["val"]
+    rows = []
+    for label in sorted(by_label):
+        vals = by_label[label]
+        stats = np.array([vals[i] for i in range(len(vals))])
+        # len = 1 + d + d² → d from the quadratic root (exact integer)
+        d = int(round((-1 + (1 + 4 * (len(stats) - 1)) ** 0.5) / 2))
+        n = int(round(stats[0]))
+        s = stats[1 : 1 + d]
+        G = stats[1 + d :].reshape(d, d)
+        C = (G - np.outer(s, s) / max(n, 1)) / max(n - 1, 1)
+        rows.append(_spectrum_row(label, n, C))
+    spark = emb.sparkSession
+    return spark.createDataFrame(rows, SPECTRUM_SCHEMA)
 
 
-def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embedding_spectrum(spark: SparkSession, sf_dir: str, *, mode: str | None = None) -> DataFrame:
+    """Spectrum over the ``embeddings`` table; physical path picked by data
+    scale (pandas below the switch — fewest moving parts at test SF; Gram
+    partial-moments above it, where a dominant label group would OOM the
+    grouped-pandas path). ``SPARK_GRAFT_SPECTRUM_MODE=pandas|gram`` forces
+    either shape (the measurement/equality-test override)."""
+    if mode is None:
+        mode = _os.environ.get("SPARK_GRAFT_SPECTRUM_MODE") or (
+            "gram" if _sf_of(sf_dir) >= _SPECTRUM_SCALE_SF else "pandas"
+        )
+    return embedding_spectrum(load_table(spark, sf_dir, "embeddings"), mode=mode)
+
+
+_QUANT_EPS = 1e-12  # zero-vector guard: both guarded denominators round to 0-error output
+
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization audit: scale = max|x|/127,
     code_i = floor(x_i/scale + 0.5) (the same round-half-up-via-floor both
     engines share — engine-native round() half-mode is the trap), then the
@@ -650,14 +752,19 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-shuffle codegen map: absmax / codes / errors are per-row left
     folds, bit-identical cross-engine like every fold in this module.
 
+    All-zero vectors (a real artifact of failed embedding jobs) are
+    guarded in BOTH engines the same way: scale = greatest(absmax, ε)/127
+    and the rel-error norm denominator = greatest(‖v‖, ε) — a zero vector
+    quantizes to all-zero codes with 0 error instead of NaN/divergent
+    division (round-4 ADVICE).
+
     Not in the 50-slot driver registry (capped); DuckDB twin runs in
     tests/test_contamination.py with the same differential rigor."""
-    emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("_v")
     absmax = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
     d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v")
-    ).withColumn("_scale", absmax / F.lit(127.0))
+    ).withColumn("_scale", F.greatest(absmax, F.lit(_QUANT_EPS)) / F.lit(127.0))
 
     scale = F.col("_scale")
     codes = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long"))
@@ -670,16 +777,20 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("_codes", F.lit(0).cast("long"), lambda acc, c: acc + c).alias("code_sum"),
         F.aggregate("_codes", F.lit(0).cast("long"), lambda acc, c: F.greatest(acc, F.abs(c))).alias("code_max"),
         F.round(F.aggregate("_errs", F.lit(0.0), lambda acc, e: F.greatest(acc, e)), 6).alias("max_abs_err"),
-        F.round(F.sqrt(sq(F.col("_errs"))) / F.sqrt(sq(v)), 6).alias("rel_l2_err"),
+        F.round(F.sqrt(sq(F.col("_errs"))) / F.greatest(F.sqrt(sq(v)), F.lit(_QUANT_EPS)), 6).alias("rel_l2_err"),
     )
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
 ORACLE_EMBEDDING_QUANTIZE_INT8 = """
 WITH d AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-                     (a, b) -> greatest(a, b)) / 127.0 AS scale
+         greatest(list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                              (a, b) -> greatest(a, b)), 1e-12) / 127.0 AS scale
   FROM embeddings
 ), q AS (
   SELECT vec_id, v, scale,
@@ -692,16 +803,20 @@ SELECT vec_id, round(scale, 6) AS scale,
        CAST(list_max(list_transform(codes, c -> abs(c))) AS BIGINT) AS code_max,
        round(list_reduce(errs, (a, b) -> greatest(a, b)), 6) AS max_abs_err,
        round(sqrt(list_reduce(list_transform(errs, e -> e * e), (a, b) -> a + b))
-             / sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 6) AS rel_l2_err
+             / greatest(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 1e-12), 6) AS rel_l2_err
 FROM q
 """
 
 
+# emb_near_dup (the all-pairs exact baseline) left OFF the capped registry
+# (round-5 rotation): emb_near_dup_bucketed returns the identical pair set
+# through the 100 TB LSH-banded plan and stays registered; the baseline
+# keeps oracle parity in tests/test_offregistry_parity.py and its
+# ground-truth role in tests/test_similarity_bucketed.py's recall gate.
 QUERIES = {
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf": q_sim_ivf,
-    "emb_near_dup": q_emb_near_dup,
     "emb_near_dup_bucketed": q_emb_near_dup_bucketed,
     "emb_label_centroids": q_emb_label_centroids,
 }
@@ -710,7 +825,6 @@ ORACLES = {
     "sim_topk": ORACLE_SIM_TOPK,
     "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
     "sim_ivf": ORACLE_SIM_IVF,
-    "emb_near_dup": ORACLE_EMB_NEAR_DUP,
     "emb_near_dup_bucketed": _oracle_emb_near_dup_bucketed(),
     "emb_label_centroids": _oracle_centroids(),
 }
