@@ -1,0 +1,40 @@
+"""Oracle-parity gates for queries rotated OUT of the capped 50-slot driver
+registry (round-5 rotation: doc_fingerprint → subsumed by doc_winnow,
+emb_near_dup → subsumed by emb_near_dup_bucketed, rank_global_marts →
+E4 covered by award_mart). Rotation must not weaken their correctness
+story: the same hash-differential comparison the driver applies to
+registered queries runs here against the same DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wnba_data_pipeline_spark.operators import relational, similarity, text
+
+from .conftest import SF_ORACLE
+from .oracle_compare import compare
+
+ROTATED = {
+    "doc_fingerprint": (text.q_doc_fingerprint, text.ORACLE_DOC_FINGERPRINT),
+    "emb_near_dup": (similarity.q_emb_near_dup, similarity.ORACLE_EMB_NEAR_DUP),
+    "rank_global_marts": (relational.q_rank_global_marts, relational.ORACLE_RANK_GLOBAL_MARTS),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ROTATED))
+def test_rotated_query_matches_oracle(name, spark, duck):
+    fn, oracle = ROTATED[name]
+    compare(fn(spark, SF_ORACLE), duck.sql(oracle).df(), name)
+
+
+def test_rotated_queries_stay_off_registry():
+    # the rotation is intentional: none of these may silently re-enter the
+    # capped registry and displace a checked slot
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert not set(ROTATED) & set(qs)
+    # and their replacements hold hard driver rows
+    for newcomer in ("contamination_check", "sequence_packing", "trend_stats"):
+        assert newcomer in qs

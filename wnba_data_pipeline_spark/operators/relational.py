@@ -1455,7 +1455,11 @@ QUERIES = {
     "join_multikey": q_join_multikey,
     "rolling_5_10": q_rolling_5_10,
     "rank_partition_avg": q_rank_partition_avg,
-    "rank_global_marts": q_rank_global_marts,
+    # rank_global_marts left OFF the capped registry (round-5 rotation):
+    # award_mart exercises the same E4 global mart ranks (decimal-exact
+    # ties) end-to-end; the standalone query keeps oracle parity in
+    # tests/test_offregistry_parity.py. The freed slot registers
+    # trend_stats (regr_slope + corr per entity).
     "group_tail_n": q_group_tail_n,
     "topk_revenue": q_topk_revenue,
     "union_tagged": q_union_tagged,
@@ -1476,6 +1480,7 @@ QUERIES = {
     "advanced_metrics": q_advanced_metrics,
     "seeded_noise": q_seeded_noise,
     "award_mart": q_award_mart,
+    "trend_stats": q_trend_stats,
     "sessionize_events": q_sessionize_events,
     "tumbling_daily": q_tumbling_daily,
 }
@@ -1489,7 +1494,6 @@ ORACLES = {
     "join_multikey": ORACLE_JOIN_MULTIKEY,
     "rolling_5_10": _oracle_rolling((5, 10)),
     "rank_partition_avg": ORACLE_RANK_PARTITION_AVG,
-    "rank_global_marts": ORACLE_RANK_GLOBAL_MARTS,
     "group_tail_n": ORACLE_GROUP_TAIL_N,
     "topk_revenue": ORACLE_TOPK_REVENUE,
     "union_tagged": ORACLE_UNION_TAGGED,
@@ -1506,6 +1510,7 @@ ORACLES = {
     "advanced_metrics": ORACLE_ADVANCED_METRICS,
     "seeded_noise": ORACLE_SEEDED_NOISE,
     "award_mart": ORACLE_AWARD_MART,
+    "trend_stats": ORACLE_TREND_STATS,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
     "tumbling_daily": ORACLE_TUMBLING_DAILY,
 }

@@ -725,24 +725,31 @@ FROM packed GROUP BY pack_id
 """
 
 
+# doc_fingerprint left OFF the capped registry (round-5 rotation): it is
+# the global-min special case of doc_winnow, which stays registered; its
+# oracle still runs in tests/test_offregistry_parity.py. The freed slots
+# give the round-3 LLM operators (contamination check, sequence packing)
+# hard driver rows.
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_agreement": q_lang_id_agreement,
     "text_corpus_rollup": q_text_corpus_rollup,
-    "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
     "corpus_sample": q_corpus_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_topk": q_bigram_topk,
+    "contamination_check": q_contamination_check,
+    "sequence_packing": q_sequence_packing,
 }
 
 ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
     "lang_id_agreement": _oracle_lang_id(),
     "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
-    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "doc_winnow": ORACLE_DOC_WINNOW,
     "corpus_sample": _oracle_corpus_sample(),
     "tfidf_top_terms": _oracle_tfidf(),
     "bigram_topk": ORACLE_BIGRAM_TOPK,
+    "contamination_check": ORACLE_CONTAMINATION_CHECK,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
 }
