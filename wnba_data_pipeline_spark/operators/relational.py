@@ -76,9 +76,13 @@ def _use_split_distinct(sf_dir: str) -> bool:
     doubled row volume through the partial agg dominates once the scan is
     no longer floor-bound. The split plan computes the distinct count in
     its own subtree and joins it back: one extra (tiny, broadcast) stage,
-    measured 13% faster at sf10 for quality_probe and slower at sf0.1
-    where the extra stage sits on the per-job floor (BASELINE.md round-3
-    addendum; re-measured round 5). Threshold matches the bench's AQE
+    measured at sf10 (BENCH_SCALE_r05.json "split_distinct"): 38% faster
+    for quality_probe (1.065 s → 0.662 s — the Expand doubled 60 M rows
+    through the partial agg; the split subtree carries only the key) and
+    9% for tumbling_daily (its residual is the ~8 M-row distinct-tuple
+    shuffle itself, not the Expand — see the round-5 stage attribution);
+    slower at sf0.1 where the extra stage sits on the per-job floor
+    (BASELINE.md round-3 addendum). Threshold matches the bench's AQE
     posture switch; ``SPARK_GRAFT_SPLIT_DISTINCT=0/1`` forces either shape
     (the measurement override). For extreme scale where even the distinct
     subtree's shuffle hurts, ``operators/sketches.py`` is the documented
@@ -313,14 +317,19 @@ def q_join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     No join hint on purpose (round-3 verdict item 1): customer GROWS with
     the dataset (15 k rows at sf0.1 → 1.5 M at the 100×-replica "sf10"
     bench layout → 15 M at sf1000), so a hard-coded ``F.broadcast`` is a
-    multi-GB executor OOM at scale. Catalyst's stats-based planning
-    broadcasts automatically below ``autoBroadcastJoinThreshold`` (the
-    small-SF case) and AQE picks shuffle-hash/SMJ from runtime sizes above
-    it; the sf1/sf10 strategy matrix (no-hint/AQE vs forced shuffle-hash
-    vs forced broadcast) is published in the BASELINE.md round-5 addendum
-    with raw numbers in ``BENCH_SCALE_r05.json``. For a repeated-key
-    production layout use ``plans.catalog.write_bucketed`` to co-locate
-    both sides and skip the shuffle entirely."""
+    multi-GB executor OOM at scale; the planner picks the strategy from
+    stats instead. The measured sf1/sf10 strategy matrix
+    (``BENCH_SCALE_r05.json`` "join_matrix"; prose in the BASELINE.md
+    round-5 addendum) shows what that costs and buys: at local sf10 every
+    forced shuffle strategy beats broadcast (shuffle-hash 0.746 s vs
+    broadcast 1.005 s), and Catalyst/AQE still chooses broadcast from
+    runtime sizes — ~35% off the local optimum. No-hint stays shipped
+    anyway because the locally-winning shuffle-hash hint is exactly wrong
+    on a real cluster while the dim is broadcast-sized, and the hard
+    broadcast is the OOM cliff once it isn't. The measured-fastest AND
+    scale-correct layout is bucketed co-location
+    (``plans.catalog.write_bucketed``: 0.656 s exchange-free SMJ at sf10)
+    for repeated-key production joins."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return orders.join(cust, orders.o_custkey == cust.c_custkey, "left").select(
@@ -1410,13 +1419,15 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping, so results can be cross-checked).
 
     Above the scale switch the per-group user count splits into its own
-    distinct subtree joined back on the (tiny) group key — the inline
-    ``count_distinct`` Expand was this query's 6.6× sf10 signature (see
-    ``_use_split_distinct``; the n_users side collapses 10 M events to the
-    distinct (day, type, user) set before its second agg, and the final
-    join is a broadcast over ~150 group rows). Identical rows either way;
+    distinct subtree joined back on the (tiny) group key (see
+    ``_use_split_distinct``): measured 9% faster at sf10, identical rows
+    either way. The round-5 stage attribution (BENCH_SCALE_r05.json)
+    shows the remaining cost is NOT a plan defect: (day, type, user) is
+    8.07 M distinct of 10 M events, so ANY exact-distinct shape shuffles
+    ~8 M tuples — that shuffle IS this query's sf10 signature.
     ``streaming/events.py`` runs the same grouping incrementally and
-    ``operators/sketches.py`` is the mergeable approximate variant."""
+    ``operators/sketches.py`` (mergeable HLL) is the documented scale
+    answer when approximate distinct is acceptable."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
     if _use_split_distinct(sf_dir):
