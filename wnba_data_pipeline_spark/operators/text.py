@@ -725,6 +725,95 @@ FROM packed GROUP BY pack_id
 """
 
 
+# ---------------------------------------------------------------------------
+# PII detection + redaction — regex scrub, the standard pre-training gate
+# ---------------------------------------------------------------------------
+
+# Patterns are written for the COMMON subset of Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backreferences — both engines must count and
+# replace identically for the differential gate to hold. Counting runs each
+# pattern against the ORIGINAL text; redaction applies them in this exact
+# order (email first — it can contain digits/dots that the later patterns
+# would otherwise chew on).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(… doc_id, text …) → per-doc PII counts + the redacted text's
+    length and md5: the scrub every pre-training corpus runs before the
+    data leaves curation (emails, phone numbers, IPs, SSN-shaped ids →
+    typed placeholder tokens).
+
+    Zero-shuffle codegen map — counts and the sequential replace chain are
+    per-row JVM regex work, so the operator is trivially 100 TB-safe (scales
+    with scan bandwidth, no exchange, no Python). The redacted text itself
+    is intentionally reduced to (length, md5) here: the audit table is what
+    pipelines keep; the full redacted column is the same ``withColumn``
+    minus the hash, downstream of the same plan.
+
+    Not in the 50-slot driver registry (capped); DuckDB twin runs in
+    tests/test_pii.py with the same differential rigor, plus a
+    planted-PII positive control."""
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col("text")
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return (
+        docs.select("doc_id", "text", *counts)
+        .withColumn("_red", redacted)
+        .select(
+            "doc_id",
+            *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+            total.alias("pii_total"),
+            F.length("_red").cast("long").alias("redacted_len"),
+            F.md5(F.col("_red").cast("binary")).alias("redacted_md5"),
+        )
+    )
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_pii() -> str:
+    count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH counted AS (
+  SELECT doc_id,
+       {count_cols},
+       {red} AS red
+  FROM documents
+)
+SELECT doc_id, n_email, n_ip, n_ssn, n_phone,
+       {total} AS pii_total,
+       CAST(length(red) AS BIGINT) AS redacted_len,
+       md5(red) AS redacted_md5
+FROM counted
+"""
+
+
+ORACLE_PII_STATS = _oracle_pii()
+
+
 # doc_fingerprint left OFF the capped registry (round-5 rotation): it is
 # the global-min special case of doc_winnow, which stays registered; its
 # oracle still runs in tests/test_offregistry_parity.py. The freed slots
