@@ -139,7 +139,12 @@ def q_player_agg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("_dsumd") / F.col("n_lines")).alias("disc_mean"),
     )
     out = (
-        agg.join(F.broadcast(supp), agg.l_suppkey == supp.s_suppkey, "left")
+        # no hard broadcast hint: supplier GROWS with the dataset (10 k rows
+        # per sf0.1-replica), the same class as the customer hint removed in
+        # round 4 and settled by the round-5 join matrix — stats-based
+        # planning auto-broadcasts it while it is small (plan-asserted in
+        # tests/test_plans.py) and AQE picks from runtime sizes once it isn't
+        agg.join(supp, agg.l_suppkey == supp.s_suppkey, "left")
         .withColumn(
             "disc_rate",
             F.when(F.col("_qsum") > 0, _r6(F.col("_wsum") / F.col("_qsum"))).otherwise(F.lit(0.0)),
@@ -980,7 +985,11 @@ def q_agg_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum("l_quantity").alias("qty_sum"),
         F.count_distinct("l_orderkey").alias("games"),
     )
-    joined = per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey).join(
+    # supplier: no hard hint (grows with the dataset — auto-broadcast /
+    # AQE decide; see q_join_left_enrich). nation: hint KEPT on purpose —
+    # its cardinality is fixed by the data model (a bounded country list,
+    # the TPC-H nation argument), the one case a hard broadcast is safe.
+    joined = per_supp.join(supp, per_supp.l_suppkey == supp.s_suppkey).join(
         F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
     )
     agg = joined.groupBy("n_name").agg(
@@ -1295,7 +1304,9 @@ def q_award_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w_cut))
         .filter(F.col("_rn") <= AWARD_TOP)
     )
-    return top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey).select(
+    # top is 30 rows post-cut — IT is the broadcast side; supplier carries
+    # no hard hint (grows with the dataset, see q_join_left_enrich)
+    return F.broadcast(top).join(supp, top.l_suppkey == supp.s_suppkey).select(
         "award",
         "l_suppkey",
         F.col("s_name").alias("supp_name"),
