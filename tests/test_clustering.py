@@ -1,0 +1,196 @@
+"""Differential + invariant gates for the k-means / SemDeDup operators
+(off the 50-slot driver registry, same rigor as tests/test_contamination.py):
+
+- the FIT is verified against an exact numpy re-implementation of the same
+  algorithm (same md5 seed choice, same left-fold distances, same HALF_UP
+  fixed-point quantization) — centroids must match bit-for-bit;
+- the post-fit stages (assignment, within-cell join, cosine filter) are
+  verified cross-engine against a DuckDB twin given the fitted centroids;
+- recall is measured against the exact all-pairs baseline q_emb_near_dup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from wnba_data_pipeline_spark.operators import clustering, similarity
+from wnba_data_pipeline_spark.operators.clustering import (
+    SD_ITERS,
+    SD_K,
+    KMeansModel,
+    assign_clusters,
+    kmeans_fit,
+    q_semantic_dedup,
+    seed_hash,
+    semantic_dedup_pairs_sql,
+)
+
+from .conftest import SF_ORACLE
+from .oracle_compare import compare
+
+DIM = similarity.DIM
+
+
+def _round_half_up(y: np.ndarray) -> np.ndarray:
+    # Spark F.round on doubles is BigDecimal HALF_UP (away from zero);
+    # np.round is HALF_EVEN, so replicate explicitly
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5))
+
+
+def _load_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    V = np.stack(t["embedding"].to_numpy()).astype(np.float64)  # f32->f64 exact
+    return ids, V
+
+
+def _fold_sqdists(V: np.ndarray, cents: list[list[float]]) -> np.ndarray:
+    """Row-wise squared distances as the SAME 0.0-seeded sequential fold the
+    Spark expression uses — elementwise IEEE ops, identical association."""
+    D = np.empty((len(V), len(cents)))
+    for j, c in enumerate(cents):
+        acc = np.zeros(len(V))
+        for d in range(V.shape[1]):
+            diff = V[:, d] - c[d]
+            acc = acc + diff * diff
+        D[:, j] = acc
+    return D
+
+
+def ref_kmeans(ids: np.ndarray, V: np.ndarray, k: int, max_iter: int) -> KMeansModel:
+    order = sorted(range(len(ids)), key=lambda i: (seed_hash(int(ids[i])), int(ids[i])))
+    cents = [[float(x) for x in V[i]] for i in order[:k]]
+    inertia_hist, sizes, converged, n_iter = [], {}, False, 0
+    for _ in range(max_iter):
+        n_iter += 1
+        D = _fold_sqdists(V, cents)
+        cl = np.argmin(D, axis=1)  # first-min, same tie-break as array_position
+        mind = D[np.arange(len(V)), cl]
+        inertia_hist.append(
+            int(_round_half_up(mind * clustering.INERTIA_SCALE).astype(np.int64).sum())
+            / clustering.INERTIA_SCALE
+        )
+        Q = _round_half_up(V * clustering.COMP_SCALE).astype(np.int64)
+        sizes = {}
+        new_cents = []
+        for j, old in enumerate(cents):
+            mask = cl == j
+            n = int(mask.sum())
+            if n == 0:
+                new_cents.append(old)
+                continue
+            sizes[j] = n
+            s = Q[mask].sum(axis=0)
+            new_cents.append([float(int(si)) / (clustering.COMP_SCALE * n) for si in s])
+        if new_cents == cents:
+            converged = True
+            break
+        cents = new_cents
+    return KMeansModel(cents, n_iter, inertia_hist, sizes, converged)
+
+
+def test_kmeans_fit_matches_numpy_reference_bitexact(spark):
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    model = kmeans_fit(emb, k=SD_K, max_iter=SD_ITERS)
+    ids, V = _load_vectors(SF_ORACLE)
+    ref = ref_kmeans(ids, V, SD_K, SD_ITERS)
+    assert model.centroids == ref.centroids  # bit-exact, no tolerance
+    assert model.n_iter == ref.n_iter
+    assert model.inertia == ref.inertia
+    assert model.sizes == ref.sizes
+
+    # and the distributed assignment agrees with the reference argmin
+    D = _fold_sqdists(V, model.centroids)
+    ref_cl = dict(zip(ids.tolist(), np.argmin(D, axis=1).tolist()))
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, model.centroids).select("vec_id", "cluster").collect()
+    }
+    assert got == ref_cl
+
+
+def test_kmeans_rerun_is_deterministic(spark):
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").repartition(7)  # hostile layout
+    a = kmeans_fit(emb, k=SD_K, max_iter=2)
+    b = kmeans_fit(emb.repartition(3), k=SD_K, max_iter=2)
+    assert a.centroids == b.centroids  # fixed-point sums: layout-independent
+    assert a.inertia == b.inertia
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    model = kmeans_fit(emb, k=SD_K, max_iter=6)
+    # 1e-3 slack: centroids are quantized to 1e-9 per component, so exact
+    # Lloyd's monotonicity holds only up to the quantization perturbation
+    for prev, cur in zip(model.inertia, model.inertia[1:]):
+        assert cur <= prev + 1e-3, model.inertia
+    assert sum(model.sizes.values()) == emb.count()
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    # three tight planted blobs, far apart; k=3 must recover the partition
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, center in enumerate([-10.0, 0.0, 10.0]):
+        for i in range(30):
+            v = (center + 0.05 * rng.standard_normal(DIM)).astype(np.float32)
+            rows.append((g * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    model = kmeans_fit(df, k=3, max_iter=5)
+    assigned = assign_clusters(df, model.centroids).select("vec_id", "cluster").collect()
+    by_group = {}
+    for r in assigned:
+        by_group.setdefault(r["vec_id"] // 100, set()).add(r["cluster"])
+    assert all(len(cls) == 1 for cls in by_group.values()), by_group  # pure cells
+    assert len(set().union(*by_group.values())) == 3  # all three separated
+    assert model.converged
+
+
+def test_semantic_dedup_pairs_match_duckdb_twin(spark, duck):
+    aug = similarity._augmented_corpus(spark, SF_ORACLE)
+    model = kmeans_fit(aug, k=SD_K, max_iter=SD_ITERS)
+    sdf = q_semantic_dedup(spark, SF_ORACLE)
+    ddf = duck.sql(semantic_dedup_pairs_sql(model.centroids)).df()
+    compare(sdf, ddf, "semantic_dedup")
+
+
+def test_semantic_dedup_recall_vs_exact_baseline(spark):
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators.clustering import probe_assignments
+
+    exact = {
+        (r["vec_a"], r["vec_b"]) for r in similarity.q_emb_near_dup(spark, SF_ORACLE).collect()
+    }
+    got_rows = q_semantic_dedup(spark, SF_ORACLE).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in got_rows}
+    assert exact, "baseline unexpectedly empty"
+    assert got <= exact  # same threshold, candidates only narrower
+    recall = len(got & exact) / len(exact)
+    # with nprobe=2 every planted pair shares a probed cell — measured 32/32
+    # at sf0.01 (single-cell assignment measured 27/32); pinned exact
+    assert recall == 1.0, (recall, len(exact))
+
+    # pruning: distinct shared-cell candidate pairs must be well under
+    # all-pairs even after the nprobe^2 expansion
+    aug = similarity._augmented_corpus(spark, SF_ORACLE)
+    aug_n = aug.count()
+    model = kmeans_fit(aug, k=SD_K, max_iter=SD_ITERS)
+    asg = probe_assignments(aug, model.centroids)
+    a = asg.select(F.col("vec_id").alias("vec_a"), "cell")
+    b = asg.select(F.col("vec_id").alias("vec_b"), "cell")
+    cand = (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .count()
+    )
+    assert cand < 0.6 * aug_n * (aug_n - 1) // 2, (cand, aug_n)

@@ -1,0 +1,319 @@
+"""Distributed k-means over embedding columns + SemDeDup-style semantic
+near-dedup (cluster the corpus by its own geometry, then search for
+near-duplicates only WITHIN each cluster).
+
+LLM-training-data operators beyond the reference's surface (the reference
+has no vector data; its nearest analog is the sklearn feature matrix in
+``model_training.py:68-69``). Completes the near-dup family in
+``operators/dedup.py`` / ``operators/similarity.py``:
+
+- exact all-pairs cosine  (``q_emb_near_dup``      — ground-truth baseline)
+- banded SRP-LSH buckets  (``q_emb_near_dup_bucketed`` — data-INdependent)
+- k-means clusters        (``q_semantic_dedup`` here    — data-DEPENDENT,
+  the SemDeDup shape: random hyperplanes can split a dense region across
+  buckets; centroids follow the density, so near-identical vectors land in
+  the same cell unless they straddle a Voronoi boundary)
+
+Execution model (Lloyd's, driver-coordinated — the same shape MLlib uses):
+each iteration is ONE scan + ONE hash aggregate whose shuffle carries only
+k x (dim+2) partial sums, never the vectors; the k x dim centroid matrix
+(tiny) rides back to the driver and is re-broadcast into the next plan as
+literals. Assignment is a zero-shuffle map (k folds over the array column,
+all JVM-side — no Python UDF anywhere).
+
+Determinism contract: per-component partial sums are FIXED-POINT —
+``sum(round(x * 10^9)::decimal(38,0))`` — so the centroid update is exact
+integer arithmetic, independent of partition layout and partial-aggregation
+order, and bit-replicable by the numpy reference in
+``tests/test_clustering.py`` (same quantization, same left-fold distance).
+Plain double sums would make centroids drift across runs with partitioning,
+which would cascade into assignment flips at Voronoi boundaries.
+
+Scale posture (100 TB):
+- fit: iterations scan the input; pass ``sample_mod > 1`` to fit on a
+  deterministic hash-sample (vec_id % mod == 0) and assign the full corpus
+  once afterwards — the standard big-data k-means recipe. Persist the
+  input upstream if iterating over an expensive lineage.
+- k: the per-iteration shuffle is k x dim longs — negligible. The
+  ASSIGNMENT expression grows linearly in k (k folds); beyond k ~ 64
+  move the distance loop into an Arrow-batched pandas UDF (documented
+  escape hatch, not needed at this k).
+- semantic dedup: within-cluster all-pairs is quadratic per cluster, so
+  k must scale with the corpus (k ~ N / target_cell_size keeps per-cell
+  candidate counts bounded — production SemDeDup uses 10k+ cells); the
+  candidate join shuffles on the cluster id only.
+- decimal(38,0) partial sums overflow at ~10^28 scaled units per
+  (cluster, component) — i.e. never (10^19 rows of unit-scale floats).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import DIM, _augmented_corpus, _cosine_sql, _dot
+
+# fixed-point scales: components are O(1) floats, so round(x*1e9) is exact
+# in a double (|x|*1e9 << 2^53) and loses nothing that matters to a mean
+COMP_SCALE = 10**9
+INERTIA_SCALE = 10**6
+
+SD_K = 8  # semantic-dedup cells for the test corpus (~500 rows; see module doc)
+SD_ITERS = 4
+SD_THRESHOLD = 0.9  # same near-dup bar as q_emb_near_dup
+SD_NPROBE = 2  # cells probed per vector in the dedup candidate join — the
+# recall dial: with 1 probe a near-dup pair straddling a Voronoi boundary is
+# lost (measured 27/32 planted pairs at sf0.01); with the top-2 cells both
+# sides of a boundary-straddling pair overlap (measured 32/32), at ~nprobe²×
+# the candidate volume — still k/nprobe² times under all-pairs
+
+
+def seed_hash(vec_id: int | str) -> int:
+    """Python side of the md5->int64 seed-selection contract (same 60-bit
+    construction as ``functions/hashing.md5_long``) — exported so the test
+    reference can replicate seed choice exactly."""
+    return int(hashlib.md5(f"km:{vec_id}".encode()).hexdigest()[:15], 16)
+
+
+def _sqdist(v: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid as an index-based LEFT FOLD
+    ``acc + d*d`` (0.0-seeded) — the association order is part of the
+    cross-engine/cross-reference determinism contract."""
+    diffs = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda i: F.element_at(v, i + F.lit(1)).cast("double")
+        - F.element_at(F.array(*[F.lit(c) for c in centroid]), i + F.lit(1)),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d)
+
+
+def _sqdist_sql(v: str, centroid: list[float]) -> str:
+    """DuckDB twin of ``_sqdist`` — unrolled flat left-associative sum (same
+    association as the 0.0-seeded fold; indexing literal lists inside
+    list_transform is pathological in DuckDB, see ``_nd_band_key_sql``)."""
+    terms = [
+        f"((CAST({v}[{i + 1}] AS DOUBLE) - ({c!r})) * (CAST({v}[{i + 1}] AS DOUBLE) - ({c!r})))"
+        for i, c in enumerate(centroid)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _assignment_cols(vec: Column, centroids: list[list[float]]) -> tuple[Column, Column]:
+    """(cluster id, min squared distance). First-min tie-break via
+    array_position — deterministic, and bitwise-identical to the reference
+    implementation's argmin-of-left-folds."""
+    dists = F.array(*[_sqdist(vec, c) for c in centroids])
+    mind = F.array_min(dists)
+    cluster = (F.array_position(dists, mind) - 1).cast("int")
+    return cluster, mind
+
+
+@dataclass
+class KMeansModel:
+    centroids: list[list[float]]  # k x dim
+    n_iter: int  # iterations actually run
+    inertia: list[float]  # per-iteration total inertia (pre-update)
+    sizes: dict[int, int]  # final cluster -> row count
+    converged: bool  # centroids reached an exact fixed point
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = SD_K,
+    max_iter: int = SD_ITERS,
+    sample_mod: int = 1,
+) -> KMeansModel:
+    """Lloyd's k-means on an ``array<float|double>`` column.
+
+    Seeds: the k rows with the smallest md5('km:' || id) — deterministic,
+    data-independent, no corpus shuffle (TakeOrdered). Each iteration
+    assigns every row to its nearest centroid (zero-shuffle map) and
+    rebuilds centroids with one hash aggregate (fixed-point decimal sums;
+    see module docstring). Empty clusters keep their previous centroid.
+    Stops early when the quantized centroids reach an exact fixed point."""
+    base = df if sample_mod <= 1 else df.filter(F.col(id_col) % sample_mod == 0)
+    vec = F.col(vec_col)
+
+    seed_rows = (
+        base.select(
+            F.col(id_col).alias("_sid"),
+            vec.cast("array<double>").alias("_semb"),
+            F.conv(F.substring(F.md5(F.concat(F.lit("km:"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
+        )
+        .orderBy("_h", "_sid")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["_semb"]] for r in seed_rows]
+    if len(centroids) < k:
+        raise ValueError(f"corpus has only {len(centroids)} rows; need k={k} seeds")
+
+    inertia_hist: list[float] = []
+    sizes: dict[int, int] = {}
+    converged = False
+    n_iter = 0
+    for _ in range(max_iter):
+        n_iter += 1
+        cluster, mind = _assignment_cols(vec, centroids)
+        assigned = base.select(
+            cluster.alias("_cl"), mind.alias("_mind"), vec.cast("array<double>").alias("_v")
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.round(F.col("_mind") * INERTIA_SCALE).cast("decimal(38,0)")).alias("_inert"),
+        ] + [
+            F.sum(
+                F.round(F.element_at("_v", i + 1) * COMP_SCALE).cast("decimal(38,0)")
+            ).alias(f"_s{i}")
+            for i in range(DIM)
+        ]
+        rows = {r["_cl"]: r for r in assigned.groupBy("_cl").agg(*aggs).collect()}
+
+        sizes = {j: int(rows[j]["_n"]) for j in rows}
+        inertia_hist.append(sum(int(r["_inert"]) for r in rows.values()) / INERTIA_SCALE)
+        new_centroids = []
+        for j, old in enumerate(centroids):
+            r = rows.get(j)
+            if r is None:  # empty cluster: keep the previous centroid
+                new_centroids.append(old)
+                continue
+            n = int(r["_n"])
+            new_centroids.append([float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(DIM)])
+        if new_centroids == centroids:
+            converged = True
+            break
+        centroids = new_centroids
+
+    return KMeansModel(centroids, n_iter, inertia_hist, sizes, converged)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Add the nearest-centroid cell id — a zero-shuffle JVM-side map. Also
+    the trained coarse-quantizer upgrade path for ``q_sim_ivf``'s
+    hash-sampled cells (same inverted-list probe, better-placed cells)."""
+    cluster, _ = _assignment_cols(F.col(vec_col), centroids)
+    return df.withColumn(out_col, cluster)
+
+
+def _probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe NEAREST cell ids: (distance, index) structs sorted
+    ascending — array_sort orders struct fields lexicographically, so ties in
+    distance break on the lower cell index, deterministically and identically
+    to the DuckDB twin's list_sort over the same structs."""
+    dists = F.array(*[_sqdist(vec, c) for c in centroids])
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda j: F.struct(F.element_at(dists, j + F.lit(1)).alias("d"), j.alias("i")),
+        )
+    )
+    return F.slice(F.transform(ranked, lambda s: s.getField("i")), 1, nprobe)
+
+
+def probe_assignments(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = SD_NPROBE,
+) -> DataFrame:
+    """One row per (vector, probed cell) — the multi-probe inverted-list
+    expansion (still a zero-shuffle map; the fan-out is nprobe, not k)."""
+    return df.withColumn("cell", F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means cells -> within-cell cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dedup over the planted-near-dup corpus
+    (``similarity._augmented_corpus``): fit k-means, expand every vector to
+    its SD_NPROBE nearest cells, and report pairs sharing any probed cell
+    with cosine >= 0.9. Output schema matches ``q_emb_near_dup`` exactly
+    (vec_a, vec_b, cosine) so recall against the all-pairs baseline is a
+    set comparison.
+
+    Same detection bar as the baseline; candidates only narrower, so the
+    result is always a subset — tests measure the recall and the pruning
+    factor. Survivor selection on the reported pairs is
+    ``operators/graph.cluster_survivors`` — identical downstream contract
+    to the MinHash path. Note the fit runs eagerly (driver-coordinated
+    Lloyd's), so building this "query" triggers SD_ITERS+1 small jobs."""
+    aug = _augmented_corpus(spark, sf_dir)
+    model = kmeans_fit(aug, k=SD_K, max_iter=SD_ITERS)
+    asg = probe_assignments(aug, model.centroids)
+    a = asg.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("_ea"),
+        F.col("norm").alias("_na"),
+        "cell",
+    )
+    b = asg.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("_eb"),
+        F.col("norm").alias("_nb"),
+        "cell",
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_cos", _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("_cos") >= SD_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
+        .distinct()  # a pair can collide in up to nprobe shared cells
+    )
+
+
+def semantic_dedup_pairs_sql(centroids: list[list[float]]) -> str:
+    """DuckDB twin of the post-fit stages of ``q_semantic_dedup`` — given
+    the fitted centroids as literals, re-derives the multi-probe cell
+    expansion, the shared-cell join, and the cosine filter entirely in SQL
+    (the fit itself is differentially tested against the numpy reference
+    in ``tests/test_clustering.py``). float repr round-trips exactly and
+    the distance sums associate identically, so the sorted (distance,
+    cell) structs — and therefore the probed cells — cannot disagree."""
+    from .similarity import NEAR_VEC_OFFSET, PERTURB_DELTA  # cycle-free local import
+
+    dists = ", ".join(_sqdist_sql("embedding", c) for c in centroids)
+    return f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEAR_VEC_OFFSET},
+         list_transform(range(len(embedding)), i ->
+           CASE WHEN i = vec_id % {DIM}
+                THEN CAST(embedding[i+1] AS DOUBLE) + {PERTURB_DELTA}
+                ELSE CAST(embedding[i+1] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 5 = 0
+), ranked AS (
+  SELECT vec_id, embedding,
+         list_sort(list_transform(range({len(centroids)}),
+                                  j -> {{'d': dl[j + 1], 'i': j}})) AS rk
+  FROM (SELECT *, list_value({dists}) AS dl FROM aug)
+), assigned AS (
+  SELECT vec_id, embedding, unnest(list_transform(rk[1:{SD_NPROBE}], s -> s.i)) AS cell
+  FROM ranked
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cosine_sql("a.embedding", "b.embedding")} AS cos
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= {SD_THRESHOLD}
+"""
