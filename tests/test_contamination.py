@@ -236,3 +236,54 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     # never shuffles before the match
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_sample_matches_oracle(spark, duck):
+    sdf = text.q_mixture_sample(spark, SF_ORACLE)
+    ddf = duck.sql(text._oracle_mixture_sample()).df()
+    compare(sdf, ddf, "mixture_sample")
+
+
+def test_mixture_sample_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rows = {r["lang"]: r for r in text.q_mixture_sample(spark, SF_ORACLE).collect()}
+    assert set(rows) <= set(text.MIX_WEIGHTS)
+    total_take = sum(r["n_take"] for r in rows.values())
+    binding = 0
+    for lang, r in rows.items():
+        assert r["n_sampled"] == r["n_take"]  # exact rank cutoff, not a rate
+        assert r["n_take"] <= r["n_total"] == n_by_lang[lang]
+        if r["n_take"] == r["n_total"]:
+            binding += 1
+        # achieved share hits the target weight up to the floor-rounding of
+        # the integer take arithmetic (1/S per group, S >= total_take)
+        target = text.MIX_WEIGHTS[lang] / 100
+        assert abs(r["achieved_share"] - target) <= 2.0 / total_take + 1e-9, (lang, r)
+    assert binding >= 1  # the scarcest group is fully taken by construction
+
+
+def test_mixture_sample_selection_is_layout_independent(spark):
+    # the selected ID set (pinned by the checksum) must not move under a
+    # hostile repartition of the input — rank is on (md5, doc_id), not layout
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators.text import MIX_WEIGHTS, md5_long
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").repartition(13)
+    base = {(r["lang"], r["id_checksum"]) for r in text.q_mixture_sample(spark, SF_ORACLE).collect()}
+    ranked = docs.filter(F.col("lang").isin(*MIX_WEIGHTS.keys())).withColumn(
+        "_h", md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    ).withColumn("_rn", F.row_number().over(Window.partitionBy("lang").orderBy("_h", "doc_id")))
+    takes = {r["lang"]: r["n_take"] for r in text.q_mixture_sample(spark, SF_ORACLE).collect()}
+    got = {}
+    for r in ranked.collect():
+        if r["_rn"] <= takes[r["lang"]]:
+            got[r["lang"]] = got.get(r["lang"], 0) + r["doc_id"]
+    assert {(lang, s) for lang, s in got.items()} == base

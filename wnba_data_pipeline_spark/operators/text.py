@@ -364,6 +364,102 @@ WHERE ({gate}) % 100 < (CASE {cases} ELSE 0 END)
 
 
 # ---------------------------------------------------------------------------
+# mixture rebalancing — sample to TARGET mixture weights (data-mixing step)
+# ---------------------------------------------------------------------------
+
+# target output shares in percent (integers: the S / take arithmetic below
+# stays exact integer division, identical in both engines)
+MIX_WEIGHTS = {"en": 40, "de": 25, "es": 20, "fr": 10, "zh": 5}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to TARGET mixture weights — the data-mixing
+    operator of a pre-training pipeline. ``sample_gate`` applies fixed
+    per-group RATES; this derives the rates from the data: the largest
+    feasible sample hitting the target shares exactly is capped by the
+    scarcest group, S = min_g(n_g·100 div w_g), each group then takes
+    n_take_g = (w_g·S) div 100 rows (all-integer arithmetic — exact and
+    engine-identical; n_take_g ≤ n_g by construction of S). WHICH rows is
+    deterministic: the n_take_g smallest by (md5-int64('mix:'+doc_id),
+    doc_id) within each group — reshuffle/engine-independent, so the
+    selected set is reproducible and oracle-checkable.
+
+    Output is the per-group audit row (take counts, achieved share, and an
+    id-sum checksum binding the exact selected set), not the sampled rows —
+    compact enough to hash-compare while still pinning every selected id.
+
+    Plan: one count agg (partial-combining, group keys only), two 1-row /
+    k-row broadcasts back, and ONE shuffle of the corpus on the group key
+    for the per-group rank window. Groups are few → that window is the
+    skew point at 100 TB; the documented scale path swaps the exact rank
+    cutoff for the ``sample_gate`` hash-rate gate with rate =
+    n_take_g/n_g (zero-shuffle, approximate counts), once group counts
+    come from metadata instead of a scan. Groups absent from MIX_WEIGHTS
+    are excluded; a weight for a group absent from the corpus simply
+    cannot bind S (no row, no cap)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*MIX_WEIGHTS.keys())
+    )
+    w = None
+    for lang, pct in MIX_WEIGHTS.items():
+        cond = (w if w is not None else F).when(F.col("lang") == lang, F.lit(pct))
+        w = cond
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn("w", w)
+    )
+    cap = counts.agg(F.min(F.expr("n_total * 100 div w")).alias("S"))
+    takes = counts.crossJoin(F.broadcast(cap)).withColumn(
+        "n_take", F.expr("w * S div 100")
+    )
+    ranked = docs.withColumn(
+        "_h", md5_long(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    ).withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("lang").orderBy("_h", "doc_id")),
+    )
+    sel = ranked.join(F.broadcast(takes), "lang").filter(F.col("_rn") <= F.col("n_take"))
+    out = sel.groupBy("lang").agg(
+        F.first("n_total").alias("n_total"),
+        F.first("n_take").alias("n_take"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return out.withColumn(
+        "achieved_share",
+        F.round(F.col("n_take") / F.sum("n_take").over(Window.partitionBy()), 6),
+    )
+
+
+def _oracle_mixture_sample() -> str:
+    langs = ", ".join(f"'{k}'" for k in MIX_WEIGHTS)
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())
+    h = md5_long_sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH wt AS (
+  SELECT lang, COUNT(*) AS n_total, (CASE {cases} END) AS w
+  FROM documents WHERE lang IN ({langs}) GROUP BY lang
+), cap AS (
+  SELECT MIN(n_total * 100 // w) AS S FROM wt
+), takes AS (
+  SELECT lang, n_total, (w * S) // 100 AS n_take FROM wt CROSS JOIN cap
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+  FROM documents WHERE lang IN ({langs})
+), sel AS (
+  SELECT r.lang, r.doc_id, t.n_total, t.n_take
+  FROM ranked r JOIN takes t USING (lang) WHERE r.rn <= t.n_take
+)
+SELECT lang, MIN(n_total) AS n_total, MIN(n_take) AS n_take,
+       COUNT(*) AS n_sampled, SUM(doc_id) AS id_checksum,
+       round(MIN(n_take) / (SELECT SUM(n_take) FROM takes), 6) AS achieved_share
+FROM sel GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
 
