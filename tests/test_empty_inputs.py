@@ -59,3 +59,54 @@ def test_operator_expressions_on_empty_groups(spark):
         F.when(F.col("q") > 0, F.col("q") / F.col("n")).otherwise(F.lit(0.0)).alias("r"),
     )
     assert out.count() == 0
+
+
+def test_kmeans_fit_raises_cleanly_when_corpus_smaller_than_k(spark):
+    import pytest
+
+    from wnba_data_pipeline_spark.operators.clustering import kmeans_fit
+
+    tiny = spark.createDataFrame(
+        [(0, [0.0] * 64), (1, [1.0] * 64)], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="need k="):
+        kmeans_fit(tiny, k=5, max_iter=2)
+
+
+def test_kmeans_fit_handles_degenerate_identical_corpus(spark):
+    # all-identical vectors: every seed is the same point, all rows land in
+    # cell 0 (first-min tie-break), the other cells stay empty and keep
+    # their seeds — converges immediately, no division by zero
+    from wnba_data_pipeline_spark.operators.clustering import assign_clusters, kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [2.5] * 64) for i in range(10)], "vec_id: long, embedding: array<double>"
+    )
+    model = kmeans_fit(df, k=3, max_iter=3)
+    assert model.converged and model.sizes == {0: 10}
+    assert model.inertia[-1] == 0.0
+    clusters = {r["cluster"] for r in assign_clusters(df, model.centroids).collect()}
+    assert clusters == {0}
+
+
+def test_mixture_sample_with_absent_weight_group(spark):
+    # a weight entry for a language absent from the corpus must not bind S
+    # or emit a row — rebuild the frame with 'zh' filtered out entirely
+    from wnba_data_pipeline_spark.operators import text
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("lang") != "zh")
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    present = set(counts) & set(text.MIX_WEIGHTS)
+    assert present and "zh" not in counts
+
+    w = None
+    for lang, pct in text.MIX_WEIGHTS.items():
+        cond = (w if w is not None else F).when(F.col("lang") == lang, F.lit(pct))
+        w = cond
+    cnt = docs.filter(F.col("lang").isin(*text.MIX_WEIGHTS)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total")
+    ).withColumn("w", w)
+    s = cnt.agg(F.min(F.expr("n_total * 100 div w")).alias("S")).collect()[0]["S"]
+    expected_s = min(counts[lang] * 100 // text.MIX_WEIGHTS[lang] for lang in present)
+    assert s == expected_s  # S derives from PRESENT groups only
