@@ -179,3 +179,28 @@ def test_whole_stage_codegen_everywhere(spark):
         plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
         # '*(n)' node prefixes are the whole-stage-codegen span markers
         assert re.search(r"\*\(\d+\) ", plan), f"{name}: {plan}"
+
+
+def test_mixture_sample_prunes_text_and_broadcasts_takes(spark):
+    from wnba_data_pipeline_spark.operators import text as textops
+
+    df = textops.q_mixture_sample(spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # the corpus scan must read ONLY (doc_id, lang) — at 100 TB the wide
+    # text column never leaving the parquet reader IS the operator's cost
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,lang:string>", plan), plan
+    assert "CartesianProduct" not in plan
+    # per-group take counts ride a broadcast back to the corpus; the only
+    # full-corpus shuffle is the rank window's hashpartitioning(lang)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_join_is_not_cartesian(spark):
+    from wnba_data_pipeline_spark.operators import clustering
+
+    df = clustering.q_semantic_dedup(spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # candidates come from the shared-cell equi-join, never an all-pairs
+    # product (the same no-cartesian bar test_similarity_bucketed pins for
+    # the LSH path)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
