@@ -2,8 +2,8 @@
 (off the 50-slot driver registry, same rigor as tests/test_contamination.py):
 
 - the FIT is verified against an exact numpy re-implementation of the same
-  algorithm (same md5 seed choice, same left-fold distances, same HALF_UP
-  fixed-point quantization) — centroids must match bit-for-bit;
+  algorithm (same md5 seed choice, same left-fold distances, same
+  floor(y+0.5) fixed-point quantization) — centroids must match bit-for-bit;
 - the post-fit stages (assignment, within-cell join, cosine filter) are
   verified cross-engine against a DuckDB twin given the fitted centroids;
 - recall is measured against the exact all-pairs baseline q_emb_near_dup.
@@ -33,9 +33,10 @@ DIM = similarity.DIM
 
 
 def _round_half_up(y: np.ndarray) -> np.ndarray:
-    # Spark F.round on doubles is BigDecimal HALF_UP (away from zero);
-    # np.round is HALF_EVEN, so replicate explicitly
-    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5))
+    # the engine quantizes with floor(y + 0.5) spelled out (round-5 ADVICE:
+    # engine-native round() half-modes can diverge in last-ulp cases); the
+    # reference uses the literally identical IEEE expression
+    return np.floor(y + 0.5)
 
 
 def _load_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:

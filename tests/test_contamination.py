@@ -267,6 +267,69 @@ def test_mixture_sample_invariants(spark):
     assert binding >= 1  # the scarcest group is fully taken by construction
 
 
+def test_mixture_rate_gate_shares_match_exact_variant(spark):
+    # the metadata-fed zero-shuffle variant must achieve per-group sizes
+    # binomially close to the exact rank-cutoff variant's n_take
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    counts = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    exact = {r["lang"]: r for r in text.q_mixture_sample(spark, SF_ORACLE).collect()}
+    takes = text.mixture_takes(counts)
+    # the metadata arithmetic reproduces the exact variant's integer plan
+    for lang, r in exact.items():
+        assert takes[lang][0] == r["n_total"]
+        assert takes[lang][1] == r["n_take"]
+    got = {
+        r["lang"]: r["n"]
+        for r in text.mixture_rate_gate(docs, counts)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(takes)
+    for lang, (n_total, n_take, _) in takes.items():
+        # binomial tolerance: 3σ of Binomial(n_total, n_take/n_total) + slack
+        sigma = (n_take * max(1.0 - n_take / n_total, 0.0)) ** 0.5
+        assert abs(got[lang] - n_take) <= 3 * sigma + 3, (lang, got[lang], n_take)
+
+
+def test_mixture_rate_gate_is_zero_shuffle_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    counts = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    gated = text.mixture_rate_gate(docs, counts).select("doc_id", "lang")
+    plan = spark._jvm.PythonSQLUtils.explainString(gated._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan  # the whole point of the variant
+    ids = {r["doc_id"] for r in gated.collect()}
+    again = {
+        r["doc_id"]
+        for r in text.mixture_rate_gate(docs.repartition(13), counts).select("doc_id").collect()
+    }
+    assert ids == again  # hash gate: layout-independent selection
+
+
+def test_mixture_rate_gate_degenerate_inputs(spark):
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert text.mixture_takes({}) == {}
+    assert text.mixture_takes({"xx": 100}) == {}  # no weighted group
+    assert text.mixture_rate_gate(docs, {}).count() == 0
+    # zero-count metadata rows can't bind S or emit rows
+    t = text.mixture_takes({"en": 0, "de": 50})
+    assert set(t) == {"de"}
+
+
 def test_mixture_sample_selection_is_layout_independent(spark):
     # the selected ID set (pinned by the checksum) must not move under a
     # hostile repartition of the input — rank is on (md5, doc_id), not layout

@@ -1,9 +1,11 @@
 """Oracle-parity gates for queries rotated OUT of the capped 50-slot driver
 registry (round-5 rotation: doc_fingerprint → subsumed by doc_winnow,
 emb_near_dup → subsumed by emb_near_dup_bucketed, rank_global_marts →
-E4 covered by award_mart). Rotation must not weaken their correctness
-story: the same hash-differential comparison the driver applies to
-registered queries runs here against the same DuckDB twins.
+E4 covered by award_mart; round-6 rotation: freshness_now → H4/H7 also
+covered by scalar_funcs/quality_probe, seeded_noise → H8 fully
+property-covered in tests/test_noise.py). Rotation must not weaken their
+correctness story: the same hash-differential comparison the driver applies
+to registered queries runs here against the same DuckDB twins.
 """
 
 from __future__ import annotations
@@ -19,6 +21,8 @@ ROTATED = {
     "doc_fingerprint": (text.q_doc_fingerprint, text.ORACLE_DOC_FINGERPRINT),
     "emb_near_dup": (similarity.q_emb_near_dup, similarity.ORACLE_EMB_NEAR_DUP),
     "rank_global_marts": (relational.q_rank_global_marts, relational.ORACLE_RANK_GLOBAL_MARTS),
+    "freshness_now": (relational.q_freshness_now, relational.ORACLE_FRESHNESS_NOW),
+    "seeded_noise": (relational.q_seeded_noise, relational.ORACLE_SEEDED_NOISE),
 }
 
 
@@ -36,5 +40,11 @@ def test_rotated_queries_stay_off_registry():
     qs = entrymod.queries()
     assert not set(ROTATED) & set(qs)
     # and their replacements hold hard driver rows
-    for newcomer in ("contamination_check", "sequence_packing", "trend_stats"):
+    for newcomer in (
+        "contamination_check",
+        "sequence_packing",
+        "trend_stats",
+        "pii_stats",
+        "mixture_sample",
+    ):
         assert newcomer in qs

@@ -22,10 +22,15 @@ literals. Assignment is a zero-shuffle map (k folds over the array column,
 all JVM-side — no Python UDF anywhere).
 
 Determinism contract: per-component partial sums are FIXED-POINT —
-``sum(round(x * 10^9)::decimal(38,0))`` — so the centroid update is exact
-integer arithmetic, independent of partition layout and partial-aggregation
-order, and bit-replicable by the numpy reference in
+``sum(floor(x * 10^9 + 0.5)::decimal(38,0))`` — so the centroid update is
+exact integer arithmetic, independent of partition layout and
+partial-aggregation order, and bit-replicable by the numpy reference in
 ``tests/test_clustering.py`` (same quantization, same left-fold distance).
+The quantizer is ``floor(y + 0.5)`` SPELLED OUT in both implementations
+(round-5 ADVICE): engine-native round() half-modes (Spark BigDecimal
+HALF_UP over the shortest decimal repr vs numpy HALF_EVEN) can diverge in
+last-ulp cases where y + 0.5 crosses an integer boundary; the shared
+floor expression is identical by construction, not by coincidence.
 Plain double sums would make centroids drift across runs with partitioning,
 which would cascade into assignment flips at Voronoi boundaries.
 
@@ -166,12 +171,14 @@ def kmeans_fit(
         assigned = base.select(
             cluster.alias("_cl"), mind.alias("_mind"), vec.cast("array<double>").alias("_v")
         )
+        # floor(y + 0.5), not F.round: see the module-docstring determinism
+        # contract (identical-by-construction with the numpy reference)
         aggs = [
             F.count(F.lit(1)).alias("_n"),
-            F.sum(F.round(F.col("_mind") * INERTIA_SCALE).cast("decimal(38,0)")).alias("_inert"),
+            F.sum(F.floor(F.col("_mind") * INERTIA_SCALE + F.lit(0.5)).cast("decimal(38,0)")).alias("_inert"),
         ] + [
             F.sum(
-                F.round(F.element_at("_v", i + 1) * COMP_SCALE).cast("decimal(38,0)")
+                F.floor(F.element_at("_v", i + 1) * COMP_SCALE + F.lit(0.5)).cast("decimal(38,0)")
             ).alias(f"_s{i}")
             for i in range(DIM)
         ]
@@ -229,7 +236,6 @@ def probe_assignments(
     centroids: list[list[float]],
     *,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     nprobe: int = SD_NPROBE,
 ) -> DataFrame:
     """One row per (vector, probed cell) — the multi-probe inverted-list

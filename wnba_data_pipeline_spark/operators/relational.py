@@ -90,8 +90,11 @@ def _use_split_distinct(sf_dir: str) -> bool:
     forced = os.environ.get("SPARK_GRAFT_SPLIT_DISTINCT")
     if forced is not None:
         return forced == "1"
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else 0.0
+    # digit-required token: a degenerate 'sf.' segment or an sf-less path
+    # falls back to the small-scale shape instead of raising (plan
+    # selection only — never semantics)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
     return sf >= _SCALE_SWITCH_SF
 
 
@@ -1497,10 +1500,14 @@ QUERIES = {
     "scalar_funcs": q_scalar_funcs,
     "json_extract_events": q_json_extract_events,
     "kpi_json": q_kpi_json,
-    "freshness_now": q_freshness_now,
+    # freshness_now + seeded_noise left OFF the capped registry (round-6
+    # rotation): H4/H7 interval arithmetic is also exercised by
+    # scalar_funcs/quality_probe and H8 is fully property-covered
+    # (tests/test_noise.py); both keep full oracle parity in
+    # tests/test_offregistry_parity.py. The freed slots give the round-5
+    # LLM operators (pii_stats, mixture_sample) hard driver rows.
     "agg_over_agg": q_agg_over_agg,
     "advanced_metrics": q_advanced_metrics,
-    "seeded_noise": q_seeded_noise,
     "award_mart": q_award_mart,
     "trend_stats": q_trend_stats,
     "sessionize_events": q_sessionize_events,
@@ -1527,10 +1534,8 @@ ORACLES = {
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "json_extract_events": ORACLE_JSON_EXTRACT_EVENTS,
     "kpi_json": ORACLE_KPI_JSON,
-    "freshness_now": ORACLE_FRESHNESS_NOW,
     "agg_over_agg": ORACLE_AGG_OVER_AGG,
     "advanced_metrics": ORACLE_ADVANCED_METRICS,
-    "seeded_noise": ORACLE_SEEDED_NOISE,
     "award_mart": ORACLE_AWARD_MART,
     "trend_stats": ORACLE_TREND_STATS,
     "sessionize_events": ORACLE_SESSIONIZE_EVENTS,

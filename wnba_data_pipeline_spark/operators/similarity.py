@@ -594,8 +594,13 @@ _VAR_EPS = 1e-9  # below this total variance the group is numerically degenerate
 
 
 def _sf_of(sf_dir: str) -> float:
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1).rstrip(".")) if m else 0.0
+    """Scale factor parsed from the directory name; ONLY a physical-plan
+    selector (never semantics), so unparseable paths — no 'sf<digits>'
+    token, or a degenerate 'sf.' segment — fall back to 0.0 (the
+    smallest-scale physical shape) instead of raising (round-5 ADVICE).
+    Callers that know better pass the explicit ``mode=``/env override."""
+    m = _re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    return float(m.group(1)) if m else 0.0
 
 
 def _top_eig(C) -> float:
@@ -687,21 +692,36 @@ def embedding_spectrum(emb: DataFrame, *, mode: str = "pandas") -> DataFrame:
         raise ValueError(f"unknown spectrum mode: {mode!r}")
 
     def partial_moments(batches):
+        # accumulate across ALL Arrow batches of the partition and yield
+        # ONCE at the end: mapInPandas hands ~10k-row batches, so yielding
+        # per batch would shuffle batches × labels dim²-sized partials —
+        # a meaningfully larger exchange than the intended
+        # partitions × labels (round-5 ADVICE)
+        acc: dict[int, list] = {}
         for pdf in batches:
-            labels, stats = [], []
             for label, grp in pdf.groupby("label"):
                 X = np.array(grp["embedding"].tolist(), dtype=np.float64)
-                s = X.sum(axis=0)
-                G = X.T @ X
-                labels.append(int(label))
-                stats.append(np.concatenate(([float(len(X))], s, G.ravel())).tolist())
+                ent = acc.get(int(label))
+                if ent is None:
+                    acc[int(label)] = [float(len(X)), X.sum(axis=0), X.T @ X]
+                else:
+                    ent[0] += float(len(X))
+                    ent[1] = ent[1] + X.sum(axis=0)
+                    ent[2] = ent[2] + X.T @ X
+        if acc:
+            labels = sorted(acc)
+            stats = [
+                np.concatenate(([acc[lb][0]], acc[lb][1], acc[lb][2].ravel())).tolist()
+                for lb in labels
+            ]
             yield pd.DataFrame({"label": labels, "stats": stats})
 
     partials = emb.select("label", "embedding").mapInPandas(
         partial_moments, "label int, stats array<double>"
     )
-    # partial rows are O(partitions × labels); the element-wise sum is a
-    # hash aggregate over (label, pos) with map-side combine
+    # partial rows are O(partitions × labels) — one yield per partition,
+    # see partial_moments; the element-wise sum is a hash aggregate over
+    # (label, pos) with map-side combine
     combined = (
         partials.select("label", F.posexplode("stats").alias("pos", "val"))
         .groupBy("label", "pos")

@@ -391,12 +391,12 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one count agg (partial-combining, group keys only), two 1-row /
     k-row broadcasts back, and ONE shuffle of the corpus on the group key
     for the per-group rank window. Groups are few → that window is the
-    skew point at 100 TB; the documented scale path swaps the exact rank
-    cutoff for the ``sample_gate`` hash-rate gate with rate =
-    n_take_g/n_g (zero-shuffle, approximate counts), once group counts
-    come from metadata instead of a scan. Groups absent from MIX_WEIGHTS
-    are excluded; a weight for a group absent from the corpus simply
-    cannot bind S (no row, no cap)."""
+    skew point at 100 TB; the scale path that removes it is
+    ``mixture_rate_gate`` below (round-6): once group counts come from
+    metadata instead of a scan, the exact rank cutoff swaps for a
+    zero-shuffle hash-rate gate with threshold n_take_g/n_g. Groups
+    absent from MIX_WEIGHTS are excluded; a weight for a group absent
+    from the corpus simply cannot bind S (no row, no cap)."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("lang").isin(*MIX_WEIGHTS.keys())
     )
@@ -457,6 +457,65 @@ SELECT lang, MIN(n_total) AS n_total, MIN(n_take) AS n_take,
        round(MIN(n_take) / (SELECT SUM(n_take) FROM takes), 6) AS achieved_share
 FROM sel GROUP BY lang
 """
+
+
+_RATE_DEN = 1_000_000  # hash-gate denominator: rate resolution 1e-6
+
+
+def mixture_takes(
+    group_counts: dict[str, int], *, weights: dict[str, int] = MIX_WEIGHTS
+) -> dict[str, tuple[int, int, int]]:
+    """The metadata half of mixture rebalancing, as pure driver arithmetic:
+    given per-group row counts (from catalog statistics / partition
+    metadata — NO scan), derive the same S = min_g(n_g·100 div w_g) cap
+    and n_take_g = (w_g·S) div 100 as ``q_mixture_sample``, plus the
+    integer hash-gate threshold t_g = (n_take_g·RATE_DEN) div n_g.
+    Returns {group: (n_total, n_take, threshold)} — all-integer, so any
+    engine fed the same counts derives the identical thresholds."""
+    known = {g: n for g, n in group_counts.items() if g in weights and n > 0}
+    if not known:
+        return {}
+    S = min(n * 100 // weights[g] for g, n in known.items())
+    return {
+        g: (n, weights[g] * S // 100, (weights[g] * S // 100) * _RATE_DEN // n)
+        for g, n in known.items()
+    }
+
+
+def mixture_rate_gate(
+    docs: DataFrame,
+    group_counts: dict[str, int],
+    *,
+    weights: dict[str, int] = MIX_WEIGHTS,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB form of ``q_mixture_sample``'s selection (the documented
+    hash-rate-gate swap): when group counts come from table METADATA
+    instead of a scan, the per-group rank window — the exact variant's one
+    corpus shuffle — disappears entirely. A row survives iff
+    md5-int64('mix:'+id) % RATE_DEN < t_g, with t_g derived by
+    ``mixture_takes`` from the metadata counts: a ZERO-SHUFFLE codegen
+    filter stacked on the scan (plan-asserted in tests/test_contamination).
+
+    Trade: the achieved group sizes are binomial around n_take_g
+    (relative error ~1/√n_take) instead of exact — the standard
+    approximation a real mixing job accepts for removing the only
+    exchange. Selection stays reshuffle/engine-independent (same hash
+    contract as every gate in this module) but picks a DIFFERENT
+    deterministic subset than the exact variant's rank cutoff — the two
+    variants' achieved shares are differentially compared in
+    tests/test_contamination.py. Groups with no metadata row or zero/
+    missing weight are excluded, matching the exact variant."""
+    takes = mixture_takes(group_counts, weights=weights)
+    if not takes:
+        return docs.filter(F.lit(False))
+    h = md5_long(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))) % F.lit(_RATE_DEN)
+    thresh = None
+    for g, (_, _, t) in takes.items():
+        cond = (thresh if thresh is not None else F).when(F.col(group_col) == g, F.lit(t))
+        thresh = cond
+    return docs.filter(h < thresh.otherwise(F.lit(0)))
 
 
 # ---------------------------------------------------------------------------
@@ -852,9 +911,18 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     pipelines keep; the full redacted column is the same ``withColumn``
     minus the hash, downstream of the same plan.
 
-    Not in the 50-slot driver registry (capped); DuckDB twin runs in
-    tests/test_pii.py with the same differential rigor, plus a
-    planted-PII positive control."""
+    Overlap semantics (deliberate, round-5 ADVICE): the ``n_*`` counts are
+    PER-PATTERN MATCHES ON THE RAW TEXT, not replacement counts — when
+    matches overlap (e.g. an IP-shaped substring inside an email that the
+    earlier email pass already replaced), ``pii_total`` can exceed the
+    number of substrings actually rewritten in ``redacted_*``. Both engines
+    compute both sides identically; the counts answer "how much PII-shaped
+    content does this doc contain" (the gating signal), the redaction
+    chain answers "what does the scrubbed text look like".
+
+    Holds a hard driver-registry row since the round-6 rotation
+    (``pii_stats``); tests/test_pii.py adds the planted-PII positive
+    control and cross-engine literal checks on top."""
     counts = [
         F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
@@ -914,17 +982,20 @@ ORACLE_PII_STATS = _oracle_pii()
 # the global-min special case of doc_winnow, which stays registered; its
 # oracle still runs in tests/test_offregistry_parity.py. The freed slots
 # give the round-3 LLM operators (contamination check, sequence packing)
-# hard driver rows.
+# hard driver rows. Round-6 rotation: pii_stats + mixture_sample take the
+# slots freed by freshness_now/seeded_noise (see operators/relational.py).
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_agreement": q_lang_id_agreement,
     "text_corpus_rollup": q_text_corpus_rollup,
     "doc_winnow": q_doc_winnow,
     "corpus_sample": q_corpus_sample,
+    "mixture_sample": q_mixture_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_topk": q_bigram_topk,
     "contamination_check": q_contamination_check,
     "sequence_packing": q_sequence_packing,
+    "pii_stats": q_pii_stats,
 }
 
 ORACLES = {
@@ -933,8 +1004,10 @@ ORACLES = {
     "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
     "doc_winnow": ORACLE_DOC_WINNOW,
     "corpus_sample": _oracle_corpus_sample(),
+    "mixture_sample": _oracle_mixture_sample(),
     "tfidf_top_terms": _oracle_tfidf(),
     "bigram_topk": ORACLE_BIGRAM_TOPK,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
+    "pii_stats": ORACLE_PII_STATS,
 }
