@@ -154,6 +154,62 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert model.converged
 
 
+def test_assignment_pandas_path_matches_expr_bitexact(spark):
+    # the k-scalable Arrow path must agree with the unrolled-expression
+    # path on EVERY cluster id (same fold association, same first-min
+    # tie-break) — on the augmented corpus, whose planted near-dups sit
+    # close to Voronoi boundaries
+    aug = similarity._augmented_corpus(spark, SF_ORACLE)
+    model = kmeans_fit(aug, k=SD_K, max_iter=SD_ITERS)
+    expr = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(aug, model.centroids, path="expr").select("vec_id", "cluster").collect()
+    }
+    pand = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(aug, model.centroids, path="pandas").select("vec_id", "cluster").collect()
+    }
+    assert expr == pand
+    # and the multi-probe expansion agrees cell-for-cell
+    from wnba_data_pipeline_spark.operators.clustering import probe_assignments
+
+    pe = {
+        (r["vec_id"], r["cell"])
+        for r in probe_assignments(aug, model.centroids, path="expr").select("vec_id", "cell").collect()
+    }
+    pp = {
+        (r["vec_id"], r["cell"])
+        for r in probe_assignments(aug, model.centroids, path="pandas").select("vec_id", "cell").collect()
+    }
+    assert pe == pp
+
+
+def test_kmeans_k256_pandas_path_bitexact_vs_reference(spark):
+    # production-SemDeDup-shaped k: 256 > KM_EXPR_MAX_K routes the fit's
+    # per-iteration assignment through the Arrow path; the fit must STILL
+    # be bit-exact against the numpy reference (same folds, same
+    # fixed-point sums), proving the k-scalable path changes the physical
+    # shape only
+    from wnba_data_pipeline_spark.operators.clustering import KM_EXPR_MAX_K
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    assert 256 > KM_EXPR_MAX_K
+    sf_dir = SF_ORACLE.replace("sf0.01", "sf0.1")  # 2000 vectors ≥ k
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=256, max_iter=2)
+    ids, V = _load_vectors(sf_dir)
+    ref = ref_kmeans(ids, V, 256, 2)
+    assert model.centroids == ref.centroids
+    assert model.sizes == ref.sizes
+    assert model.inertia == ref.inertia
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, model.centroids).select("vec_id", "cluster").collect()
+    }
+    D = _fold_sqdists(V, model.centroids)
+    assert got == dict(zip(ids.tolist(), np.argmin(D, axis=1).tolist()))
+
+
 def test_semantic_dedup_pairs_match_duckdb_twin(spark, duck):
     aug = similarity._augmented_corpus(spark, SF_ORACLE)
     model = kmeans_fit(aug, k=SD_K, max_iter=SD_ITERS)

@@ -40,9 +40,12 @@ Scale posture (100 TB):
   once afterwards — the standard big-data k-means recipe. Persist the
   input upstream if iterating over an expensive lineage.
 - k: the per-iteration shuffle is k x dim longs — negligible. The
-  ASSIGNMENT expression grows linearly in k (k folds); beyond k ~ 64
-  move the distance loop into an Arrow-batched pandas UDF (documented
-  escape hatch, not needed at this k).
+  ASSIGNMENT has two physical paths switched on ``KM_EXPR_MAX_K``:
+  unrolled JVM fold expressions at small k (zero Python), an
+  Arrow-batched numpy argmin (``_batch_assign_fn``) above it — the shape
+  production-SemDeDup k ~ 10k+ requires, bit-identical to the expression
+  path by construction and equality-tested (round-6; closes the round-5
+  "documented escape hatch").
 - semantic dedup: within-cluster all-pairs is quadratic per cluster, so
   k must scale with the corpus (k ~ N / target_cell_size keeps per-cell
   candidate counts bounded — production SemDeDup uses 10k+ cells); the
@@ -116,6 +119,72 @@ def _assignment_cols(vec: Column, centroids: list[list[float]]) -> tuple[Column,
     return cluster, mind
 
 
+# Beyond this k the expression path stops being the right physical shape:
+# the plan carries k x dim centroid literals and k unrolled fold chains
+# (analysis/codegen cost grows linearly in k, and production SemDeDup wants
+# k ~ 10k+ cells). Above it, assignment switches to an Arrow-batched
+# numpy argmin over the same centroids (``_batch_assign_fn``) — the
+# escape hatch round 5 documented, implemented and equality-tested in
+# round 6 (tests/test_clustering.py: both paths agree exactly at k=8, and
+# a k=256 fit is bit-exact vs the numpy reference through the pandas path).
+KM_EXPR_MAX_K = 64
+
+
+def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, dist_col: str | None):
+    """mapInPandas generator: append (cluster id [, min sq distance]) via a
+    numpy argmin over the broadcast k x dim centroid matrix.
+
+    Determinism contract (same as ``_sqdist``/`_assignment_cols``): squared
+    distances accumulate COMPONENT-BY-COMPONENT in index order from 0.0 —
+    elementwise IEEE doubles in the identical association as the Spark
+    left fold — and ``argmin`` takes the first minimum exactly like
+    ``array_position``; array<float> inputs widen f32→f64 exactly in both
+    paths. So the two physical paths cannot disagree on a single cluster
+    id, which the equality test pins.
+
+    Scale shape: zero-shuffle map stage; per-task memory is
+    O(batch x k + k x dim) doubles — independent of corpus size, and the
+    centroid matrix rides to executors once per task via the closure."""
+    import numpy as np
+
+    def assign(batches):
+        C = np.asarray(centroids, dtype=np.float64)  # k x dim
+        k, dim = C.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            D = np.zeros((len(X), k))
+            for d in range(dim):  # left-fold association, see docstring
+                diff = X[:, d, None] - C[None, :, d]
+                D += diff * diff
+            cl = D.argmin(axis=1)  # first-min, same tie-break as array_position
+            out = pdf.copy()
+            out[out_col] = cl.astype(np.int32)
+            if dist_col is not None:
+                out[dist_col] = D[np.arange(len(X)), cl]
+            yield out
+
+    return assign
+
+
+def _assignment_df(base: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """The per-iteration assignment frame (_cl, _mind, _v), physical path
+    picked by k: unrolled JVM fold expressions at small k (zero Python),
+    Arrow-batched numpy argmin above ``KM_EXPR_MAX_K`` (same values — see
+    ``_batch_assign_fn``)."""
+    vec = F.col(vec_col)
+    if len(centroids) <= KM_EXPR_MAX_K:
+        cluster, mind = _assignment_cols(vec, centroids)
+        return base.select(
+            cluster.alias("_cl"), mind.alias("_mind"), vec.cast("array<double>").alias("_v")
+        )
+    return base.select(vec.cast("array<double>").alias("_v")).mapInPandas(
+        _batch_assign_fn(centroids, "_v", "_cl", "_mind"),
+        "_v array<double>, _cl int, _mind double",
+    )
+
+
 @dataclass
 class KMeansModel:
     centroids: list[list[float]]  # k x dim
@@ -167,10 +236,7 @@ def kmeans_fit(
     n_iter = 0
     for _ in range(max_iter):
         n_iter += 1
-        cluster, mind = _assignment_cols(vec, centroids)
-        assigned = base.select(
-            cluster.alias("_cl"), mind.alias("_mind"), vec.cast("array<double>").alias("_v")
-        )
+        assigned = _assignment_df(base, vec_col, centroids)
         # floor(y + 0.5), not F.round: see the module-docstring determinism
         # contract (identical-by-construction with the numpy reference)
         aggs = [
@@ -208,12 +274,29 @@ def assign_clusters(
     *,
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    path: str | None = None,
 ) -> DataFrame:
-    """Add the nearest-centroid cell id — a zero-shuffle JVM-side map. Also
-    the trained coarse-quantizer upgrade path for ``q_sim_ivf``'s
-    hash-sampled cells (same inverted-list probe, better-placed cells)."""
-    cluster, _ = _assignment_cols(F.col(vec_col), centroids)
-    return df.withColumn(out_col, cluster)
+    """Add the nearest-centroid cell id — a zero-shuffle map either way.
+    ``path`` picks the physical shape: ``"expr"`` (unrolled JVM folds —
+    zero Python, right at small k), ``"pandas"`` (Arrow-batched numpy
+    argmin — right at production-SemDeDup k), or None to switch on
+    ``KM_EXPR_MAX_K``. Both paths produce bit-identical ids
+    (equality-tested). Also the trained coarse-quantizer upgrade path for
+    ``q_sim_ivf``'s hash-sampled cells (same probe, better-placed cells).
+
+    The pandas path round-trips every input column through Arrow, so it
+    expects Arrow-compatible schemas (all of ours are)."""
+    if path is None:
+        path = "expr" if len(centroids) <= KM_EXPR_MAX_K else "pandas"
+    if path == "expr":
+        cluster, _ = _assignment_cols(F.col(vec_col), centroids)
+        return df.withColumn(out_col, cluster)
+    if path != "pandas":
+        raise ValueError(f"unknown assignment path: {path!r}")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
+    return df.mapInPandas(_batch_assign_fn(centroids, vec_col, out_col, None), out_schema)
 
 
 def _probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
@@ -231,16 +314,56 @@ def _probe_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Colu
     return F.slice(F.transform(ranked, lambda s: s.getField("i")), 1, nprobe)
 
 
+def _batch_probe_fn(centroids: list[list[float]], vec_col: str, cell_col: str, nprobe: int):
+    """mapInPandas generator for the multi-probe expansion at large k:
+    nprobe output rows per input row, cells = the nprobe nearest centroids.
+    Stable argsort ties break on the lower cell index — exactly the
+    (distance, index) struct sort of ``_probe_cells``; distances share
+    ``_batch_assign_fn``'s left-fold association."""
+    import numpy as np
+
+    def probe(batches):
+        C = np.asarray(centroids, dtype=np.float64)
+        k, dim = C.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            D = np.zeros((len(X), k))
+            for d in range(dim):
+                diff = X[:, d, None] - C[None, :, d]
+                D += diff * diff
+            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(nprobe)].copy()
+            out[cell_col] = order.astype(np.int32).ravel()
+            yield out
+
+    return probe
+
+
 def probe_assignments(
     df: DataFrame,
     centroids: list[list[float]],
     *,
     vec_col: str = "embedding",
     nprobe: int = SD_NPROBE,
+    path: str | None = None,
 ) -> DataFrame:
     """One row per (vector, probed cell) — the multi-probe inverted-list
-    expansion (still a zero-shuffle map; the fan-out is nprobe, not k)."""
-    return df.withColumn("cell", F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)))
+    expansion (still a zero-shuffle map; the fan-out is nprobe, not k).
+    Physical path switches on ``KM_EXPR_MAX_K`` like ``assign_clusters``:
+    the sorted-struct expression at small k, the Arrow-batched stable
+    argsort above it (identical cells — equality-tested)."""
+    if path is None:
+        path = "expr" if len(centroids) <= KM_EXPR_MAX_K else "pandas"
+    if path == "expr":
+        return df.withColumn("cell", F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)))
+    if path != "pandas":
+        raise ValueError(f"unknown probe path: {path!r}")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields) + [StructField("cell", IntegerType())])
+    return df.mapInPandas(_batch_probe_fn(centroids, vec_col, "cell", nprobe), out_schema)
 
 
 # ---------------------------------------------------------------------------
