@@ -43,6 +43,16 @@ HEADLINE = (
 WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "8"))  # best-of-N: local timings wobble ±15%; min is the stable statistic
 
+# Per-query posture overrides, applied only at big scale (sf >= 0.5) right
+# before each query's forces (the noop write builds a fresh QueryExecution
+# per run, so conf changes take effect per query). rolling_5: the round-5
+# variance probe (BENCH_SCALE_r05.json "rolling_5_variance_probe") showed
+# the 60 M-row window query's spread tightens markedly with AQE OFF at an
+# equal min (max 21 s → 9.3 s) — its plan is one wide sort stage, so AQE's
+# stage-finalization round-trips buy nothing and inject scheduling noise.
+# Every other query keeps the scale posture (AQE on).
+PER_QUERY_CONFS = {"rolling_5": {"spark.sql.adaptive.enabled": "false"}}
+
 
 def _force(df) -> None:
     """Materialize every partition without driver-side collection."""
@@ -118,13 +128,20 @@ def main() -> None:
     # ensure_confs (run by the queries() wrapper during plan construction)
     # re-enables AQE at the session level; Spark reads the conf at ACTION
     # time, so re-pin the intended bench setting before any timed force.
-    spark.conf.set("spark.sql.adaptive.enabled", "true" if aqe_on else "false")
-    for df in dfs.values():
+    def _pin_confs(name: str) -> None:
+        spark.conf.set("spark.sql.adaptive.enabled", "true" if aqe_on else "false")
+        if big:
+            for k, v in PER_QUERY_CONFS.get(name, {}).items():
+                spark.conf.set(k, v)
+
+    for name, df in dfs.items():
+        _pin_confs(name)
         _force(df)
 
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name, df in dfs.items():
+        _pin_confs(name)
         for _ in range(WARMUPS):
             _force(df)
         runs = sorted(_timed(df) for _ in range(RUNS))

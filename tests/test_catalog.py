@@ -77,3 +77,46 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_layout_queries_same_rows_no_keyed_exchange(spark, tmp_path, monkeypatch):
+    """Round-6 verdict item 1: the bucketed layout is a first-class path
+    for the repeated-key family. Under SPARK_GRAFT_LAYOUT=bucketed the
+    three o_custkey queries must return IDENTICAL rows to the plain scan,
+    and the agg/window plans must lose their hashpartitioning Exchange."""
+    from wnba_data_pipeline_spark.operators import relational
+
+    from .conftest import SF_ORACLE
+
+    plain = {
+        name: relational.QUERIES[name](spark, SF_ORACLE).collect()
+        for name in ("topk_revenue", "rank_partition_avg", "join_left_enrich")
+    }
+    catalog.ensure_bucketed_layout(
+        spark, SF_ORACLE, n_buckets=8, base_path=str(tmp_path / "bucketed")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT", "bucketed")
+
+    def rows_key(rows):
+        return sorted(tuple(r) for r in rows)
+
+    for name, before in plain.items():
+        df = relational.QUERIES[name](spark, SF_ORACLE)
+        assert rows_key(df.collect()) == rows_key(before), name
+
+    # plan shape: the per-customer agg and the per-customer window ride the
+    # bucket partitioning — no Exchange hashpartitioning(o_custkey) left
+    topk = relational.q_topk_revenue(spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(topk._jdf.queryExecution(), "formatted")
+    assert "hashpartitioning(o_custkey" not in plan, plan
+    rank = relational.q_rank_partition_avg(spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(rank._jdf.queryExecution(), "formatted")
+    assert "hashpartitioning(o_custkey" not in plan, plan
+    assert not re.search(r"\n\(\d+\) Exchange", plan), plan  # window: zero exchanges
+
+    # without the env the same session keeps reading the plain layout
+    monkeypatch.delenv("SPARK_GRAFT_LAYOUT")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        relational.q_rank_partition_avg(spark, SF_ORACLE)._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(o_custkey" in plan, plan

@@ -72,6 +72,63 @@ def test_curation_funnel(spark, tmp_path):
     assert seqs.count() > 0
 
 
+def test_curation_funnel_semantic_path(spark, tmp_path):
+    """The near_dedup="semantic" knob (round-6 verdict item 7): planted
+    embedding-space duplicates (distinct text, identical vector) flow
+    through the exact-dedup stage and must be collapsed by the SemDeDup
+    stage, with the same keep-lowest survivor contract and a
+    no-remaining-pairs invariant under the same detector."""
+    from wnba_data_pipeline_spark.operators.clustering import SD_K, semantic_pairs
+    from wnba_data_pipeline_spark.operators.similarity import _dot
+
+    src = str(tmp_path / "src")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    near_ids = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("n_chars") >= 200)).select("doc_id")
+    near_docs = docs.join(near_ids, "doc_id").select(
+        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    aug_docs = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(near_docs)
+    near_emb = emb.join(near_ids.select(F.col("doc_id").alias("vec_id")), "vec_id").select(
+        (F.col("vec_id") + F.lit(NEAR_COPY_OFFSET)).alias("vec_id"), "embedding", "label"
+    )
+    overwrite_table(aug_docs, f"{src}/documents.parquet")
+    overwrite_table(
+        emb.select("vec_id", "embedding", "label").unionByName(near_emb),
+        f"{src}/embeddings.parquet",
+    )
+
+    base = str(tmp_path / "wh")
+    report = {
+        r["stage"]: r["n_docs"]
+        for r in curation.run_curation(spark, src, base, near_dedup="semantic").collect()
+    }
+    # the semantic stage actually removed planted embedding-dups
+    assert report["near_deduped"] < report["deduped"], report
+
+    # keep-lowest survivor: no planted copy survives when its original did
+    out = read_table(spark, f"{base}/curation/near_deduped")
+    surviving = {r["doc_id"] for r in out.select("doc_id").collect()}
+    originals = {d for d in surviving if d < NEAR_COPY_OFFSET}
+    for d in surviving:
+        if d >= NEAR_COPY_OFFSET:
+            assert d - NEAR_COPY_OFFSET not in originals, d
+
+    # no-remaining-pairs invariant: the same detector over the stage's own
+    # output (restricted to docs with embeddings) must come back empty
+    aug_emb = read_table(spark, f"{src}/embeddings.parquet")
+    corpus = (
+        out.select(F.col("doc_id").alias("vec_id"))
+        .join(aug_emb, "vec_id")
+        .withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    )
+    n = corpus.count()
+    assert n > 0
+    assert semantic_pairs(corpus, k=min(SD_K, n)).count() == 0
+
+
 def test_curation_rerun_is_deterministic(spark, tmp_path):
     src = _plant_dups(spark, tmp_path)
     base1, base2 = str(tmp_path / "wh1"), str(tmp_path / "wh2")

@@ -371,23 +371,23 @@ def probe_assignments(
 # ---------------------------------------------------------------------------
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dedup over the planted-near-dup corpus
-    (``similarity._augmented_corpus``): fit k-means, expand every vector to
-    its SD_NPROBE nearest cells, and report pairs sharing any probed cell
-    with cosine >= 0.9. Output schema matches ``q_emb_near_dup`` exactly
-    (vec_a, vec_b, cosine) so recall against the all-pairs baseline is a
-    set comparison.
-
-    Same detection bar as the baseline; candidates only narrower, so the
-    result is always a subset — tests measure the recall and the pruning
-    factor. Survivor selection on the reported pairs is
-    ``operators/graph.cluster_survivors`` — identical downstream contract
-    to the MinHash path. Note the fit runs eagerly (driver-coordinated
-    Lloyd's), so building this "query" triggers SD_ITERS+1 small jobs."""
-    aug = _augmented_corpus(spark, sf_dir)
-    model = kmeans_fit(aug, k=SD_K, max_iter=SD_ITERS)
-    asg = probe_assignments(aug, model.centroids)
+def semantic_pairs(
+    corpus: DataFrame,
+    *,
+    k: int = SD_K,
+    max_iter: int = SD_ITERS,
+    threshold: float = SD_THRESHOLD,
+    nprobe: int = SD_NPROBE,
+) -> DataFrame:
+    """(vec_id, embedding, norm) → near-dup pairs (vec_a, vec_b, cosine):
+    fit k-means on the corpus's own geometry, expand every vector to its
+    nprobe nearest cells, report pairs sharing any probed cell with cosine
+    >= threshold. The reusable transform behind ``q_semantic_dedup`` and
+    the curation funnel's ``near_dedup="semantic"`` stage
+    (``plans/curation.py``). The fit runs eagerly (driver-coordinated
+    Lloyd's — max_iter+1 small jobs); the pair plan is lazy."""
+    model = kmeans_fit(corpus, k=k, max_iter=max_iter)
+    asg = probe_assignments(corpus, model.centroids, nprobe=nprobe)
     a = asg.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("_ea"),
@@ -404,10 +404,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["cell"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("_cos", _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")))
-        .filter(F.col("_cos") >= SD_THRESHOLD)
+        .filter(F.col("_cos") >= threshold)
         .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
         .distinct()  # a pair can collide in up to nprobe shared cells
     )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dedup over the planted-near-dup corpus
+    (``similarity._augmented_corpus``): ``semantic_pairs`` at the module
+    defaults. Output schema matches ``q_emb_near_dup`` exactly
+    (vec_a, vec_b, cosine) so recall against the all-pairs baseline is a
+    set comparison.
+
+    Same detection bar as the baseline; candidates only narrower, so the
+    result is always a subset — tests measure the recall and the pruning
+    factor. Survivor selection on the reported pairs is
+    ``operators/graph.cluster_survivors`` — identical downstream contract
+    to the MinHash path."""
+    return semantic_pairs(_augmented_corpus(spark, sf_dir))
 
 
 def semantic_dedup_pairs_sql(centroids: list[list[float]]) -> str:

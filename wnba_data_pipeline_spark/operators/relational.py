@@ -98,6 +98,27 @@ def _use_split_distinct(sf_dir: str) -> bool:
     return sf >= _SCALE_SWITCH_SF
 
 
+def _layout_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Layout-aware table load for the repeated-key query family (round-6
+    verdict item 1): under ``SPARK_GRAFT_LAYOUT=bucketed`` — and when
+    ``plans.catalog.ensure_bucketed_layout`` has registered a bucketed
+    copy for this sf_dir in the session catalog — read the hash-bucketed,
+    per-bucket-sorted table instead of the plain parquet scan. Identical
+    rows either way; only the physical layout changes, which removes the
+    Exchange from every agg/join/window keyed on the bucket column
+    (plan-asserted in tests/test_catalog.py, measured in
+    BENCH_SCALE_r06.json). Default OFF: the plain scan is the portable
+    posture; the bucketed layout is the production answer where the key
+    is grouped repeatedly (one clustered write, every repeat shuffle-free)."""
+    if os.environ.get("SPARK_GRAFT_LAYOUT") == "bucketed":
+        from ..plans.catalog import bucketed_table
+
+        t = bucketed_table(spark, sf_dir, name)
+        if t is not None:
+            return t
+    return load_table(spark, sf_dir, name)
+
+
 # ---------------------------------------------------------------------------
 # D1 + B4 + B5 — the flagship: player-aggregation analog
 # ---------------------------------------------------------------------------
@@ -337,9 +358,11 @@ def q_join_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast is the OOM cliff once it isn't. The measured-fastest AND
     scale-correct layout is bucketed co-location
     (``plans.catalog.write_bucketed``: 0.656 s exchange-free SMJ at sf10)
-    for repeated-key production joins."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    for repeated-key production joins — selectable since round 6 via
+    ``SPARK_GRAFT_LAYOUT=bucketed`` + ``ensure_bucketed_layout`` (see
+    ``_layout_table``)."""
+    orders = _layout_table(spark, sf_dir, "orders")
+    cust = _layout_table(spark, sf_dir, "customer")
     return orders.join(cust, orders.o_custkey == cust.c_custkey, "left").select(
         "o_orderkey",
         F.col("c_name").alias("cust_name"),
@@ -477,8 +500,14 @@ def q_rank_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition rank with pandas ``method='average'`` tie semantics
     (reference ``feature_engineering.py:201``; SURVEY E3+G1). Emulated as
     min-rank + (tie_count-1)/2 — same formula in the oracle, so ties (which
-    the driver data does contain for o_totalprice) hash identically."""
-    orders = load_table(spark, sf_dir, "orders")
+    the driver data does contain for o_totalprice) hash identically.
+
+    The sf10 cost is the 15 M-row partitioned sort behind the window
+    (round-5 stage attribution); on the bucketed layout
+    (``SPARK_GRAFT_LAYOUT=bucketed``, see ``_layout_table``) the
+    o_custkey Exchange disappears — the window sorts within pre-bucketed
+    files directly."""
+    orders = _layout_table(spark, sf_dir, "orders")
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -604,9 +633,15 @@ def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build). Joining the dim before the agg — the reference's
     eager-pandas order — would drag c_name through the shuffle for every
     customer that can't survive the limit. Equivalent because
-    customer(c_custkey → c_name) is a key-functional inner dim (TPC-H FK)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    customer(c_custkey → c_name) is a key-functional inner dim (TPC-H FK).
+
+    The sf10 cost is entirely the 15 M-row→1.5 M-group hash agg whose
+    partial aggregation combines almost nothing (round-5 stage
+    attribution); on the bucketed layout (``SPARK_GRAFT_LAYOUT=bucketed``,
+    see ``_layout_table``) the groups are pre-co-located and the agg runs
+    without its Exchange."""
+    orders = _layout_table(spark, sf_dir, "orders")
+    cust = _layout_table(spark, sf_dir, "customer")
     top = (
         orders.groupBy("o_custkey")
         .agg(_r6(_dsum("o_totalprice")).alias("total_spend"))
@@ -1439,11 +1474,29 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows the remaining cost is NOT a plan defect: (day, type, user) is
     8.07 M distinct of 10 M events, so ANY exact-distinct shape shuffles
     ~8 M tuples — that shuffle IS this query's sf10 signature.
-    ``streaming/events.py`` runs the same grouping incrementally and
-    ``operators/sketches.py`` (mergeable HLL) is the documented scale
-    answer when approximate distinct is acceptable."""
+    ``streaming/events.py`` runs the same grouping incrementally.
+
+    ``SPARK_GRAFT_APPROX_DISTINCT=1`` selects the third shape (round-6,
+    mirroring ``_use_split_distinct``'s switch mechanics): n_users becomes
+    a per-group HLL sketch estimate (``operators/sketches.py`` lg_k) — the
+    shuffle then carries one ≤16 KB sketch per (day, type) group instead
+    of ~8 M distinct tuples, which is the 100 TB answer when approximate
+    distinct is acceptable. Default OFF: the driver's oracle comparison
+    requires the exact count; the ≤5% error bound is asserted in
+    tests/test_sketches.py and the sf10 time is published in
+    BENCH_SCALE_r06.json."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
+    if os.environ.get("SPARK_GRAFT_APPROX_DISTINCT") == "1":
+        from .sketches import LG_K
+
+        return ev.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(_dsum("value")).alias("value_sum"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(LG_K)))
+            .cast("long")
+            .alias("n_users"),
+        )
     if _use_split_distinct(sf_dir):
         base = ev.groupBy(day, "event_type").agg(
             F.count(F.lit(1)).alias("n_events"),

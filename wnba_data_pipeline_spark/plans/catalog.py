@@ -20,12 +20,82 @@ Hive metastore / Unity-style catalog; the DDL is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import os
+import re
 
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
 from .layers import layer_tables
 
 # layer tables whose directories are partitioned (see layers.run_raw_layer)
 PARTITIONED = ("raw.lineitem_box", "raw.orders_box")
+
+# The repeated-key production layout (round-6, verdict item 1): every query
+# family that shuffles on o_custkey — the enrichment join (C2), the
+# per-customer hash agg (topk_revenue), the per-customer window
+# (rank_partition_avg) — reads these pre-bucketed instead. One clustered
+# write amortizes across every downstream repeat; the round-5 join matrix
+# already measured this layout fastest for the join (0.656 s exchange-free
+# SMJ at sf10).
+BUCKET_SPECS = {
+    "orders": ("o_custkey", "o_custkey"),  # (bucket_by, sort_by)
+    "customer": ("c_custkey", "c_custkey"),
+}
+
+
+def bucketed_db(sf_dir: str) -> str:
+    """Catalog database name for one sf_dir's bucketed layout."""
+    token = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
+    return f"bucketed_{token}"
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_buckets: int = 32,
+    base_path: str | None = None,
+    tables: tuple[str, ...] = tuple(BUCKET_SPECS),
+) -> list[str]:
+    """One-time clustered write of the repeated-key tables for ``sf_dir``
+    into the ``bucketed_<sf>`` catalog database. Idempotent per session;
+    re-running overwrites. Returns the qualified names written.
+
+    This is the production posture for keys that are grouped/joined/
+    windowed repeatedly: pay the clustered write once (reported separately
+    by the bench — it is ingest cost, not query cost), then every
+    downstream shuffle on that key disappears (plan-asserted in
+    tests/test_catalog.py)."""
+    db = bucketed_db(sf_dir)
+    if base_path is None:
+        root = os.environ.get(
+            "SPARK_GRAFT_BUCKET_DIR",
+            "/dev/shm/spark-graft-bucketed" if os.path.isdir("/dev/shm") else "/tmp/spark-graft-bucketed",
+        )
+        base_path = os.path.join(root, db)
+    written = []
+    for t in tables:
+        bucket_by, sort_by = BUCKET_SPECS[t]
+        write_bucketed(
+            load_table(spark, sf_dir, t),
+            f"{db}.{t}",
+            bucket_by=bucket_by,
+            n_buckets=n_buckets,
+            path=os.path.join(base_path, t),
+            sort_by=sort_by,
+        )
+        written.append(f"{db}.{t}")
+    return written
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """The bucketed catalog table for (sf_dir, name) if one is registered
+    in this session, else None (caller falls back to the plain scan)."""
+    qualified = f"{bucketed_db(sf_dir)}.{name}"
+    if name in BUCKET_SPECS and spark.catalog.tableExists(qualified):
+        return spark.table(qualified)
+    return None
 
 
 def write_bucketed(

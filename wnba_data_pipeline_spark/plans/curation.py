@@ -47,13 +47,23 @@ def _p(base: str, *parts: str) -> str:
 
 def run_curation(
     spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFAULT_AS_OF,
-    *, cc_max_iter: int = 25,
+    *, cc_max_iter: int = 25, near_dedup: str = "minhash",
 ) -> DataFrame:
     """Run the four-stage funnel over ``documents``; writes every stage to
     the curation warehouse and returns the funnel report (stage, n_docs,
     n_tokens) as a DataFrame (also persisted). ``cc_max_iter`` bounds the
     connected-components rounds in the near-dedup stage (log-diameter
-    convergence — see ``operators.graph.connected_components``)."""
+    convergence — see ``operators.graph.connected_components``).
+
+    ``near_dedup`` picks the near-duplicate detector (round-6, verdict
+    item 7): ``"minhash"`` (text MinHash-LSH pairs — the data-INdependent
+    path) or ``"semantic"`` (SemDeDup: k-means cells over the documents'
+    embeddings + within-cell cosine — the data-DEPENDENT path; documents
+    without an embedding row pass through undeduplicated, the honest
+    behavior when vector coverage is partial). Both feed the SAME
+    transitive closure + keep-lowest survivor contract
+    (``cluster_survivors``), so the funnel downstream of the pair source
+    is identical."""
     audit = F.lit(as_of).cast("timestamp_ntz").alias("curated_at")
     docs = load_table(spark, sf_dir, "documents")
     overwrite_table(docs.select("*", audit), _p(base, "curation", "corpus"))
@@ -76,14 +86,21 @@ def run_curation(
     deduped = exact_survivors(read_table(spark, _p(base, "curation", "sampled")))
     overwrite_table(deduped, _p(base, "curation", "deduped"))
 
-    # 4. transitive near-dup removal: MinHash-LSH pairs → connected
-    # components (the iterative step) → drop every non-survivor. The
-    # cluster labeling runs over the PAIR graph only (tiny next to the
-    # corpus); the corpus-side removal is one anti-join on doc_id.
+    # 4. transitive near-dup removal: near-dup PAIRS (MinHash-LSH or
+    # SemDeDup, see docstring) → connected components (the iterative step)
+    # → drop every non-survivor. The cluster labeling runs over the PAIR
+    # graph only (tiny next to the corpus); the corpus-side removal is one
+    # anti-join on doc_id.
     deduped = read_table(spark, _p(base, "curation", "deduped"))
-    pairs = minhash_pairs(deduped.select("doc_id", "text"))
+    if near_dedup == "minhash":
+        pairs = minhash_pairs(deduped.select("doc_id", "text"))
+        survivors = cluster_survivors(pairs, max_iter=cc_max_iter)
+    elif near_dedup == "semantic":
+        survivors = _semantic_survivors(spark, sf_dir, deduped, cc_max_iter=cc_max_iter)
+    else:
+        raise ValueError(f"unknown near_dedup path: {near_dedup!r}")
     losers = (
-        cluster_survivors(pairs, max_iter=cc_max_iter)
+        survivors
         .filter(~F.col("is_survivor"))
         .select(F.col("id").alias("doc_id"))
     )
@@ -97,6 +114,41 @@ def run_curation(
     report = funnel_report(spark, base)
     overwrite_table(report, _p(base, "curation", "funnel_report"))
     return report
+
+
+def _semantic_survivors(
+    spark: SparkSession, sf_dir: str, deduped: DataFrame, *, cc_max_iter: int
+) -> DataFrame:
+    """SemDeDup pair source for the funnel: restrict the ``embeddings``
+    table to the surviving docs (vec_id ≡ doc_id in the driver's data
+    model), fit k-means on that restricted geometry, and close the
+    within-cell cosine pairs with the same ``cluster_survivors`` contract
+    as the MinHash path. k shrinks to the corpus when the funnel left
+    fewer than SD_K rows (k ~ N/cell_size is the production dial — see
+    ``operators/clustering.py``)."""
+    from ..operators.clustering import SD_K, semantic_pairs
+    from ..operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        deduped.select(F.col("doc_id").alias("vec_id"))
+        .join(emb, "vec_id")
+        .withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+        .persist()
+    )
+    n = corpus.count()  # also materializes the join once for the fit's iterations
+    try:
+        if n < 2:
+            # nothing to pair: every doc is its own survivor
+            return deduped.select(
+                F.col("doc_id").alias("id"),
+                F.col("doc_id").alias("comp"),
+                F.lit(True).alias("is_survivor"),
+            )
+        pairs = semantic_pairs(corpus, k=min(SD_K, n))
+        return cluster_survivors(pairs, id_a="vec_a", id_b="vec_b", max_iter=cc_max_iter)
+    finally:
+        corpus.unpersist()
 
 
 def funnel_report(spark: SparkSession, base: str) -> DataFrame:
