@@ -9,13 +9,15 @@ import math
 
 from pyspark.sql import functions as F
 
-import __spark_entry__ as entrymod
+from wnba_data_pipeline_spark.operators import relational
 
 from .conftest import SF_ORACLE
 
 
 def test_noise_moments(spark):
-    df = entrymod.queries()["seeded_noise"](spark, SF_ORACLE)
+    # seeded_noise rotated off the capped registry in round 6 (hash parity
+    # kept in test_offregistry_parity.py); call the operator directly.
+    df = relational.q_seeded_noise(spark, SF_ORACLE)
     row = df.agg(
         F.avg("noise_z").alias("mean"),
         F.stddev_samp("noise_z").alias("std"),
