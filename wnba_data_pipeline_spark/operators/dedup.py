@@ -382,6 +382,175 @@ FROM votes
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental dedup — dedup a NEW batch against an existing REFERENCE corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_verdicts(batch: DataFrame, ref: DataFrame, *, threshold: float = 0.5) -> DataFrame:
+    """Classify every batch document against a reference corpus:
+    ``exact_dup`` (content hash already present), ``near_dup`` (MinHash-LSH
+    candidate with shingle-Jaccard ≥ threshold vs some ref doc), or
+    ``kept``. This is the production INGESTION shape of dedup — the corpus
+    is already clean; each arriving batch is screened against it — which
+    ``exact_survivors``/``minhash_pairs`` (whole-corpus, self-join) do not
+    express.
+
+    Inputs are (doc_id, text) frames. Output per batch doc: ``verdict``,
+    ``matched_ref`` (min matching ref doc_id, -1 when kept) and
+    ``best_jaccard`` (1.0 for exact, max candidate Jaccard for near, 0.0
+    for kept — max and min are aggregated independently, so both are
+    deterministic even when several refs tie).
+
+    Scale posture (100 TB corpus, ~GB batches): both joins key the REF side
+    on columns a real deployment precomputes ONCE and stores bucketed
+    (content_hash table, band-key table — amortized across every future
+    batch), while the batch side is small enough to broadcast; neither
+    stage rescans ref text. Here both sides derive in-plan from parquet so
+    the oracle can mirror the whole computation. The near stage joins
+    batch bands × ref bands (never batch × ref rows) and verifies exact
+    Jaccard only on colliding candidates — same LSH bound as
+    ``minhash_pairs``."""
+    words = F.split(F.col("text"), " ")
+
+    ref_hash = (
+        ref.select(md5_long(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("ref_exact"))
+    )
+    batch_hashed = batch.withColumn("content_hash", md5_long(F.col("text")))
+
+    def _bands(df: DataFrame, id_alias: str) -> DataFrame:
+        sh = df.select(F.col("doc_id").alias(id_alias), _shingles(F.col("text"), words).alias("sh"))
+        banded = sh.select(
+            id_alias, F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key")
+        )
+        return sh, banded
+
+    ref_sh, ref_bands = _bands(ref, "ref_id")
+    batch_sh, batch_bands = _bands(batch, "batch_id")
+
+    cand = (
+        batch_bands.join(ref_bands, "band_key")
+        .select("batch_id", "ref_id")
+        .distinct()
+    )
+    near = (
+        cand.join(batch_sh.withColumnRenamed("sh", "sh_b"), "batch_id")
+        .join(ref_sh.withColumnRenamed("sh", "sh_r"), "ref_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_b", "sh_r"))
+                / F.size(F.array_union("sh_b", "sh_r")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .groupBy("batch_id")
+        .agg(F.max("jaccard").alias("near_jaccard"), F.min("ref_id").alias("ref_near"))
+    )
+
+    return (
+        batch_hashed.join(ref_hash, "content_hash", "left")
+        .join(near, batch_hashed["doc_id"] == near["batch_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ref_exact").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("ref_near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.coalesce("ref_exact", "ref_near", F.lit(-1)).cast("bigint").alias("matched_ref"),
+            F.when(F.col("ref_exact").isNotNull(), F.lit(1.0))
+            .otherwise(F.coalesce("near_jaccard", F.lit(0.0)))
+            .cast("double")
+            .alias("best_jaccard"),
+        )
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup check: docs with doc_id % 10 < 8 play the
+    existing corpus; the rest are the arriving batch, augmented with one
+    planted exact copy of every short ref doc and one planted near-copy
+    (last word dropped) of every long ref doc. ``incremental_verdicts``
+    must flag exactly the planted rows (plus any organic cross-split
+    collisions, identically on both engines)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    ref = docs.filter(F.col("doc_id") % 10 < 8)
+    exact_plants = ref.filter(F.col("n_chars") < 200).select(
+        (F.col("doc_id") + F.lit(EXACT_COPY_OFFSET)).alias("doc_id"), "text"
+    )
+    near_plants = ref.filter(F.col("n_chars") >= 200).select(
+        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "text")
+        .unionByName(exact_plants)
+        .unionByName(near_plants)
+    )
+    return incremental_verdicts(batch, ref.select("doc_id", "text"))
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH ref AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + {EXACT_COPY_OFFSET}, text
+  FROM documents WHERE doc_id % 10 < 8 AND n_chars < 200
+  UNION ALL
+  SELECT doc_id + {NEAR_COPY_OFFSET}, regexp_replace(text, ' [^ ]+$', '')
+  FROM documents WHERE doc_id % 10 < 8 AND n_chars >= 200
+), ref_hash AS (
+  SELECT {md5_long_sql("text")} AS content_hash, min(doc_id) AS ref_exact
+  FROM ref GROUP BY 1
+), batch_hashed AS (
+  SELECT doc_id, {md5_long_sql("text")} AS content_hash FROM batch
+), ref_sh AS (
+  SELECT doc_id AS ref_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM ref)
+), batch_sh AS (
+  SELECT doc_id AS batch_id, {_SHINGLES_SQL} AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM batch)
+), ref_bands AS (
+  SELECT ref_id, unnest({_minhash_band_keys_sql()}) AS band_key
+  FROM (SELECT ref_id, {_SIG_SQL} AS sig
+        FROM (SELECT ref_id, list_transform(sh, s -> {md5_long_sql("s")}) AS hh FROM ref_sh))
+), batch_bands AS (
+  SELECT batch_id, unnest({_minhash_band_keys_sql()}) AS band_key
+  FROM (SELECT batch_id, {_SIG_SQL} AS sig
+        FROM (SELECT batch_id, list_transform(sh, s -> {md5_long_sql("s")}) AS hh FROM batch_sh))
+), cand AS (
+  SELECT DISTINCT b.batch_id, r.ref_id
+  FROM batch_bands b JOIN ref_bands r ON b.band_key = r.band_key
+), near AS (
+  SELECT batch_id, max(jaccard) AS near_jaccard, min(ref_id) AS ref_near
+  FROM (
+    SELECT c.batch_id, c.ref_id,
+           round(len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN batch_sh x ON c.batch_id = x.batch_id
+    JOIN ref_sh y ON c.ref_id = y.ref_id
+  ) WHERE jaccard >= 0.5
+  GROUP BY batch_id
+)
+SELECT bh.doc_id,
+       CASE WHEN rh.ref_exact IS NOT NULL THEN 'exact_dup'
+            WHEN n.ref_near IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS verdict,
+       CAST(coalesce(rh.ref_exact, n.ref_near, -1) AS BIGINT) AS matched_ref,
+       CAST(CASE WHEN rh.ref_exact IS NOT NULL THEN 1.0
+                 ELSE coalesce(n.near_jaccard, 0.0) END AS DOUBLE) AS best_jaccard
+FROM batch_hashed bh
+LEFT JOIN ref_hash rh ON bh.content_hash = rh.content_hash
+LEFT JOIN near n ON bh.doc_id = n.batch_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
