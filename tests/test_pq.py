@@ -1,0 +1,143 @@
+"""Gates for product quantization: cross-engine code/ADC parity (post-fit
+codebooks as literals, like the semantic-dedup twin), physical-path
+bit-equality, recall vs the exact search, and reconstruction sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.operators import pq
+from wnba_data_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+from .oracle_compare import compare
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    return pq.pq_fit(emb)
+
+
+def _codes_str(df):
+    return df.select(
+        "vec_id", F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes_str")
+    )
+
+
+def test_pq_codes_match_oracle(spark, duck, model):
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    sdf = _codes_str(pq.pq_encode(emb, model, path="expr"))
+    ddf = duck.sql(
+        f"SELECT vec_id, array_to_string(codes, '-') AS codes_str FROM ({pq.pq_encode_sql(model)})"
+    ).df()
+    compare(sdf, ddf, "pq_codes")
+
+
+def test_pq_encode_paths_bit_identical(spark, model):
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    expr = {r["vec_id"]: r["codes_str"] for r in _codes_str(pq.pq_encode(emb, model, path="expr")).collect()}
+    pandas = {r["vec_id"]: r["codes_str"] for r in _codes_str(pq.pq_encode(emb, model, path="pandas")).collect()}
+    assert expr == pandas
+
+
+def test_pq_adc_topk_matches_oracle(spark, duck, model):
+    compare(
+        pq.q_pq_topk(spark, SF_ORACLE, model=model),
+        duck.sql(pq.pq_adc_topk_sql(model)).df(),
+        "pq_adc_topk",
+    )
+
+
+def test_pq_rerank_matches_oracle(spark, duck, model):
+    compare(
+        pq.q_pq_rerank(spark, SF_ORACLE, model=model),
+        duck.sql(pq.pq_rerank_sql(model)).df(),
+        "pq_rerank",
+    )
+
+
+def _exact_truth(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < pq.PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    exact_pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("_d2", pq._sqdist_vec(F.col("q_emb"), F.col("embedding")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    exact = (
+        exact_pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= pq.PQ_TOP_K)
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"))
+        .collect()
+    )
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    return truth
+
+
+def _recall(truth, rows):
+    got = {}
+    for r in rows:
+        got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_pq_recall_vs_exact_l2(spark, model):
+    """Retrieval-quality gates against the exact-L2 top-3: raw 4-bit ADC is
+    deliberately coarse (64× compression — measured 0.30 on this corpus;
+    floor 0.2 guards collapse, not quality), while the production
+    shortlist+rerank path must recover the exact neighbors almost
+    entirely (measured 0.90 at R=50; see the PQ_RERANK comment for why
+    this near-uniform corpus needs a thick shortlist)."""
+    truth = _exact_truth(spark)
+    raw = _recall(truth, pq.q_pq_topk(spark, SF_ORACLE, model=model).collect())
+    assert raw >= 0.2, f"raw ADC recall@3 collapsed: {raw}"
+    rr = _recall(truth, pq.q_pq_rerank(spark, SF_ORACLE, model=model).collect())
+    assert rr >= 0.85, f"rerank recall@3 too low: {rr}"
+    assert rr >= raw
+
+
+def test_pq_reconstruction_beats_global_mean(spark, model):
+    """Quantization sanity: per-vector reconstruction MSE from codes must be
+    far below the MSE of predicting every vector by the global mean (i.e.
+    the codebooks explain most of the variance)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    enc = pq.pq_encode(emb, model, path="expr").withColumn(
+        "recon", pq.pq_decode_col(F.col("codes"), model)
+    )
+    err = enc.select(
+        F.aggregate(
+            F.zip_with("embedding", "recon", lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("se")
+    ).agg(F.avg("se").alias("mse")).collect()[0]["mse"]
+
+    mean_vec = emb.select(
+        F.array(*[F.avg(F.element_at("embedding", i + 1)) for i in range(pq.DIM)]).alias("mu")
+    ).collect()[0]["mu"]
+    base = emb.select(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(x)) for x in mean_vec]),
+                lambda a, b: (a.cast("double") - b) ** 2,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("se")
+    ).agg(F.avg("se").alias("mse")).collect()[0]["mse"]
+    # measured 0.56 vs 1.00 on the near-uniform driver corpus — 16 codewords
+    # per 8-dim subspace can only carve so much of an isotropic cube; the
+    # gate is "quantizer genuinely fitted" (well below baseline), not a
+    # compression-ratio promise
+    assert err < 0.7 * base, f"PQ mse {err} vs mean-baseline mse {base}"

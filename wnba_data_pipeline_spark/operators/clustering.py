@@ -91,7 +91,7 @@ def _sqdist(v: Column, centroid: list[float]) -> Column:
     ``acc + d*d`` (0.0-seeded) — the association order is part of the
     cross-engine/cross-reference determinism contract."""
     diffs = F.transform(
-        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        F.sequence(F.lit(0), F.lit(len(centroid) - 1)),
         lambda i: F.element_at(v, i + F.lit(1)).cast("double")
         - F.element_at(F.array(*[F.lit(c) for c in centroid]), i + F.lit(1)),
     )
@@ -202,10 +202,13 @@ def kmeans_fit(
     k: int = SD_K,
     max_iter: int = SD_ITERS,
     sample_mod: int = 1,
+    seed_tag: str = "km",
 ) -> KMeansModel:
-    """Lloyd's k-means on an ``array<float|double>`` column.
+    """Lloyd's k-means on an ``array<float|double>`` column of ANY length
+    (dimension is derived from the seed rows — the PQ sub-quantizers reuse
+    this fit on 8-dim slices; ``seed_tag`` de-correlates their seed picks).
 
-    Seeds: the k rows with the smallest md5('km:' || id) — deterministic,
+    Seeds: the k rows with the smallest md5(seed_tag || ':' || id) — deterministic,
     data-independent, no corpus shuffle (TakeOrdered). Each iteration
     assigns every row to its nearest centroid (zero-shuffle map) and
     rebuilds centroids with one hash aggregate (fixed-point decimal sums;
@@ -218,7 +221,7 @@ def kmeans_fit(
         base.select(
             F.col(id_col).alias("_sid"),
             vec.cast("array<double>").alias("_semb"),
-            F.conv(F.substring(F.md5(F.concat(F.lit("km:"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed_tag}:"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
             .cast("long")
             .alias("_h"),
         )
@@ -229,6 +232,7 @@ def kmeans_fit(
     centroids = [[float(x) for x in r["_semb"]] for r in seed_rows]
     if len(centroids) < k:
         raise ValueError(f"corpus has only {len(centroids)} rows; need k={k} seeds")
+    dim = len(centroids[0])
 
     inertia_hist: list[float] = []
     sizes: dict[int, int] = {}
@@ -246,7 +250,7 @@ def kmeans_fit(
             F.sum(
                 F.floor(F.element_at("_v", i + 1) * COMP_SCALE + F.lit(0.5)).cast("decimal(38,0)")
             ).alias(f"_s{i}")
-            for i in range(DIM)
+            for i in range(dim)
         ]
         rows = {r["_cl"]: r for r in assigned.groupBy("_cl").agg(*aggs).collect()}
 
@@ -259,7 +263,7 @@ def kmeans_fit(
                 new_centroids.append(old)
                 continue
             n = int(r["_n"])
-            new_centroids.append([float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(DIM)])
+            new_centroids.append([float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(dim)])
         if new_centroids == centroids:
             converged = True
             break
