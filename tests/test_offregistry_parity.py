@@ -23,6 +23,12 @@ ROTATED = {
     "rank_global_marts": (relational.q_rank_global_marts, relational.ORACLE_RANK_GLOBAL_MARTS),
     "freshness_now": (relational.q_freshness_now, relational.ORACLE_FRESHNESS_NOW),
     "seeded_noise": (relational.q_seeded_noise, relational.ORACLE_SEEDED_NOISE),
+    # second rotation (late round 6): slots freed for substring_spans /
+    # unigram_ppl / dedup_incremental — see operators/relational.py registry
+    # comment for the per-§2-row coverage argument
+    "ratio_derive": (relational.q_ratio_derive, relational.ORACLE_RATIO_DERIVE),
+    "union_tagged": (relational.q_union_tagged, relational.ORACLE_UNION_TAGGED),
+    "kpi_json": (relational.q_kpi_json, relational.ORACLE_KPI_JSON),
 }
 
 
@@ -46,5 +52,8 @@ def test_rotated_queries_stay_off_registry():
         "trend_stats",
         "pii_stats",
         "mixture_sample",
+        "substring_spans",
+        "unigram_ppl",
+        "dedup_incremental",
     ):
         assert newcomer in qs

@@ -204,3 +204,30 @@ def test_semantic_dedup_join_is_not_cartesian(spark):
     # product (the same no-cartesian bar test_similarity_bucketed pins for
     # the LSH path)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_equi_joins_only(spark):
+    from wnba_data_pipeline_spark.operators import spans as spansops
+
+    df = spansops.q_substring_spans(spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # the gram-hit join and the n_tokens join-back are hash equi-joins on
+    # the uniform 60-bit gram hash / doc_id — never an all-pairs product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # stage 2's duplicated-gram set is a partial-aggregated distinct, so the
+    # (doc, gram) dedup combines map-side before its shuffle
+    assert "HashAggregate" in plan
+
+
+def test_unigram_ppl_broadcasts_model_and_totals(spark):
+    from wnba_data_pipeline_spark.operators import text as textops
+
+    df = textops.q_unigram_ppl(spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # corpus totals (T, V) enter as a broadcast 1-row aggregate and the term
+    # dictionary rides a broadcast back onto the doc-term frame: the only
+    # full-corpus shuffles are the two token-count hash aggregates
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan
+    # token explode reads only (doc_id, text)
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan), plan

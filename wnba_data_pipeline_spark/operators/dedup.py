@@ -556,6 +556,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_fingerprint": q_simhash_fingerprint,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
@@ -563,4 +564,5 @@ ORACLES = {
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_fingerprint": _oracle_simhash(),
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
 }

@@ -1524,11 +1524,18 @@ FROM events GROUP BY CAST(ts AS DATE), event_type
 """
 
 
+# Round-6 rotation (second use of the pinned rotation mechanism): ratio_derive
+# (B4 — the 0/0→0 guard also exercised by advanced_metrics' guarded ratios and
+# plans/layers.py), union_tagged (B3/B11/G1 — all three also covered by
+# award_mart's tagged unpivot + join_multikey's masks) and kpi_json (A9/H10 —
+# H10 JSON read stays covered by json_extract_events) leave the capped 50-slot
+# registry so the round-6 LLM operators (substring_spans, unigram_ppl,
+# dedup_incremental) get hard driver rows. Their oracles keep running with
+# full hash-differential rigor in tests/test_offregistry_parity.py.
 QUERIES = {
     "player_agg_flagship": q_player_agg_flagship,
     "agg_multi": q_agg_multi,
     "filter_window_scan": q_filter_window_scan,
-    "ratio_derive": q_ratio_derive,
     "join_left_enrich": q_join_left_enrich,
     "join_multikey": q_join_multikey,
     "rolling_5_10": q_rolling_5_10,
@@ -1540,7 +1547,6 @@ QUERIES = {
     # trend_stats (regr_slope + corr per entity).
     "group_tail_n": q_group_tail_n,
     "topk_revenue": q_topk_revenue,
-    "union_tagged": q_union_tagged,
     "global_aggs": q_global_aggs,
     "count_distinct_groups": q_count_distinct_groups,
     # count_distinct_approx (the HLL scale variant) is NOT registered: it is
@@ -1552,7 +1558,6 @@ QUERIES = {
     "quality_probe": q_quality_probe,
     "scalar_funcs": q_scalar_funcs,
     "json_extract_events": q_json_extract_events,
-    "kpi_json": q_kpi_json,
     # freshness_now + seeded_noise left OFF the capped registry (round-6
     # rotation): H4/H7 interval arithmetic is also exercised by
     # scalar_funcs/quality_probe and H8 is fully property-covered
@@ -1571,14 +1576,12 @@ ORACLES = {
     "player_agg_flagship": ORACLE_PLAYER_AGG_FLAGSHIP,
     "agg_multi": ORACLE_AGG_MULTI,
     "filter_window_scan": ORACLE_FILTER_WINDOW_SCAN,
-    "ratio_derive": ORACLE_RATIO_DERIVE,
     "join_left_enrich": ORACLE_JOIN_LEFT_ENRICH,
     "join_multikey": ORACLE_JOIN_MULTIKEY,
     "rolling_5_10": _oracle_rolling((5, 10)),
     "rank_partition_avg": ORACLE_RANK_PARTITION_AVG,
     "group_tail_n": ORACLE_GROUP_TAIL_N,
     "topk_revenue": ORACLE_TOPK_REVENUE,
-    "union_tagged": ORACLE_UNION_TAGGED,
     "global_aggs": ORACLE_GLOBAL_AGGS,
     "count_distinct_groups": ORACLE_COUNT_DISTINCT_GROUPS,
     "dispersion_stats": ORACLE_DISPERSION_STATS,
@@ -1586,7 +1589,6 @@ ORACLES = {
     "quality_probe": ORACLE_QUALITY_PROBE,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
     "json_extract_events": ORACLE_JSON_EXTRACT_EVENTS,
-    "kpi_json": ORACLE_KPI_JSON,
     "agg_over_agg": ORACLE_AGG_OVER_AGG,
     "advanced_metrics": ORACLE_ADVANCED_METRICS,
     "award_mart": ORACLE_AWARD_MART,

@@ -733,8 +733,8 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the standard decontamination sweep shape: corpus-side
     scan + broadcast eval grams.
 
-    Not in the 50-slot driver registry (capped); its DuckDB twin runs in
-    tests/test_contamination.py with the same hash-differential rigor."""
+    In the driver registry since the round-5 rotation; the same DuckDB
+    twin also runs locally in tests/test_contamination.py."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     grams = F.transform(
@@ -837,8 +837,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-pack ordered layout. One shuffle on the pack id; the running sum is
     a window inside each (small) pack.
 
-    Not in the 50-slot driver registry (capped); DuckDB twin runs in
-    tests/test_contamination.py with the same differential rigor."""
+    In the driver registry since the round-5 rotation; the same DuckDB
+    twin also runs locally in tests/test_contamination.py."""
     packed = pack_docs(load_table(spark, sf_dir, "documents"))
     return (
         packed.groupBy("pack_id")
@@ -978,6 +978,83 @@ FROM counted
 ORACLE_PII_STATS = _oracle_pii()
 
 
+# ---------------------------------------------------------------------------
+# unigram language-model scoring — CCNet-style perplexity quality gate
+# ---------------------------------------------------------------------------
+
+PPL_SMOOTH = 1  # add-k smoothing numerator constant
+
+
+def unigram_nll(docs: DataFrame) -> DataFrame:
+    """(doc_id, text …) → per-doc unigram negative log-likelihood and
+    perplexity under a model fit on the corpus ITSELF — the CCNet-style
+    quality signal (Wenzek et al.): documents whose token distribution is
+    far from the corpus head (high avg_nll / ppl) are tail/noise
+    candidates; a curation pipeline thresholds ``ppl`` next to
+    ``doc_stats``'s heuristic score. p(w) = (c_w + 1) / (T + V), add-one
+    smoothed over the corpus vocabulary.
+
+    Plan: the model FIT is one token-count shuffle (explode → hash agg) —
+    at 100 TB the vocabulary aggregate is millions of rows against
+    trillions of token positions, so partial (map-side) aggregation does
+    almost all the work; the corpus totals (T, V) enter the plan as a
+    broadcast 1-row aggregate (same in-plan pattern as tf-idf's corpus
+    size). SCORING canonicalizes each doc to (doc_id, term, cnt) rows —
+    exact integers — then joins the term dictionary (broadcast-able here;
+    a shuffle join on the uniform term key at open-vocabulary scale) and
+    reduces cnt·nll per doc in one map-side-combining agg. No Python, no
+    window; two shuffles total beyond the fit."""
+    words_all = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = words_all.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(
+        F.sum("c").cast("double").alias("_t"), F.count(F.lit(1)).cast("double").alias("_v")
+    )
+    nll = freq.crossJoin(F.broadcast(totals)).select(
+        "term", (-F.log((F.col("c") + PPL_SMOOTH) / (F.col("_t") + F.col("_v")))).alias("nll")
+    )
+    doc_terms = words_all.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        doc_terms.join(F.broadcast(nll), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("nll")).alias("_sum_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_sum_nll") / F.col("n_tokens"), 6).alias("avg_nll"),
+            F.round(F.exp(F.col("_sum_nll") / F.col("n_tokens")), 4).alias("ppl"),
+        )
+    )
+
+
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_UNIGRAM_PPL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), freq AS (
+  SELECT term, count(*) AS c FROM words GROUP BY term
+), totals AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM freq
+), nll AS (
+  SELECT term, -ln((c + {PPL_SMOOTH}) / (t + v)) AS nll FROM freq CROSS JOIN totals
+), doc_terms AS (
+  SELECT doc_id, term, count(*) AS cnt FROM words GROUP BY doc_id, term
+), scored AS (
+  SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+         sum(d.cnt * n.nll) AS sum_nll
+  FROM doc_terms d JOIN nll n USING (term) GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, round(sum_nll / n_tokens, 6) AS avg_nll,
+       round(exp(sum_nll / n_tokens), 4) AS ppl
+FROM scored
+"""
+
+
 # doc_fingerprint left OFF the capped registry (round-5 rotation): it is
 # the global-min special case of doc_winnow, which stays registered; its
 # oracle still runs in tests/test_offregistry_parity.py. The freed slots
@@ -996,6 +1073,7 @@ QUERIES = {
     "contamination_check": q_contamination_check,
     "sequence_packing": q_sequence_packing,
     "pii_stats": q_pii_stats,
+    "unigram_ppl": q_unigram_ppl,
 }
 
 ORACLES = {
@@ -1010,4 +1088,5 @@ ORACLES = {
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "pii_stats": ORACLE_PII_STATS,
+    "unigram_ppl": ORACLE_UNIGRAM_PPL,
 }
