@@ -32,6 +32,7 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
     relational,
     similarity,
     spans,
+    temporal,
     text,
 )
 
@@ -39,7 +40,7 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
 # round — round 2 registered 52 and the last two in insertion order got no
 # CORRECTNESS row). Order puts the oracle-checkable families first and the
 # rows-only ML family last.
-_MODULES = [relational, quality, multimodal, dedup, similarity, spans, text, ml]
+_MODULES = [relational, quality, multimodal, dedup, similarity, spans, temporal, text, ml]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pytest
 
-from wnba_data_pipeline_spark.operators import relational, similarity, text
+from wnba_data_pipeline_spark.operators import dedup, relational, similarity, text
 
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
@@ -29,6 +29,14 @@ ROTATED = {
     "ratio_derive": (relational.q_ratio_derive, relational.ORACLE_RATIO_DERIVE),
     "union_tagged": (relational.q_union_tagged, relational.ORACLE_UNION_TAGGED),
     "kpi_json": (relational.q_kpi_json, relational.ORACLE_KPI_JSON),
+    # fourth rotation (round 6): slots freed for the temporal joins
+    # (asof_attribution, range_join_bins). Both rotated-out queries are the
+    # explicitly-labeled ground-truth BASELINES of families whose scale
+    # paths stay in-registry (sim_ann_lsh/sim_ivf; dedup_minhash/
+    # dedup_incremental) — see the registry comments in similarity.py and
+    # dedup.py.
+    "sim_topk": (similarity.q_sim_topk, similarity.ORACLE_SIM_TOPK),
+    "ngram_jaccard": (dedup.q_ngram_jaccard, dedup.ORACLE_NGRAM_JACCARD),
 }
 
 
@@ -55,5 +63,7 @@ def test_rotated_queries_stay_off_registry():
         "substring_spans",
         "unigram_ppl",
         "dedup_incremental",
+        "asof_attribution",
+        "range_join_bins",
     ):
         assert newcomer in qs

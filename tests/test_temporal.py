@@ -1,0 +1,128 @@
+"""Semantic + plan-shape gates for the temporal joins (operators/temporal.py).
+
+The registry queries get the full hash-differential treatment via
+test_oracle_parity; these tests pin the edge semantics the sf0.01 corpus
+cannot exercise deterministically — left-join nullability, the inclusive
+at-timestamp tie, the equal-(key, ts) tie-break, the window's closed/open
+bounds — and the plan shapes that make both operators survive scale
+(single Exchange for as-of; no nested-loop product for the range join).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.operators import temporal
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 12:00:00")),  # match: r2 (latest <=)
+            (2, 10, _ts("2024-01-01 10:00:00")),  # tie AT ts: r1 included
+            (3, 11, _ts("2024-01-01 09:00:00")),  # no earlier right row
+            (4, 12, _ts("2024-01-01 09:00:00")),  # key never on right
+        ],
+        "lid long, user_id long, lts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 10:00:00")),  # r1
+            (101, 10, _ts("2024-01-01 11:00:00")),  # r2
+            (102, 10, _ts("2024-01-01 13:00:00")),  # after every left ts
+            (103, 11, _ts("2024-01-01 09:30:00")),
+        ],
+        "rid long, user_id long, rts timestamp_ntz",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_left_nulls(spark):
+    left, right = _frames(spark)
+    out = temporal.asof_join(left, right, on="user_id", left_ts="lts", right_ts="rts")
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {1: 101, 2: 100, 3: None, 4: None}
+    assert out.count() == left.count()  # every left row survives
+
+
+def test_asof_equal_ts_dup_right_takes_max_payload(spark):
+    left, _ = _frames(spark)
+    dup = spark.createDataFrame(
+        [(200, 10, _ts("2024-01-01 10:00:00")), (201, 10, _ts("2024-01-01 10:00:00"))],
+        "rid long, user_id long, rts timestamp_ntz",
+    )
+    out = temporal.asof_join(left, dup, on="user_id", left_ts="lts", right_ts="rts")
+    got = {r.lid: r.rid for r in out.collect()}
+    # deterministic: the max payload struct wins among equal (key, ts) rows
+    assert got[1] == 201 and got[2] == 201
+
+
+def test_range_join_bounds_closed_open(spark):
+    hour = 3600 * 1_000_000
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 12:00:00"))], "lid long, user_id long, lts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 11:00:00")),  # == lts - W: INCLUDED
+            (101, 10, _ts("2024-01-01 11:30:00")),  # inside
+            (102, 10, _ts("2024-01-01 12:00:00")),  # == lts: EXCLUDED (open end)
+            (103, 10, _ts("2024-01-01 10:59:59")),  # before window
+            (104, 11, _ts("2024-01-01 11:30:00")),  # other key
+        ],
+        "rid long, user_id long, rts timestamp_ntz",
+    )
+    out = temporal.range_join(
+        left, right, on="user_id", left_ts="lts", right_ts="rts", window_us=hour
+    )
+    assert sorted(r.rid for r in out.collect()) == [100, 101]
+
+
+def test_range_join_left_keeps_unmatched_with_null_skipping_agg(spark):
+    hour = 3600 * 1_000_000
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 12:00:00")), (2, 99, _ts("2024-01-01 12:00:00"))],
+        "lid long, user_id long, lts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-01 11:30:00"))], "rid long, user_id long, rts timestamp_ntz"
+    )
+    out = (
+        temporal.range_join(
+            left, right, on="user_id", left_ts="lts", right_ts="rts", window_us=hour, how="left"
+        )
+        .groupBy("lid")
+        .agg(F.count("rid").alias("n"))
+    )
+    got = {r.lid: r.n for r in out.collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_asof_plan_single_exchange(spark):
+    plan = (
+        temporal.q_asof_attribution(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_plan_is_equi_hash_join(spark):
+    plan = (
+        temporal.q_range_join_bins(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the (key, bin) equality must reach a hash-partitionable join — the
+    # whole point of the bin trick; a raw range predicate plans as BNLJ
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

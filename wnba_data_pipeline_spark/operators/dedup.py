@@ -554,7 +554,12 @@ LEFT JOIN near n ON bh.doc_id = n.batch_id
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
-    "ngram_jaccard": q_ngram_jaccard,
+    # ngram_jaccard left OFF the capped registry (round-6 fourth rotation):
+    # it is the blocked all-pairs exact ground-truth baseline; the scaled
+    # near-dup paths (dedup_minhash, dedup_incremental, emb_near_dup_bucketed)
+    # all hold hard driver rows, and it keeps full oracle parity in
+    # tests/test_offregistry_parity.py. The freed slot registers
+    # range_join_bins (operators/temporal.py).
     "simhash_fingerprint": q_simhash_fingerprint,
     "dedup_incremental": q_dedup_incremental,
 }
@@ -562,7 +567,6 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
-    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "simhash_fingerprint": _oracle_simhash(),
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
 }

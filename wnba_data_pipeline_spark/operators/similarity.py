@@ -834,7 +834,11 @@ FROM q
 # keeps oracle parity in tests/test_offregistry_parity.py and its
 # ground-truth role in tests/test_similarity_bucketed.py's recall gate.
 QUERIES = {
-    "sim_topk": q_sim_topk,
+    # sim_topk left OFF the capped registry (round-6 fourth rotation): it is
+    # the explicitly-labeled brute-force ground-truth baseline whose scale
+    # variants (sim_ann_lsh, sim_ivf) both hold hard driver rows; it keeps
+    # full oracle parity in tests/test_offregistry_parity.py. The freed slot
+    # registers asof_attribution (operators/temporal.py).
     "sim_ann_lsh": q_sim_ann_lsh,
     "sim_ivf": q_sim_ivf,
     "emb_near_dup_bucketed": q_emb_near_dup_bucketed,
@@ -842,7 +846,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "sim_topk": ORACLE_SIM_TOPK,
     "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
     "sim_ivf": ORACLE_SIM_IVF,
     "emb_near_dup_bucketed": _oracle_emb_near_dup_bucketed(),

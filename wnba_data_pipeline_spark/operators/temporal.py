@@ -1,0 +1,287 @@
+"""Temporal joins over the ``events`` stream — as-of (most-recent-match)
+join and bounded range join, the two join shapes Spark's built-in operators
+don't provide directly (build-brief custom-operator examples).
+
+Beyond the reference's surface: the reference pipeline is day-batch
+(ingest → transform → quality), so its joins are all equi-joins
+(`transform_player_stats.py` merge on player/game keys). A training-data /
+attribution pipeline additionally needs:
+
+  * **as-of join** — "attach the most recent right-hand row at-or-before
+    each left-hand timestamp" (conversion attribution, slowly-changing
+    dims, feature freshness). Naive formulations are O(L·R) per key or a
+    per-key collect; the classic distributed formulation used here is
+    union + tag + single partitioned sort + ``last(..., ignorenulls)``
+    running window: ONE shuffle on the join key, one in-partition sort —
+    the same cost family as sessionization, never all-pairs.
+  * **bounded range join** — "aggregate right-hand rows with
+    ts ∈ [left_ts − W, left_ts)" (trailing-window features). A raw range
+    predicate plans as BroadcastNestedLoopJoin (O(L·R) — the scale
+    cliff). With the time axis bucketed into W-sized bins, each left row
+    probes at most TWO bins and the join is a plain equi-join on
+    (key, bin) with the exact range predicate evaluated inside the join:
+    shuffle volume is O(L + R), skew bounded by rows-per-key-per-window.
+
+Scale posture (100 TB): both shapes shuffle once on (key[, bin]) — a
+uniform composite key — then do per-partition sorted/hashed work. The
+as-of window state is one row (``last`` over unbounded-preceding is a
+running value, not a buffered frame). The range join's fan-out is exactly
+2× on the probe side and 1× on the build side, independent of corpus
+size; the equality keys reach the shuffle exchange so AQE's skew-join
+splitting applies as usual. Neither operator ever materializes a
+cross-product.
+
+Determinism contract: right-side ties at identical (key, ts) are broken
+by the max payload struct (lexicographic), and every hash-compared double
+sum goes through the 6-decimal fixed-point quantization shared with
+``operators/relational._dsum`` — both engines sum exact int64s.
+
+DuckDB oracles are *independent formulations*, not transliterations:
+the as-of twin uses DuckDB's native ``ASOF LEFT JOIN`` and the range twin
+its IEJoin range predicate — two different executors must agree on every
+row at sf0.01 for the driver's hash gate to pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .relational import _dsum, _dsum_sql
+
+# 24h trailing window = bin width (window == bin ⇒ each probe touches ≤2 bins)
+WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _us(c: str | Column) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column. The session timezone
+    is pinned to UTC (``session.get_spark``), so the NTZ→TIMESTAMP cast is
+    instant-preserving and matches DuckDB's ``epoch_us`` on naive
+    timestamps exactly."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _us_sql_expr(col: str) -> str:
+    """Same conversion for F.expr fragments."""
+    return f"unix_micros(cast({col} as timestamp))"
+
+ASOF_LEFT_TYPE = "purchase"  # rows being enriched
+ASOF_RIGHT_TYPE = "click"  # rows supplying the as-of payload
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of left join: every ``left`` row, plus the columns of
+    the ``right`` row with the greatest ``right_ts`` ≤ ``left_ts`` for the
+    same ``on`` key (inclusive; right columns null when no such row).
+
+    ``left`` and ``right`` column names must be disjoint apart from
+    ``on``. Right rows with a null key or timestamp never match.
+
+    Plan: union(tagged) → Exchange hashpartitioning(key) → in-partition
+    sort (ts, side, payload) → running ``last(payload, ignorenulls)`` →
+    filter to left rows. The right payload is carried as ONE struct
+    column so the window state is a single value regardless of how many
+    columns ride along.
+    """
+    r_payload = [c for c in right.columns if c != on]
+    lhs = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[left[c] for c in left.columns]).alias("_l"),
+    )
+    rhs = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull()).select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[right[c] for c in r_payload]).alias("_r"),
+    )
+    u = lhs.withColumn("_r", F.lit(None).cast(rhs.schema["_r"].dataType)).unionByName(
+        rhs.withColumn("_l", F.lit(None).cast(lhs.schema["_l"].dataType))
+    )
+    # right rows sort before left rows at equal ts (side 0 < 1) ⇒ a right
+    # row AT the left timestamp is visible to it (at-or-before). Equal
+    # (key, ts) right-side dups resolve to the max payload struct.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"_m.{c}").alias(c) for c in r_payload]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_us: int = WINDOW_US,
+    how: str = "inner",
+) -> DataFrame:
+    """Bounded range join: pairs every ``left`` row with the ``right``
+    rows of the same ``on`` key whose ``right_ts`` falls in
+    ``[left_ts − window_us, left_ts)`` (trailing window, end-exclusive —
+    a row never joins itself when both sides come from one table).
+
+    ``how='left'`` keeps unmatched left rows with null right columns —
+    NOTE the bin fan-out can then emit up to two null-padded rows per
+    unmatched left row, so aggregate with null-skipping functions
+    (``count(right_col)``, ``sum``), never ``count(*)``.
+
+    Scalability is the bin trick described in the module docstring: the
+    range predicate stays in the JOIN CONDITION (left-join correctness
+    and join-time evaluation) while the (key, bin) equality gives
+    Catalyst a hash-partitionable equi-join — no BroadcastNestedLoop.
+    """
+    # Internal renames make both sides' attributes disjoint — left and
+    # right usually derive from the SAME table here (trailing self-join),
+    # and same-lineage references would trip Spark's ambiguous-self-join
+    # detection. Bin INDEX bounds use integer division (exact on int64 —
+    # no double rounding at epoch-microsecond magnitude).
+    lhs = left.select([F.col(c).alias(f"_l_{c}") for c in left.columns]).withColumn(
+        "_lbin",
+        F.explode(
+            F.sequence(
+                F.expr(f"({_us_sql_expr(f'_l_{left_ts}')} - {window_us}) div {window_us}"),
+                F.expr(f"({_us_sql_expr(f'_l_{left_ts}')} - 1) div {window_us}"),
+            )
+        ),
+    )
+    rhs = right.select([F.col(c).alias(f"_r_{c}") for c in right.columns]).withColumn(
+        "_rbin", F.expr(f"{_us_sql_expr(f'_r_{right_ts}')} div {window_us}")
+    )
+    us_l, us_r = _us(f"_l_{left_ts}"), _us(f"_r_{right_ts}")
+    cond = (
+        (F.col(f"_l_{on}") == F.col(f"_r_{on}"))
+        & (F.col("_lbin") == F.col("_rbin"))
+        & (us_r >= us_l - F.lit(window_us))
+        & (us_r < us_l)
+    )
+    joined = lhs.join(rhs, cond, how)
+    out = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out += [F.col(f"_r_{c}").alias(c) for c in right.columns if c != on]
+    return joined.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# registry queries
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution: each ``purchase`` event matched to the most
+    recent ``click`` by the same user at-or-before it. ``gap_us`` is the
+    exact microsecond distance. Registered as the INNER variant (purchases
+    with no earlier click are dropped) because the driver's value-hash
+    normalization has no contract for NULL timestamps; the left-join path
+    of :func:`asof_join` is covered by ``tests/test_temporal.py``."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == ASOF_RIGHT_TYPE).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts", right_ts="click_ts"
+    ).filter(F.col("click_id").isNotNull())
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        (_us("purchase_ts") - _us("click_ts")).alias("gap_us"),
+    )
+
+
+ORACLE_ASOF_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = '{ASOF_LEFT_TYPE}'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+FROM p ASOF JOIN c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+"""
+
+
+def q_range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h activity features: for each purchase, the count and
+    (fixed-point-exact) value sum of ALL same-user events in the 24 hours
+    strictly before it. Purchases with a quiet preceding day keep a row
+    with zeros — the left-join path of :func:`range_join`."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    prior = events.select(
+        "user_id",
+        F.col("event_id").alias("prior_id"),
+        F.col("ts").alias("prior_ts"),
+        F.col("value").alias("prior_value"),
+    )
+    pairs = range_join(
+        purchases,
+        prior,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="prior_ts",
+        window_us=WINDOW_US,
+        how="left",
+    )
+    return pairs.groupBy("purchase_id", "user_id", "purchase_ts").agg(
+        F.count("prior_id").cast("long").alias("n_prior_24h"),
+        F.coalesce(_dsum("prior_value"), F.lit(0.0)).alias("value_sum_24h"),
+    )
+
+
+ORACLE_RANGE_JOIN_BINS = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = '{ASOF_LEFT_TYPE}'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       CAST(count(e.event_id) AS BIGINT) AS n_prior_24h,
+       coalesce({_dsum_sql("e.value")}, 0.0) AS value_sum_24h
+FROM p LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts >= p.purchase_ts - INTERVAL 24 HOUR
+ AND e.ts < p.purchase_ts
+GROUP BY p.purchase_id, p.user_id, p.purchase_ts
+"""
+
+
+QUERIES = {
+    "asof_attribution": q_asof_attribution,
+    "range_join_bins": q_range_join_bins,
+}
+ORACLES = {
+    "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
+    "range_join_bins": ORACLE_RANGE_JOIN_BINS,
+}
