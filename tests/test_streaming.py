@@ -126,3 +126,23 @@ def test_watermark_drops_late_events(spark, tmp_path):
     final = spark.read.parquet(out).collect()
     jan1 = [r["n"] for r in final if r["win_start"].startswith("2001-01-01")]
     assert jan1 == [1], final
+
+
+def test_interval_join_stream_matches_batch_range_join(spark):
+    """The stream-stream interval join must emit exactly the pair set the
+    batch bin-bucketed range_join computes (inner form, trailing 24h)."""
+    from wnba_data_pipeline_spark.streaming import joins as sj
+
+    sj.run_pairs_to_memory(
+        sj.attribution_pairs_stream(spark, SF_SMOKE), "stream_pairs"
+    )
+    got = {
+        (r["purchase_id"], r["prior_id"])
+        for r in spark.table("stream_pairs").collect()
+    }
+    want = {
+        (r["purchase_id"], r["prior_id"])
+        for r in sj.attribution_pairs_batch(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -115,9 +115,24 @@ def test_asof_plan_single_exchange(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
-def test_range_join_plan_is_equi_hash_join(spark):
+def test_range_agg_plan_is_single_shuffle_window(spark):
+    # the aggregate form runs as a range-frame window: one Exchange on
+    # user_id, no join at all (see q_range_join_bins docstring)
     plan = (
         temporal.q_range_join_bins(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "Window" in plan
+
+
+def test_range_join_plan_is_equi_hash_join(spark):
+    from wnba_data_pipeline_spark.streaming import joins as sj
+
+    plan = (
+        sj.attribution_pairs_batch(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -233,7 +233,57 @@ def q_range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h activity features: for each purchase, the count and
     (fixed-point-exact) value sum of ALL same-user events in the 24 hours
     strictly before it. Purchases with a quiet preceding day keep a row
-    with zeros — the left-join path of :func:`range_join`."""
+    with zeros.
+
+    Physical shape: when BOTH sides are the same keyed event stream and
+    the output is an AGGREGATE (not pairs), the bin-join is dominated by a
+    RANGE-FRAME WINDOW over epoch-microseconds — one shuffle on user_id +
+    one in-partition sort, no explode, no join, no re-aggregation shuffle
+    (measured sf10: 2.40 s bin-join → see BENCH_SCALE_r06 temporal_joins;
+    the bin-join materialized ~4.4 M pairs and re-shuffled them to group
+    by purchase). The frame [us−W, us−1] over the full per-user stream is
+    exactly ts' ∈ [ts−W, ts) — current row self-excluded since (user_id,
+    ts) collisions cannot land inside a frame ending at us−1. The
+    pair-producing general form stays :func:`range_join` (exercised by
+    the streaming interval-join cross-check and unit tests)."""
+    events = load_table(spark, sf_dir, "events")
+    us = _us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-WINDOW_US, -1)
+    )
+    return (
+        events.select("event_id", "user_id", "ts", "value", F.col("event_type"))
+        .withColumn("n_prior_24h", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "value_sum_24h",
+            F.coalesce(
+                (
+                    F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")).over(w)
+                    / 1_000_000
+                ).cast("double"),
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("event_type") == ASOF_LEFT_TYPE)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "n_prior_24h",
+            "value_sum_24h",
+        )
+    )
+
+
+def range_agg_binjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bin-join physical shape of ``q_range_join_bins`` — same rows,
+    measured SLOWER at sf10 (the join materializes ~4.4 M pairs and
+    re-shuffles them to group by purchase; see BENCH_SCALE_r06
+    temporal_joins). Kept as the measured alternative and the shape a
+    TWO-TABLE trailing aggregate (where no shared event stream exists for
+    a window pass) would use."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
         F.col("event_id").alias("purchase_id"),
