@@ -1,0 +1,74 @@
+"""Differential gate for the parquet-footer metadata probe
+(operators/quality.parquet_stats_probe): footer-derived completeness /
+freshness values must equal the scan-derived ones — on the single-file
+bench tables, on a multi-file directory, and with planted nulls (footer
+null_count is exact per the parquet spec; this pins that we aggregate it
+correctly across files and row groups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.operators import quality
+from wnba_data_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_ORACLE
+
+
+def _scan_subset(df):
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("long").alias("null_qty"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).cast("long").alias("null_flag"),
+        F.max("l_extendedprice").alias("price_max"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship_date"),
+    )
+
+
+def test_meta_probe_matches_scan_probe(spark):
+    got = quality.q_quality_probe_meta(spark, SF_ORACLE).collect()[0].asDict()
+    want = _scan_subset(load_table(spark, SF_ORACLE, "lineitem")).collect()[0].asDict()
+    assert got == want
+
+
+def test_meta_probe_multifile_directory(spark, tmp_path):
+    out = str(tmp_path / "li_multi")
+    load_table(spark, SF_ORACLE, "lineitem").repartition(7).write.parquet(out)
+    got = quality.parquet_stats_probe(spark, out).collect()[0].asDict()
+    want = _scan_subset(load_table(spark, SF_ORACLE, "lineitem")).collect()[0].asDict()
+    assert got == want
+
+
+def test_meta_probe_counts_planted_nulls(spark, tmp_path):
+    out = str(tmp_path / "li_nulls")
+    li = load_table(spark, SF_ORACLE, "lineitem").withColumn(
+        "l_quantity", F.when(F.col("l_orderkey") % 10 == 0, None).otherwise(F.col("l_quantity"))
+    )
+    li.repartition(3).write.parquet(out)
+    got = quality.parquet_stats_probe(spark, out).collect()[0].asDict()
+    want = _scan_subset(spark.read.parquet(out)).collect()[0].asDict()
+    assert got == want
+    assert got["null_qty"] > 0
+
+
+def test_meta_probe_refuses_statless_files(spark, tmp_path, monkeypatch):
+    # a file whose row groups lack stats must raise, not silently return
+    # wrong numbers (no fallback inside the metadata path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "nostats"
+    out.mkdir()
+    t = pa.table(
+        {
+            "l_quantity": [1.0, None],
+            "l_returnflag": ["A", "B"],
+            "l_extendedprice": [1.0, 2.0],
+            "l_shipdate": [None, None],
+        }
+    )
+    pq.write_table(t, out / "part.parquet", write_statistics=False)
+    with pytest.raises(Exception, match="statistics|PROBE|scan probe"):
+        quality.parquet_stats_probe(spark, str(out)).collect()

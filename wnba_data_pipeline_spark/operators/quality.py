@@ -112,5 +112,127 @@ SELECT 'returnflag_cardinality', CAST(n_flags AS DOUBLE),
 """
 
 
+# ---------------------------------------------------------------------------
+# Metadata-only probe: completeness/freshness from parquet FOOTERS
+# ---------------------------------------------------------------------------
+
+STATS_PROBE_COLS = {
+    # output alias -> (parquet column, kind)
+    "null_qty": ("l_quantity", "null_count"),
+    "null_flag": ("l_returnflag", "null_count"),
+    "price_max": ("l_extendedprice", "max"),
+    "price_min": ("l_extendedprice", "min"),
+    "last_ship": ("l_shipdate", "max"),
+}
+
+
+def _footer_partials(paths_df_iter):
+    """mapInPandas worker: one partial-stats row per parquet file, read
+    from the FOOTER only (no data pages touched). Raises on any file whose
+    row groups lack the needed statistics — silent fallback would turn a
+    metadata probe into a wrong answer; callers fall back to the scan
+    probe explicitly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in paths_df_iter:
+        out = []
+        for path in pdf["path"]:
+            md = pq.ParquetFile(path).metadata
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.row_group(0).num_columns)
+            }
+            n_rows, null_qty, null_flag = 0, 0, 0
+            pmax, pmin, smax = None, None, None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                n_rows += rg.num_rows
+
+                def _stat(col):
+                    s = rg.column(idx[col]).statistics
+                    if s is None or not s.has_null_count or not s.has_min_max:
+                        raise ValueError(
+                            f"{path} row group {g}: column {col} lacks footer "
+                            "statistics; use the scan probe (q_quality_probe)"
+                        )
+                    return s
+
+                null_qty += _stat("l_quantity").null_count
+                null_flag += _stat("l_returnflag").null_count
+                s = _stat("l_extendedprice")
+                pmax = s.max if pmax is None else max(pmax, s.max)
+                pmin = s.min if pmin is None else min(pmin, s.min)
+                m = _stat("l_shipdate").max
+                smax = m if smax is None else max(smax, m)
+            out.append(
+                (
+                    n_rows,
+                    null_qty,
+                    null_flag,
+                    pmax,
+                    pmin,
+                    int(pd.Timestamp(smax).value // 1_000),  # epoch micros
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=["n_rows", "null_qty", "null_flag", "price_max", "price_min", "ship_us"],
+        )
+
+
+def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
+    """The 100 TB shape of the completeness/freshness subset of
+    ``relational.q_quality_probe``: row counts, per-column null counts,
+    min/max and max ship date computed from parquet FOOTER statistics —
+    cost O(files), not O(rows). A 100 TB health dashboard re-probing every
+    table daily cannot afford full scans for checks the footers already
+    answer exactly (null_count / min / max / num_rows are exact, not
+    estimates, per the parquet spec); the scan probe remains the answer
+    for the stats the footer lacks (avg, stddev, distinct).
+
+    Distributed: the file list is parallelized and each executor reads
+    only footers (``mapInPandas`` over paths, one partial row per file),
+    then a single tiny aggregation merges partials — no data page is ever
+    fetched. Differential-tested against the scan probe
+    (tests/test_stats_probe.py), including multi-file directories and
+    planted nulls."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        paths = sorted(
+            p
+            for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+            if _os.path.getsize(p) > 0
+        )
+    else:
+        paths = [path]
+    if not paths:
+        raise ValueError(f"no parquet files under {path}")
+    schema = (
+        "n_rows long, null_qty long, null_flag long, "
+        "price_max double, price_min double, ship_us long"
+    )
+    partials = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 32)).mapInPandas(_footer_partials, schema)
+    return partials.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("null_qty").alias("null_qty"),
+        F.sum("null_flag").alias("null_flag"),
+        F.max("price_max").alias("price_max"),
+        F.min("price_min").alias("price_min"),
+        F.expr("cast(timestamp_micros(max(ship_us)) as date)").alias("last_ship_date"),
+    )
+
+
+def q_quality_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-stats probe over the lineitem table (off-registry: same
+    semantics as the matching q_quality_probe subset, different physical
+    source; differential gate in tests/test_stats_probe.py)."""
+    return parquet_stats_probe(spark, f"{sf_dir}/lineitem.parquet")
+
+
 QUERIES = {"quality_report": q_quality_report}
 ORACLES = {"quality_report": ORACLE_QUALITY_REPORT}
