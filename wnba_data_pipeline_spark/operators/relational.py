@@ -777,6 +777,34 @@ def q_count_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dispersion_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB swap for q_dispersion_stats's EXACT medians:
+    ``percentile_approx`` (Greenwald-Khanna ε-sketch, accuracy=10000 ⇒
+    rank error ≤ 1/10000) — fixed-size mergeable state per group instead
+    of the exact median's per-group value buffer. Exact median over a
+    100 TB fact table buffers every group member; the GK sketch caps state
+    at O(accuracy·log n) regardless of group size. No oracle entry
+    (DuckDB's approx_quantile is t-digest — different estimates by
+    construction); the exact twin is the correctness gate and
+    tests/test_approx.py pins the exact-regime contract against it.
+
+    Measured HONEST NEGATIVE on wall time (BENCH_SCALE_r06
+    "dispersion_approx_median"): at sf10 the GK path is ~30% SLOWER than
+    exact for both 600-member groups and the 60 M-value global median
+    (rel value err 2e-5) — Spark's exact percentile buffers per-DISTINCT
+    counts, which this 2-decimal price domain compresses well. The swap
+    is therefore a STATE-BOUND posture (exact state grows with distinct
+    values per group — the OOM cliff for high-cardinality domains like
+    raw floats at 100 TB; GK caps it), not a local speedup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        _r6(F.stddev_samp("l_quantity")).alias("qty_std"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("qty_median_approx"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_median_approx"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # D7 + D8 — grouped dispersion stats (sample stddev + exact median)
 # ---------------------------------------------------------------------------
