@@ -141,3 +141,68 @@ def test_range_join_plan_is_equi_hash_join(spark):
     # whole point of the bin trick; a raw range predicate plans as BNLJ
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_differential_vs_pandas_merge_asof(spark):
+    """The full merge_asof surface (direction x allow_exact_matches x
+    tolerance) against pandas itself on a deterministic random frame.
+    Right (key, ts) pairs are unique so the tie-break difference between
+    the engines (max payload vs positional last) cannot bite."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r, keys = 400, 300, 11
+    base = pd.Timestamp("2024-03-01")
+    lpd = pd.DataFrame(
+        {
+            "lid": np.arange(n_l, dtype="int64"),
+            "user_id": rng.integers(0, keys, n_l).astype("int64"),
+            "lts": base + pd.to_timedelta(rng.integers(0, 3_600_000, n_l), unit="ms"),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "rid": np.arange(1000, 1000 + n_r, dtype="int64"),
+            "user_id": rng.integers(0, keys, n_r).astype("int64"),
+            "rts": base + pd.to_timedelta(rng.integers(0, 3_600_000, n_r), unit="ms"),
+        }
+    ).drop_duplicates(["user_id", "rts"])
+    # plant exact-timestamp collisions so allow_exact_matches is exercised
+    planted = lpd.iloc[:20].copy()
+    rpd = pd.concat(
+        [rpd, pd.DataFrame({"rid": np.arange(2000, 2020, dtype="int64"),
+                            "user_id": planted["user_id"].values,
+                            "lts": planted["lts"].values}).rename(columns={"lts": "rts"})]
+    ).drop_duplicates(["user_id", "rts"])
+
+    sl = spark.createDataFrame(lpd.assign(lts=lpd["lts"].astype("datetime64[us]")))
+    sr = spark.createDataFrame(rpd.assign(rts=rpd["rts"].astype("datetime64[us]")))
+
+    from wnba_data_pipeline_spark.operators import temporal
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            for tol in (None, 120_000_000):  # 2 minutes in us
+                got = (
+                    temporal.asof_join(
+                        sl, sr, on="user_id", left_ts="lts", right_ts="rts",
+                        direction=direction, allow_exact_matches=exact,
+                        tolerance_us=tol,
+                    )
+                    .select("lid", "rid")
+                    .collect()
+                )
+                got = {r.lid: r.rid for r in got}
+                want_df = pd.merge_asof(
+                    lpd.sort_values("lts"),
+                    rpd.sort_values("rts"),
+                    left_on="lts", right_on="rts", by="user_id",
+                    direction=direction, allow_exact_matches=exact,
+                    tolerance=None if tol is None else pd.Timedelta(microseconds=tol),
+                )
+                want = {
+                    int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                    for r in want_df.itertuples()
+                }
+                assert got == want, (direction, exact, tol)

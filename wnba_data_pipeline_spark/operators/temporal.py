@@ -78,10 +78,21 @@ def asof_join(
     on: str,
     left_ts: str,
     right_ts: str,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Backward as-of left join: every ``left`` row, plus the columns of
-    the ``right`` row with the greatest ``right_ts`` ≤ ``left_ts`` for the
-    same ``on`` key (inclusive; right columns null when no such row).
+    """As-of left join — the distributed ``pandas.merge_asof`` surface
+    (direction backward/forward/nearest, exact-match toggle, tolerance),
+    differentially tested against pandas itself in tests/test_temporal.py.
+
+    ``backward``: the right row with the greatest ``right_ts`` ≤
+    ``left_ts`` per ``on`` key; ``forward``: smallest ``right_ts`` ≥
+    ``left_ts``; ``nearest``: whichever of the two is closer in absolute
+    microseconds (backward wins exact ties, matching pandas).
+    ``allow_exact_matches=False`` makes the comparisons strict.
+    ``tolerance_us`` nulls any match farther than the given microseconds.
+    Right columns are null when no row qualifies.
 
     ``left`` and ``right`` column names must be disjoint apart from
     ``on``. Right rows with a null key or timestamp never match.
@@ -90,8 +101,12 @@ def asof_join(
     sort (ts, side, payload) → running ``last(payload, ignorenulls)`` →
     filter to left rows. The right payload is carried as ONE struct
     column so the window state is a single value regardless of how many
-    columns ride along.
+    columns ride along; ``forward`` is the same pass over the reversed
+    sort, ``nearest`` runs both windows over ONE sorted shuffle (the sort
+    orders are trivially derivable, so Spark reuses the exchange).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     r_payload = [c for c in right.columns if c != on]
     lhs = left.select(
         F.col(on).alias("_k"),
@@ -108,17 +123,62 @@ def asof_join(
     u = lhs.withColumn("_r", F.lit(None).cast(rhs.schema["_r"].dataType)).unionByName(
         rhs.withColumn("_l", F.lit(None).cast(lhs.schema["_l"].dataType))
     )
-    # right rows sort before left rows at equal ts (side 0 < 1) ⇒ a right
-    # row AT the left timestamp is visible to it (at-or-before). Equal
+    # side ordering controls the at-timestamp tie: with exact matches the
+    # right row at the left's ts must sort BEFORE the left row (visible to
+    # the running window); with strict comparison, after it. Equal
     # (key, ts) right-side dups resolve to the max payload struct.
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
+
+    def _gapped(m, back: bool):
+        # microsecond distance of a candidate match, for tolerance/nearest
+        lt = F.unix_micros(F.col("_t").cast("timestamp"))
+        rt = F.unix_micros(m["_mt"].cast("timestamp"))
+        return (lt - rt) if back else (rt - lt)
+
+    # carry the matched ts inside the struct so tolerance/nearest can
+    # measure the gap without re-joining
+    rhs_ts = F.struct(F.col("_t").alias("_mt"), F.col("_r").alias("_mr"))
+    u = u.withColumn(
+        "_rts",
+        F.when(F.col("_side") == 0, rhs_ts).otherwise(
+            F.lit(None).cast(
+                f"struct<_mt:{u.schema['_t'].dataType.simpleString()},"
+                f"_mr:{u.schema['_r'].dataType.simpleString()}>"
+            )
+        ),
     )
-    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
-        F.col("_side") == 1
-    )
+
+    def _windowed(descending: bool):
+        t = F.col("_t").desc() if descending else F.col("_t").asc()
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(t, side, F.col("_rts").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_rts", ignorenulls=True).over(w)
+
+    matched = u.withColumn("_mb", _windowed(False)).withColumn("_mf", _windowed(True))
+    matched = matched.filter(F.col("_side") == 1)
+
+    gap_b = _gapped(F.col("_mb"), back=True)
+    gap_f = _gapped(F.col("_mf"), back=False)
+    if tolerance_us is not None:
+        mb = F.when(gap_b <= F.lit(tolerance_us), F.col("_mb"))
+        mf = F.when(gap_f <= F.lit(tolerance_us), F.col("_mf"))
+    else:
+        mb, mf = F.col("_mb"), F.col("_mf")
+    if direction == "backward":
+        m = mb
+    elif direction == "forward":
+        m = mf
+    else:  # nearest: closer gap wins, backward wins exact ties (pandas)
+        m = (
+            F.when(F.col("_mb").isNull(), mf)
+            .when(F.col("_mf").isNull(), mb)
+            .when(gap_f < gap_b, mf)
+            .otherwise(mb)
+        )
+    matched = matched.withColumn("_m", m["_mr"])
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols += [F.col(f"_m.{c}").alias(c) for c in r_payload]
     return matched.select(*out_cols)
