@@ -202,19 +202,25 @@ def minhash_pairs(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents corpus with a planted near-copy (last word dropped)
+    of every long document — the deterministic positive control shared by
+    the minhash registry query and the leakage-split tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    pert = docs.filter(F.col("n_chars") >= 200).select(
+        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(pert)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH: plant a near-copy (last word
     dropped) of every long document, then find pairs with Jaccard ≥ 0.5
     among banded-bucket candidates. Output is deterministic because the
     hash family is fixed: both engines compute identical signatures, so
     identical candidates survive. (Plan notes: ``minhash_pairs``.)"""
-    docs = load_table(spark, sf_dir, "documents")
-    pert = docs.filter(F.col("n_chars") >= 200).select(
-        (F.col("doc_id") + F.lit(NEAR_COPY_OFFSET)).alias("doc_id"),
-        F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
-    )
-    aug = docs.select("doc_id", "text").unionByName(pert)
-    return minhash_pairs(aug)
+    return minhash_pairs(near_dup_corpus(spark, sf_dir))
 
 
 ORACLE_DEDUP_MINHASH = f"""

@@ -164,6 +164,63 @@ def train_classifier(spark: SparkSession, sf_dir: str) -> dict:
     return result
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Train/eval split that cannot leak near-duplicates across the
+    boundary — the failure mode a row-level ``randomSplit`` has on an
+    imperfectly-deduplicated corpus: a test document's near-copy lands in
+    train and the eval score is contaminated (the same risk
+    ``text.q_contamination_check`` measures AFTER the fact; this prevents
+    it at split time).
+
+    The unit of assignment is the near-dup CLUSTER: ``pairs`` (any pair
+    source — MinHash, SemDeDup, embedding buckets) is closed into
+    connected components (``graph.connected_components``, pointer
+    doubling), unpaired docs form singleton clusters, and each cluster is
+    gated to ``test`` when ``md5(comp) mod 100 < test_pct`` — the same
+    engine-independent, reshuffle-proof hash gate as
+    ``text.sample_gate``, so membership is a pure function of the
+    cluster id, stable across engines, runs, and layouts.
+
+    Returns ``docs`` + (``comp``, ``split``) with split ∈ {train, test}.
+    Invariants pinned in tests/test_leakage_split.py: no pair crosses the
+    boundary, assignment is deterministic and layout-independent, and the
+    achieved test share tracks ``test_pct`` at cluster granularity.
+
+    Scale: O(log diameter) component rounds on the pair set (tiny next to
+    the corpus), one left join back to docs, zero-shuffle gate.
+    """
+    from ..functions.hashing import md5_long
+    from .graph import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    comps = connected_components(edges, max_iter=max_iter).withColumnRenamed(
+        "id", id_col
+    )
+    return (
+        # no broadcast hint: the component map is usually dim-sized (dup
+        # pairs only) and AQE will broadcast it from runtime stats; a hard
+        # hint would be the OOM cliff on a duplicate-heavy corpus
+        docs.join(comps, id_col, "left")
+        .withColumn("comp", F.coalesce("comp", F.col(id_col)))
+        .withColumn(
+            "split",
+            F.when(
+                F.pmod(md5_long(F.col("comp").cast("string")), F.lit(100)) < test_pct,
+                F.lit("test"),
+            ).otherwise(F.lit("train")),
+        )
+    )
+
+
 def save_artifacts(result: dict, out_dir: str, name: str) -> dict:
     """A10: model artifact + JSON metadata sinks (the reference pickles the
     model and json.dumps metadata, ``model_training.py:87-97,316-320``)."""
