@@ -350,3 +350,41 @@ def test_mixture_sample_selection_is_layout_independent(spark):
         if r["_rn"] <= takes[r["lang"]]:
             got[r["lang"]] = got.get(r["lang"], 0) + r["doc_id"]
     assert {(lang, s) for lang, s in got.items()} == base
+
+
+def test_url_domains_match_oracle(spark, duck):
+    sdf = text.q_url_domains(spark, SF_ORACLE)
+    ddf = duck.sql(text.ORACLE_URL_DOMAINS).df()
+    compare(sdf, ddf, "url_domains")
+
+
+def test_url_domains_planted_ground_truth(spark):
+    # every URL_MOD-th doc carries exactly one site URL + one CDN URL:
+    # the CDN domain must aggregate ALL planted docs, and the site
+    # domains must partition them by doc_id % URL_SITES
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    planted = len([d for d in range(n_docs) if d % text.URL_MOD == 0])
+    rows = {r["domain"]: r for r in text.q_url_domains(spark, SF_ORACLE).collect()}
+    cdn = rows["cdn.example.org"]
+    assert cdn["n_docs"] == cdn["n_hits"] == planted
+    site_total = sum(
+        r["n_docs"] for d, r in rows.items() if d.endswith(".example.com")
+    )
+    assert site_total == planted
+
+
+def test_domain_blocklist_filter_removes_exactly_flagged_docs(spark):
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = text._with_planted_urls(load_table(spark, SF_ORACLE, "documents"))
+    blocked = spark.createDataFrame([("site1.example.com",), ("site4.example.com",)], "domain string")
+    kept = text.domain_blocklist_filter(docs, blocked)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    removed = all_ids - kept_ids
+    want_removed = {
+        d for d in all_ids if d % text.URL_MOD == 0 and d % text.URL_SITES in (1, 4)
+    }
+    assert removed == want_removed and len(removed) > 0

@@ -110,3 +110,40 @@ def test_mixture_sample_with_absent_weight_group(spark):
     s = cnt.agg(F.min(F.expr("n_total * 100 div w")).alias("S")).collect()[0]["S"]
     expected_s = min(counts[lang] * 100 // text.MIX_WEIGHTS[lang] for lang in present)
     assert s == expected_s  # S derives from PRESENT groups only
+
+
+def test_temporal_joins_on_empty_sides(spark):
+    """as-of and range joins must flow empty frames through: empty right
+    side -> all-null matches (as-of) / zero counts (range agg); empty left
+    side -> empty output. No stage raises."""
+    import datetime as dt
+
+    from wnba_data_pipeline_spark.operators import temporal
+
+    schema_l = "lid long, user_id long, lts timestamp_ntz"
+    schema_r = "rid long, user_id long, rts timestamp_ntz"
+    one_l = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1, 12))], schema_l
+    )
+    empty_l = one_l.filter(F.lit(False))
+    one_r = spark.createDataFrame(
+        [(100, 10, dt.datetime(2024, 1, 1, 11))], schema_r
+    )
+    empty_r = one_r.filter(F.lit(False))
+
+    got = temporal.asof_join(one_l, empty_r, on="user_id", left_ts="lts", right_ts="rts").collect()
+    assert len(got) == 1 and got[0]["rid"] is None
+    assert (
+        temporal.asof_join(empty_l, one_r, on="user_id", left_ts="lts", right_ts="rts").count() == 0
+    )
+    pairs = temporal.range_join(
+        one_l, empty_r, on="user_id", left_ts="lts", right_ts="rts", window_us=3_600_000_000, how="left"
+    )
+    agg = pairs.groupBy("lid").agg(F.count("rid").alias("n")).collect()
+    assert len(agg) == 1 and agg[0]["n"] == 0
+    assert (
+        temporal.range_join(
+            empty_l, one_r, on="user_id", left_ts="lts", right_ts="rts", window_us=3_600_000_000
+        ).count()
+        == 0
+    )

@@ -1061,6 +1061,102 @@ FROM scored
 # give the round-3 LLM operators (contamination check, sequence packing)
 # hard driver rows. Round-6 rotation: pii_stats + mixture_sample take the
 # slots freed by freshness_now/seeded_noise (see operators/relational.py).
+
+# ---------------------------------------------------------------------------
+# URL / domain analytics (web-crawl curation: provenance + blocklists)
+# ---------------------------------------------------------------------------
+
+# one regex, byte-identical semantics in Java (Spark) and RE2 (DuckDB):
+# scheme + captured domain, domain charset restricted to the common subset
+URL_DOMAIN_RE = r"https?://([0-9a-zA-Z.-]+)"
+URL_MOD = 3  # every URL_MOD-th doc gets planted provenance URLs
+URL_SITES = 7  # rotating site-domain count for the plant
+
+
+def _with_planted_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic positive control (the PII/boilerplate pattern): every
+    URL_MOD-th doc carries one rotating site URL and one fixed CDN URL, so
+    the domain rollup and the blocklist filter have known ground truth on
+    a corpus whose organic text contains no URLs."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % URL_MOD == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://site"),
+                (F.col("doc_id") % URL_SITES).cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and https://cdn.example.org/a/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def doc_domains(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → one row per URL OCCURRENCE: (doc_id, domain).
+    Zero-shuffle codegen map (regexp_extract_all + explode) — the
+    provenance-extraction primitive for crawl curation."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_DOMAIN_RE), 1)
+        ).alias("domain"),
+    )
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain provenance rollup over the planted corpus: distinct docs
+    citing the domain + total occurrences. One hash-agg shuffle on the
+    (low-cardinality, uniform) domain key. Off-registry: DuckDB twin runs
+    in tests/test_contamination.py."""
+    docs = _with_planted_urls(load_table(spark, sf_dir, "documents"))
+    return (
+        doc_domains(docs)
+        .groupBy("domain")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+
+
+ORACLE_URL_DOMAINS = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {URL_MOD} = 0
+              THEN text || ' see https://site' || CAST(doc_id % {URL_SITES} AS VARCHAR)
+                        || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                        || ' and https://cdn.example.org/a/' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), hits AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([0-9a-zA-Z.-]+)', 1)) AS domain
+  FROM corpus
+)
+SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits
+FROM hits GROUP BY domain
+"""
+
+
+def domain_blocklist_filter(docs: DataFrame, blocked: DataFrame) -> DataFrame:
+    """Remove every document citing a blocked domain — the crawl-curation
+    gate. ``blocked`` is a (domain) DataFrame so a 100 TB-scale blocklist
+    works as a plain join (AQE broadcasts a small one from runtime stats);
+    the doc-level removal is a left_anti on doc_id. Docs with no URLs are
+    never touched (the explode emits nothing for them)."""
+    flagged = (
+        doc_domains(docs)
+        .join(blocked.select(F.col(blocked.columns[0]).alias("domain")), "domain")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(flagged, "doc_id", "left_anti")
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_agreement": q_lang_id_agreement,
