@@ -120,3 +120,27 @@ def test_bucketed_layout_queries_same_rows_no_keyed_exchange(spark, tmp_path, mo
         relational.q_rank_partition_avg(spark, SF_ORACLE)._jdf.queryExecution(), "formatted"
     )
     assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_bucketed_lineitem_elides_rolling_exchange_and_sort(spark, tmp_path, monkeypatch):
+    """The lineitem bucket spec sorts by the FULL rolling-window ordering
+    with one file per bucket, so on the bucketed layout the 60M-row window
+    query keeps neither an Exchange nor a Sort — and returns identical
+    rows (the layout changes physics, never semantics)."""
+    from wnba_data_pipeline_spark.operators import relational
+
+    from .conftest import SF_ORACLE
+
+    def rows_key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    before = rows_key(relational.q_rolling_5_10(spark, SF_ORACLE))
+    catalog.ensure_bucketed_layout(
+        spark, SF_ORACLE, n_buckets=8, base_path=str(tmp_path / "bucketed_li")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT", "bucketed")
+    df = relational.q_rolling_5_10(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Sort [" not in plan, plan
+    assert rows_key(df) == before

@@ -39,6 +39,9 @@ WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 BUCKETED_QUERIES = ("topk_revenue", "rank_partition_avg", "join_left_enrich")
+# the lineitem family (late round 6): rolling_5 rides the full-sort bucket
+# order (Exchange AND Sort elided); the l_suppkey aggs lose their Exchange
+BUCKETED_LI_QUERIES = ("rolling_5", "dispersion_stats", "quality_probe")
 
 
 def _force(df) -> None:
@@ -92,7 +95,10 @@ def main() -> None:
     out: dict = {"sf_dir": sf_dir, "sf": sf, "aqe": True}
 
     # --- 1. bucketed-layout matrix -------------------------------------
-    plain = {n: _spread(relational.QUERIES[n](spark, sf_dir)) for n in BUCKETED_QUERIES}
+    def _q(n):
+        return (relational.QUERIES.get(n) or getattr(relational, f"q_{n}"))(spark, sf_dir)
+
+    plain = {n: _spread(_q(n)) for n in BUCKETED_QUERIES + BUCKETED_LI_QUERIES}
     t0 = time.perf_counter()
     ensure_bucketed_layout(spark, sf_dir, n_buckets=32 if big else 8)
     write_sec = round(time.perf_counter() - t0, 2)
@@ -100,9 +106,17 @@ def main() -> None:
     bucketed = {}
     try:
         for n in BUCKETED_QUERIES:
-            df = relational.QUERIES[n](spark, sf_dir)
+            df = _q(n)
             spread = _spread(df)
             spread["custkey_exchange_in_plan"] = "hashpartitioning(o_custkey" in _plan(spark, df)
+            bucketed[n] = spread
+        for n in BUCKETED_LI_QUERIES:
+            df = _q(n)
+            spread = _spread(df)
+            p = _plan(spark, df)
+            spread["suppkey_exchange_in_plan"] = "hashpartitioning(l_suppkey" in p
+            if n == "rolling_5":
+                spread["sort_in_plan"] = "Sort [" in df._jdf.queryExecution().executedPlan().toString()
             bucketed[n] = spread
     finally:
         del os.environ["SPARK_GRAFT_LAYOUT"]

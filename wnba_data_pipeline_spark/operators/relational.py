@@ -438,7 +438,11 @@ def _rolling_window() -> Window:
 
 
 def _rolling(spark: SparkSession, sf_dir: str, ns: tuple[int, ...]) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # layout-aware: the bucketed lineitem copy is sorted by the FULL
+    # window ordering with one file per bucket, so this query's Exchange
+    # AND Sort both vanish on that layout (plan-asserted in
+    # tests/test_catalog.py, measured in BENCH_SCALE_r06)
+    li = _layout_table(spark, sf_dir, "lineitem")
     w = _rolling_window()
     return li.select(
         "l_suppkey",
@@ -816,8 +820,9 @@ def q_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     median (reference ``median()``, ``model_training.py:244``; SURVEY D8)
     in ONE grouped pass — Spark ≥3.4 ``median`` ≡ DuckDB ``median`` on
     DOUBLE (both interpolate even-count groups); stddev_samp in both
-    engines; 1-row groups yield NULL stddev in both."""
-    li = load_table(spark, sf_dir, "lineitem")
+    engines; 1-row groups yield NULL stddev in both. Layout-aware: on the
+    bucketed lineitem the l_suppkey agg is exchange-free."""
+    li = _layout_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
         _r6(F.stddev_samp("l_quantity")).alias("qty_std"),
         _r6(F.median("l_quantity")).alias("qty_median"),
@@ -878,8 +883,10 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct → count, broadcast-joined back onto the 1-row stats): the
     inline ``count_distinct`` compiles to an Expand that doubles every row
     through the partial agg, and at sf10 the split plan is measured faster
-    (see ``_use_split_distinct``). Both shapes return identical rows."""
-    li = load_table(spark, sf_dir, "lineitem")
+    (see ``_use_split_distinct``). Both shapes return identical rows.
+    Layout-aware: on the bucketed lineitem the split-distinct subtree's
+    l_suppkey shuffle disappears (bucket-local distinct)."""
+    li = _layout_table(spark, sf_dir, "lineitem")
     base_aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("bigint").alias("null_qty"),

@@ -24,6 +24,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .layers import layer_tables
@@ -39,8 +40,17 @@ PARTITIONED = ("raw.lineitem_box", "raw.orders_box")
 # already measured this layout fastest for the join (0.656 s exchange-free
 # SMJ at sf10).
 BUCKET_SPECS = {
-    "orders": ("o_custkey", "o_custkey"),  # (bucket_by, sort_by)
-    "customer": ("c_custkey", "c_custkey"),
+    "orders": ("o_custkey", ("o_custkey",)),  # (bucket_by, sort_by cols)
+    "customer": ("c_custkey", ("c_custkey",)),
+    # lineitem sorted by the FULL rolling-window ordering: with one file
+    # per bucket the scan advertises this sort order, so the 60 M-row
+    # window query loses BOTH its Exchange and its Sort (the dominant
+    # cost of rolling_5 at sf10) — and every l_suppkey agg
+    # (dispersion/label/distinct subtrees) loses its Exchange
+    "lineitem": (
+        "l_suppkey",
+        ("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+    ),
 }
 
 
@@ -68,6 +78,12 @@ def ensure_bucketed_layout(
     downstream shuffle on that key disappears (plan-asserted in
     tests/test_catalog.py)."""
     db = bucketed_db(sf_dir)
+    # advertise the per-bucket sortBy order from the scan so downstream
+    # Sorts are elided too (Spark 3+ stopped advertising it by default
+    # because MULTI-file buckets only sort within files; our write below
+    # repartitions to exactly the bucket hash first, so every bucket is
+    # ONE file and the advertisement is sound)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     if base_path is None:
         root = os.environ.get(
             "SPARK_GRAFT_BUCKET_DIR",
@@ -77,8 +93,13 @@ def ensure_bucketed_layout(
     written = []
     for t in tables:
         bucket_by, sort_by = BUCKET_SPECS[t]
+        # repartition to exactly the bucket hash BEFORE the write: Spark's
+        # repartition and its bucket spec use the same murmur3-pmod, so
+        # each write task then holds exactly one bucket and emits ONE file
+        # per bucket — the condition under which the scan advertises the
+        # per-bucket sortBy order and downstream Sorts are elided
         write_bucketed(
-            load_table(spark, sf_dir, t),
+            load_table(spark, sf_dir, t).repartition(n_buckets, F.col(bucket_by)),
             f"{db}.{t}",
             bucket_by=bucket_by,
             n_buckets=n_buckets,
@@ -105,7 +126,7 @@ def write_bucketed(
     bucket_by: str,
     n_buckets: int,
     path: str,
-    sort_by: str | None = None,
+    sort_by: str | tuple[str, ...] | None = None,
 ) -> None:
     """Write ``df`` as a BUCKETED (and optionally sorted) external catalog
     table — the co-located-join layout: two tables bucketed by the same key
@@ -124,7 +145,8 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {qualified}")
     w = df.write.mode("overwrite").format("parquet").option("path", path).bucketBy(n_buckets, bucket_by)
     if sort_by:
-        w = w.sortBy(sort_by)
+        cols = (sort_by,) if isinstance(sort_by, str) else tuple(sort_by)
+        w = w.sortBy(cols[0], *cols[1:])
     w.saveAsTable(qualified)
 
 
