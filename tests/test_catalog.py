@@ -144,3 +144,27 @@ def test_bucketed_lineitem_elides_rolling_exchange_and_sort(spark, tmp_path, mon
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Sort [" not in plan, plan
     assert rows_key(df) == before
+
+
+def test_bucketed_events_elides_sessionize_exchange(spark, tmp_path, monkeypatch):
+    """Events clustered by user: sessionize and agg_multi return identical
+    rows on the bucketed layout with their keyed Exchange gone."""
+    from wnba_data_pipeline_spark.operators import relational
+
+    from .conftest import SF_ORACLE
+
+    def rows_key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    before_s = rows_key(relational.q_sessionize_events(spark, SF_ORACLE))
+    before_a = rows_key(relational.q_agg_multi(spark, SF_ORACLE))
+    catalog.ensure_bucketed_layout(
+        spark, SF_ORACLE, n_buckets=8, base_path=str(tmp_path / "bucketed_ev")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT", "bucketed")
+    s = relational.q_sessionize_events(spark, SF_ORACLE)
+    assert "hashpartitioning(user_id" not in s._jdf.queryExecution().executedPlan().toString()
+    assert rows_key(s) == before_s
+    a = relational.q_agg_multi(spark, SF_ORACLE)
+    assert "hashpartitioning(l_suppkey" not in a._jdf.queryExecution().executedPlan().toString()
+    assert rows_key(a) == before_a

@@ -228,8 +228,9 @@ FROM agg a LEFT JOIN supplier s ON a.l_suppkey = s.s_suppkey
 
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY D1 analog, matches BASELINE.md `agg_multi` SQL shape (rounded;
-    sums via _dsum so 6-decimal outputs are summation-order-independent)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    sums via _dsum so 6-decimal outputs are summation-order-independent).
+    Layout-aware: exchange-free on the bucketed lineitem."""
+    li = _layout_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("cnt"),
         _dsum("l_quantity").alias("_sq"),
@@ -1451,8 +1452,10 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-session condition is strictly ``gap > 1800``). Plan: one shuffle on
     user_id; session merging happens inside the sort-based session agg; the
     same query runs under Structured Streaming with a watermark
-    (streaming/sessions.py)."""
-    ev = load_table(spark, sf_dir, "events")
+    (streaming/sessions.py). Layout-aware: on the bucketed events table
+    the user_id Exchange disappears (the in-partition session sort
+    remains — see plans/catalog.BUCKET_SPECS)."""
+    ev = _layout_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id")
         .agg(

@@ -51,6 +51,11 @@ BUCKET_SPECS = {
         "l_suppkey",
         ("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
     ),
+    # the event stream clustered by user: the sessionize family's
+    # user_id Exchange disappears (the session-window sort stays — its
+    # required ordering is on the COMPUTED session_window column, which
+    # the advertised (user_id, ts) scan order cannot satisfy syntactically)
+    "events": ("user_id", ("user_id", "ts")),
 }
 
 
