@@ -168,3 +168,25 @@ def test_bucketed_events_elides_sessionize_exchange(spark, tmp_path, monkeypatch
     a = relational.q_agg_multi(spark, SF_ORACLE)
     assert "hashpartitioning(l_suppkey" not in a._jdf.queryExecution().executedPlan().toString()
     assert rows_key(a) == before_a
+
+
+def test_bucketed_events_makes_exact_tumbling_distinct_local(spark, tmp_path, monkeypatch):
+    """With events bucketed by user_id, the exact tumbling shape's distinct
+    subtree must not shuffle (day, type, user) tuples: no exchange keyed on
+    user_id anywhere in the plan, identical rows."""
+    from wnba_data_pipeline_spark.operators import relational
+
+    from .conftest import SF_ORACLE
+
+    monkeypatch.setenv("SPARK_GRAFT_SPLIT_DISTINCT", "1")  # force the split shape at sf0.01
+    before = sorted(tuple(r) for r in relational.q_tumbling_daily(spark, SF_ORACLE).collect())
+    catalog.ensure_bucketed_layout(
+        spark, SF_ORACLE, n_buckets=8, base_path=str(tmp_path / "bucketed_tu")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT", "bucketed")
+    df = relational.q_tumbling_daily(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert not seg.startswith("user_id"), plan
+        assert "user_id" not in seg.split(")")[0], plan
+    assert sorted(tuple(r) for r in df.collect()) == before

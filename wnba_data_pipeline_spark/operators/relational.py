@@ -1522,8 +1522,16 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct is acceptable. Default OFF: the driver's oracle comparison
     requires the exact count; the ≤5% error bound is asserted in
     tests/test_sketches.py and the sf10 time is published in
-    BENCH_SCALE_r06.json."""
-    ev = load_table(spark, sf_dir, "events")
+    BENCH_SCALE_r06.json.
+
+    Layout-aware (late round 6): on the user-bucketed events table the
+    split subtree's ``distinct`` becomes BUCKET-LOCAL — HashPartitioning
+    on user_id satisfies the clustered distribution of (day, type,
+    user_id), so the EXACT shape stops shuffling ~8 M distinct tuples;
+    only per-partition partial counts cross the wire. The one exact-
+    distinct signature cost this query had disappears on the production
+    layout (measured in BENCH_SCALE_r06)."""
+    ev = _layout_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
     if os.environ.get("SPARK_GRAFT_APPROX_DISTINCT") == "1":
         from .sketches import LG_K
