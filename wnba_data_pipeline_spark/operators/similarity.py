@@ -833,6 +833,155 @@ FROM q
 # through the 100 TB LSH-banded plan and stays registered; the baseline
 # keeps oracle parity in tests/test_offregistry_parity.py and its
 # ground-truth role in tests/test_similarity_bucketed.py's recall gate.
+
+# ---------------------------------------------------------------------------
+# Binary (sign) embedding signatures + Hamming top-k
+# ---------------------------------------------------------------------------
+
+HAM_TOP_K = 3
+
+
+def _sign_half(vec: Column, lo: int) -> Column:
+    """Pack sign bits of components [lo, lo+32) into the low 32 bits of a
+    long, MSB-first fold (acc*2 + bit) — pure arithmetic, no shifts, never
+    exceeds 2^32 so ANSI-mode long arithmetic cannot overflow."""
+    return F.aggregate(
+        F.sequence(F.lit(lo + 31), F.lit(lo), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * F.lit(2).cast("long")
+        + F.when(F.element_at(vec, i + F.lit(1)) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def _sign_half_sql(vec: str, lo: int) -> str:
+    return (
+        f"list_reduce(list_transform(range({lo + 31}, {lo - 1}, -1), "
+        f"i -> CASE WHEN {vec}[i+1] > 0 THEN 1::BIGINT ELSE 0::BIGINT END), "
+        f"(acc, x) -> acc * 2 + x)"
+    )
+
+
+def binarize_embeddings(emb: DataFrame) -> DataFrame:
+    """vec_id + 64-dim float embedding → (vec_id, sig_lo, sig_hi): one
+    SIGN BIT per component, packed into two 32-bit halves. 32× smaller
+    than the float vector and Hamming-comparable with two XOR+POPCNT ops
+    — the cheapest useful embedding representation for coarse filtering
+    at 100 TB (agreement of sign bits estimates angular similarity, the
+    same SimHash identity the SRP-LSH buckets use with random planes;
+    here the planes are the coordinate axes). Zero-shuffle codegen map.
+    """
+    return emb.select(
+        "vec_id",
+        _sign_half(F.col("embedding"), 0).alias("sig_lo"),
+        _sign_half(F.col("embedding"), 32).alias("sig_hi"),
+    )
+
+
+def hamming_topk(sigs: DataFrame, *, n_queries: int, k: int) -> DataFrame:
+    """Exact top-k by Hamming distance over the packed signatures (query
+    side broadcast, distances via bit_count(xor) on both halves — stays
+    in whole-stage codegen). Ties break on neighbor vec_id ascending, so
+    the result is deterministic despite the small distance range."""
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("sig_lo").alias("n_lo"),
+        F.col("sig_hi").alias("n_hi"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("q_vec_id") != F.col("n_vec_id")).withColumn(
+        "hamming",
+        (
+            F.bit_count(F.col("q_lo").bitwiseXOR(F.col("n_lo")))
+            + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("n_hi")))
+        ).cast("long"),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("hamming").asc(), F.col("n_vec_id"))
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("q_vec_id", "n_vec_id", "hamming", F.col("nn_rank").cast("long").alias("nn_rank"))
+    )
+
+
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-signature Hamming top-3 for the sim_topk query set.
+    Off-registry: DuckDB twin + recall-vs-cosine gates in
+    tests/test_hamming.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_topk(binarize_embeddings(emb), n_queries=N_QUERIES, k=HAM_TOP_K)
+
+
+ORACLE_HAMMING_TOPK = f"""
+WITH sigs AS (
+  SELECT vec_id, {_sign_half_sql("embedding", 0)} AS sig_lo,
+         {_sign_half_sql("embedding", 32)} AS sig_hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_vec_id, sig_lo AS q_lo, sig_hi AS q_hi
+  FROM sigs WHERE vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT q.q_vec_id, c.vec_id AS n_vec_id,
+         bit_count(xor(q.q_lo, c.sig_lo)) + bit_count(xor(q.q_hi, c.sig_hi)) AS hamming
+  FROM q JOIN sigs c ON q.q_vec_id <> c.vec_id
+)
+SELECT q_vec_id, n_vec_id, CAST(hamming AS BIGINT) AS hamming,
+       CAST(nn_rank AS BIGINT) AS nn_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY hamming, n_vec_id) AS nn_rank
+  FROM pairs
+) WHERE nn_rank <= {HAM_TOP_K}
+"""
+
+HAM_PREFILTER_M = 50  # Hamming candidates per query before the exact rerank
+
+
+def hamming_rerank(
+    emb: DataFrame, *, n_queries: int, k: int, m: int = HAM_PREFILTER_M
+) -> DataFrame:
+    """Two-stage search: Hamming top-``m`` over the packed sign bits (two
+    XOR+POPCNT per candidate — the cheap pass that scans the whole corpus
+    at 1/32 the bytes), then EXACT cosine rerank of only those ``m``
+    candidates per query. The same shape as ``pq_search_rerank``: the
+    compressed representation does coarse recall, floats touch only the
+    shortlist.
+
+    Measured at sf0.01 (tests/test_hamming.py): raw Hamming top-3 recalls
+    only ~0.23 of the exact cosine top-3 — axis-aligned sign bits are a
+    WEAK single-stage ranker for this corpus (the SRP-LSH buckets use
+    random planes for the same identity and do better) — but as a 10%
+    prefilter (m=50 of 500) + rerank the pipeline recalls ≥0.8. That is
+    the honest role of 1-bit quantization: shortlist generation, not
+    ranking."""
+    cands = hamming_topk(binarize_embeddings(emb), n_queries=n_queries, k=m)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        cands.select("q_vec_id", "n_vec_id")
+        .join(F.broadcast(q), "q_vec_id")
+        .join(c, "n_vec_id")
+        .withColumn("_cos", _cosine(F.col("q_emb"), F.col("n_emb")))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(
+            "q_vec_id",
+            "n_vec_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("nn_rank").cast("long").alias("nn_rank"),
+        )
+    )
+
+
 QUERIES = {
     # sim_topk left OFF the capped registry (round-6 fourth rotation): it is
     # the explicitly-labeled brute-force ground-truth baseline whose scale
