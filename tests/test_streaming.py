@@ -146,3 +146,21 @@ def test_interval_join_stream_matches_batch_range_join(spark):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_session_window_stream_matches_batch_twin(spark):
+    """The streaming session_window aggregation, drained over the finite
+    file source, must equal the batch sessionization row-for-row."""
+    from wnba_data_pipeline_spark.operators import relational
+    from wnba_data_pipeline_spark.streaming import sessions as ss
+
+    ss.run_append_to_memory(
+        ss.sessionize_stream(spark, SF_SMOKE), "stream_sessions", mode="complete"
+    )
+    got = sorted(
+        tuple(r) for r in spark.table("stream_sessions").collect()
+    )
+    want = sorted(
+        tuple(r) for r in relational.q_sessionize_events(spark, SF_SMOKE).collect()
+    )
+    assert got == want and len(got) > 0

@@ -62,3 +62,53 @@ def run_to_memory(df: DataFrame, table_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, *, watermark: str = "31 days"
+) -> DataFrame:
+    """Streaming twin of ``relational.q_sessionize_events``: the SAME
+    ``session_window`` gap aggregation run incrementally — merging session
+    state per (user, window) bounded by the watermark. Late events beyond
+    the watermark drop instead of reopening closed sessions (the property
+    that bounds state at 100 TB/day; the batch twin has no such cutoff, so
+    the finite-drain cross-check uses a watermark past the corpus span).
+
+    Drain contract: session-window aggregations support append and
+    complete output only (update would emit half-merged sessions). In
+    APPEND mode a session emits only once the watermark passes its close,
+    so a finite availableNow drain ends with every session still open —
+    an empty result. The cross-check therefore drains in COMPLETE mode
+    (total session state re-emitted at the single final batch); a
+    production continuous run uses append, where the watermark finalizes
+    sessions as the stream advances."""
+    from pyspark.sql import functions as F
+
+    from ..operators.relational import SESSION_GAP_S, _dsum, _r6
+
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(_dsum("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_append_to_memory(df: DataFrame, table_name: str, *, mode: str = "complete") -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
