@@ -1,0 +1,64 @@
+"""Compaction gates (sources/maintenance.py): the rewrite must reduce file
+counts to the computed target, preserve rows/schema exactly, respect the
+Hive partition layout, and leave already-compact partitions untouched."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.sources import maintenance
+from wnba_data_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _fragmented_table(spark, path: str):
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "flag", F.col("l_returnflag")
+    )
+    # 3 appends x 8 shards per partition = heavily over-sharded
+    for _ in range(3):
+        li.repartition(8).write.mode("append").partitionBy("flag").parquet(path)
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    _fragmented_table(spark, path)
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("flag").collect()
+    )
+    plan = maintenance.compaction_plan(path, target_bytes=1 << 30)
+    assert all(p["compact"] for p in plan)  # every partition over-sharded
+    stats = maintenance.compact_table(spark, path, target_bytes=1 << 30)
+    assert stats["partitions_compacted"] == len(plan) == 3  # A/N/R flags
+    assert stats["files_after"] == 3  # one 1GB-target shard per partition
+    assert stats["files_before"] > stats["files_after"]
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("flag").collect()
+    )
+    assert after_rows == before_rows
+    # partition layout survived: the flag directories still exist and the
+    # partition-column filter reads exactly the source's A-flag rows (x3
+    # appends)
+    assert sorted(d for d in os.listdir(path) if d.startswith("flag=")) == [
+        "flag=A",
+        "flag=N",
+        "flag=R",
+    ]
+    want_a = 3 * load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_returnflag") == "A"
+    ).count()
+    assert spark.read.parquet(path).filter(F.col("flag") == "A").count() == want_a
+
+
+def test_compaction_skips_already_compact_partitions(spark, tmp_path):
+    path = str(tmp_path / "ok")
+    load_table(spark, SF_SMOKE, "nation").coalesce(1).write.parquet(path)
+    files_before = {
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    }
+    stats = maintenance.compact_table(spark, path, target_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 0
+    assert {f for f in os.listdir(path) if f.endswith(".parquet")} == files_before
