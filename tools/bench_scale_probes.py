@@ -41,7 +41,14 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 BUCKETED_QUERIES = ("topk_revenue", "rank_partition_avg", "join_left_enrich")
 # the lineitem family (late round 6): rolling_5 rides the full-sort bucket
 # order (Exchange AND Sort elided); the l_suppkey aggs lose their Exchange
-BUCKETED_LI_QUERIES = ("rolling_5", "dispersion_stats", "quality_probe")
+BUCKETED_LI_QUERIES = (
+    "rolling_5",
+    "dispersion_stats",
+    "quality_probe",
+    "agg_multi",
+    "sessionize_events",
+    "tumbling_daily",
+)
 
 
 def _force(df) -> None:
@@ -113,10 +120,15 @@ def main() -> None:
         for n in BUCKETED_LI_QUERIES:
             df = _q(n)
             spread = _spread(df)
-            p = _plan(spark, df)
-            spread["suppkey_exchange_in_plan"] = "hashpartitioning(l_suppkey" in p
+            exec_plan = df._jdf.queryExecution().executedPlan().toString()
+            # the layout's claim: no exchange keyed on the bucket column
+            spread["bucket_keyed_exchange_in_plan"] = any(
+                seg.split(")")[0].find(k) >= 0
+                for seg in exec_plan.split("Exchange hashpartitioning(")[1:]
+                for k in ("l_suppkey", "user_id")
+            )
             if n == "rolling_5":
-                spread["sort_in_plan"] = "Sort [" in df._jdf.queryExecution().executedPlan().toString()
+                spread["sort_in_plan"] = "Sort [" in exec_plan
             bucketed[n] = spread
     finally:
         del os.environ["SPARK_GRAFT_LAYOUT"]
