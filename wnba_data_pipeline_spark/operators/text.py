@@ -1157,6 +1157,86 @@ def domain_blocklist_filter(docs: DataFrame, blocked: DataFrame) -> DataFrame:
     )
     return docs.join(flagged, "doc_id", "left_anti")
 
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (no-false-negative prefilter)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """(text) → one row per bigram OCCURRENCE — zero-shuffle expansion,
+    shared by the exact top-k and the CMS pipeline."""
+    words = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + F.lit(1)), F.element_at(words, i + F.lit(2))
+        ),
+    )
+    return docs.filter(F.size(words) >= 2).select(F.explode(bigrams).alias("bigram"))
+
+
+def cms_counts(occurrences: DataFrame, *, term_col: str = "bigram") -> dict:
+    """Fit a count-min sketch over the occurrence stream: CMS_DEPTH
+    independent hash rows × CMS_WIDTH buckets, one hash-agg shuffle whose
+    key space is AT MOST depth×width (32k cells) regardless of how many
+    distinct terms exist — the fixed-size summary a 100 TB corpus can
+    always afford. Returns {(row, bucket): count} (≤32k entries,
+    driver-held and broadcast back for estimation)."""
+    cells = None
+    for r in range(CMS_DEPTH):
+        part = (
+            occurrences.select(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64(F.col(term_col), F.lit(r)), F.lit(CMS_WIDTH)).alias("b"),
+            )
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    agg = cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
+    return {(row["r"], row["b"]): row["n"] for row in agg.collect()}
+
+
+def _cms_passes(term: Column, cms: dict, min_count: int) -> Column:
+    """``min_r cms[r][h_r(term)] ≥ min_count`` — the CMS upper bound never
+    underestimates, so this gate admits every true heavy hitter. Encoded
+    compactly: the estimate clears the threshold iff EVERY hash row's
+    bucket belongs to that row's (small) ≥-threshold bucket set, so the
+    plan carries a few hundred literals (at most occurrences/min_count
+    buckets per row), not the full depth×width matrix."""
+    cond = None
+    for r in range(CMS_DEPTH):
+        heavy = [b for (row, b), n in cms.items() if row == r and n >= min_count]
+        b = F.pmod(F.xxhash64(term, F.lit(r)), F.lit(CMS_WIDTH))
+        row_ok = b.isin(heavy) if heavy else F.lit(False)
+        cond = row_ok if cond is None else cond & row_ok
+    return cond
+
+
+def heavy_hitters_cms(
+    docs: DataFrame, *, min_count: int, term_col: str = "bigram"
+) -> DataFrame:
+    """Exact heavy hitters (terms with true count ≥ min_count) via a CMS
+    prefilter: because the sketch only OVERestimates, every true heavy
+    hitter passes the estimate gate — no false negatives — and only the
+    surviving candidate occurrences pay the exact per-term count shuffle.
+    At 100 TB this converts an unbounded distinct-term shuffle into a 32k-
+    cell sketch pass plus an exact pass over the (rare) heavy candidates.
+
+    Result is EXACT (false positives are removed by the final exact
+    filter), asserted equal to the direct computation in
+    tests/test_cms.py."""
+    occ = _bigram_stream(docs) if term_col == "bigram" else docs
+    cms = cms_counts(occ, term_col=term_col)
+    candidates = occ.filter(_cms_passes(F.col(term_col), cms, min_count))
+    return (
+        candidates.groupBy(term_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_agreement": q_lang_id_agreement,
