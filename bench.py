@@ -115,6 +115,19 @@ def main() -> None:
     ensure_confs(spark)
     overrides = {"rolling_5": relational.q_rolling_5}
 
+    # First-class layout mode: SPARK_GRAFT_LAYOUT=bucketed registers the
+    # clustered copies (one-time write, reported separately as ingest
+    # cost) and every layout-aware query then reads them — the production
+    # posture for repeated keys, reproducible through this same harness
+    # (BENCH_SCALE_r06 bucketed_matrix for the measured deltas).
+    layout_write_sec = None
+    if os.environ.get("SPARK_GRAFT_LAYOUT") == "bucketed":
+        from wnba_data_pipeline_spark.plans.catalog import ensure_bucketed_layout
+
+        t0 = time.perf_counter()
+        ensure_bucketed_layout(spark, sf_dir, n_buckets=32 if big else 8)
+        layout_write_sec = round(time.perf_counter() - t0, 2)
+
     # Build each plan once (prepared-statement style) and force the whole
     # suite once before any timing: the first executions also pay one-time
     # JVM costs (codegen compilation, parquet-reader and shuffle paths
@@ -166,6 +179,9 @@ def main() -> None:
         "aqe": aqe_on,
         "shuffle_partitions": shuffle,
     }
+    if layout_write_sec is not None:
+        out["layout"] = "bucketed"
+        out["layout_write_sec"] = layout_write_sec
     print(json.dumps(out))
 
 
