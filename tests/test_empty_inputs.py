@@ -147,3 +147,30 @@ def test_temporal_joins_on_empty_sides(spark):
         ).count()
         == 0
     )
+
+
+def test_new_round6_ops_on_empty_corpus(spark):
+    """CMS heavy hitters, URL analytics, leakage split, and the binary
+    signature family must all flow an empty corpus through without error."""
+    from wnba_data_pipeline_spark.operators import ml, similarity, text
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.lit(False))
+    )
+    assert text.heavy_hitters_cms(docs, min_count=1).count() == 0
+    assert text.doc_domains(docs).count() == 0
+    blocked = spark.createDataFrame([("x.com",)], "domain string")
+    assert text.domain_blocklist_filter(docs, blocked).count() == 0
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert ml.leakage_safe_split(docs, pairs).count() == 0
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.lit(False))
+    assert similarity.binarize_embeddings(emb).count() == 0
+    assert (
+        similarity.hamming_topk(
+            similarity.binarize_embeddings(emb), n_queries=10, k=3
+        ).count()
+        == 0
+    )
