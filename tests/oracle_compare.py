@@ -20,8 +20,12 @@ def _norm_cell(v):
             # queries therefore never OUTPUT literal NaN (guarded ratios map
             # 0/0 to 0 or NULL explicitly), keeping this conflation unexercised.
             return "<NULL>"
-        if v == int(v) and abs(v) < 1e15:
-            return f"i:{int(v)}"
+        # DRIVER-STRICT: a float NEVER normalizes to an int token, even when
+        # integral. Round-6 postmortem: DuckDB SUM(BIGINT) → HUGEINT surfaces
+        # as float64 7155.0 while Spark returns int64 7155; the old
+        # `v == int(v) → i:<int>` coercion absorbed that skew locally while
+        # the driver's hash flagged it (VERDICT r6 items 1-2). Oracles must
+        # CAST integer-ish aggregates to BIGINT on both sides instead.
         return f"f:{v:.6f}"
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
         return f"t:{pd.Timestamp(v).strftime('%Y-%m-%d %H:%M:%S.%f')}"

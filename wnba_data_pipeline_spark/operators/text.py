@@ -453,7 +453,7 @@ WITH wt AS (
   FROM ranked r JOIN takes t USING (lang) WHERE r.rn <= t.n_take
 )
 SELECT lang, MIN(n_total) AS n_total, MIN(n_take) AS n_take,
-       COUNT(*) AS n_sampled, SUM(doc_id) AS id_checksum,
+       COUNT(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
        round(MIN(n_take) / (SELECT SUM(n_take) FROM takes), 6) AS achieved_share
 FROM sel GROUP BY lang
 """
