@@ -62,3 +62,31 @@ def test_compaction_skips_already_compact_partitions(spark, tmp_path):
     stats = maintenance.compact_table(spark, path, target_bytes=1 << 30)
     assert stats["partitions_compacted"] == 0
     assert {f for f in os.listdir(path) if f.endswith(".parquet")} == files_before
+
+
+def test_compaction_recovers_interrupted_swap(spark, tmp_path):
+    # Simulate a crash mid-swap: originals renamed aside to __compact_old,
+    # a partial new file already moved in. The next compact_table run must
+    # restore the originals (they are the only complete copy), drop the
+    # partial output, and then compact normally — no rows lost (ADVICE r6
+    # crash-safety item).
+    path = str(tmp_path / "crash")
+    _fragmented_table(spark, path)
+    want_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    part = os.path.join(path, "flag=A")
+    old = part + "__compact_old"
+    os.makedirs(old)
+    moved = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    for f in moved:
+        os.rename(os.path.join(part, f), os.path.join(old, f))
+    # a partial new file: wrong contents standing in for an incomplete move
+    nation = load_table(spark, SF_SMOKE, "nation")
+    tmpdir = str(tmp_path / "partial")
+    nation.coalesce(1).write.parquet(tmpdir)
+    partial = next(f for f in os.listdir(tmpdir) if f.endswith(".parquet"))
+    os.rename(os.path.join(tmpdir, partial), os.path.join(part, partial))
+    stats = maintenance.compact_table(spark, path, target_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 3
+    got_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    assert got_rows == want_rows
+    assert not os.path.isdir(old)

@@ -104,6 +104,28 @@ def test_range_join_left_keeps_unmatched_with_null_skipping_agg(spark):
     assert got == {1: 1, 2: 0}
 
 
+def test_range_join_left_null_rows_only_for_unmatched(spark):
+    # The bin fan-out must NOT leak per-bin null padding: a matched left
+    # row emits only its pairs, an unmatched one exactly one null row —
+    # so count(*) and `rid IS NULL` are faithful on the raw pair output
+    # (ADVICE r6: the old behavior emitted a null row per empty bin).
+    hour = 3600 * 1_000_000
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 12:00:00")), (2, 99, _ts("2024-01-01 12:00:00"))],
+        "lid long, user_id long, lts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-01 11:30:00"))], "rid long, user_id long, rts timestamp_ntz"
+    )
+    rows = temporal.range_join(
+        left, right, on="user_id", left_ts="lts", right_ts="rts", window_us=hour, how="left"
+    ).collect()
+    by_lid = {}
+    for r in rows:
+        by_lid.setdefault(r.lid, []).append(r.rid)
+    assert by_lid == {1: [100], 2: [None]}
+
+
 def test_asof_plan_single_exchange(spark):
     plan = (
         temporal.q_asof_attribution(spark, "/root/testdata/sf0.001")

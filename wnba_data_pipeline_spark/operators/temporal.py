@@ -199,10 +199,13 @@ def range_join(
     ``[left_ts − window_us, left_ts)`` (trailing window, end-exclusive —
     a row never joins itself when both sides come from one table).
 
-    ``how='left'`` keeps unmatched left rows with null right columns —
-    NOTE the bin fan-out can then emit up to two null-padded rows per
-    unmatched left row, so aggregate with null-skipping functions
-    (``count(right_col)``, ``sum``), never ``count(*)``.
+    ``how='left'`` keeps unmatched left rows with EXACTLY one null-padded
+    row each, and matched left rows emit only their match pairs — the bin
+    fan-out's spurious per-bin null rows (a matched left row whose OTHER
+    bin-row found nothing, or a doubly-unmatched row's second bin) are
+    post-filtered per original left row, so ``right_col IS NULL`` on the
+    output is a faithful unmatched test. The filter costs one extra
+    window shuffle on the left-row id and runs only for ``how='left'``.
 
     Scalability is the bin trick described in the module docstring: the
     range predicate stays in the JOIN CONDITION (left-join correctness
@@ -214,7 +217,12 @@ def range_join(
     # and same-lineage references would trip Spark's ambiguous-self-join
     # detection. Bin INDEX bounds use integer division (exact on int64 —
     # no double rounding at epoch-microsecond magnitude).
-    lhs = left.select([F.col(c).alias(f"_l_{c}") for c in left.columns]).withColumn(
+    lhs = left.select([F.col(c).alias(f"_l_{c}") for c in left.columns])
+    if how == "left":
+        # stable per-ORIGINAL-left-row identity, assigned BEFORE the bin
+        # explode so both bin-rows of one left row share it
+        lhs = lhs.withColumn("_lrow", F.monotonically_increasing_id())
+    lhs = lhs.withColumn(
         "_lbin",
         F.explode(
             F.sequence(
@@ -234,6 +242,18 @@ def range_join(
         & (us_r < us_l)
     )
     joined = lhs.join(rhs, cond, how)
+    if how == "left":
+        # Collapse the bin fan-out's null-padding to at most ONE null row
+        # per original left row, emitted only when NEITHER bin matched:
+        # keep every matched pair; among a left row's null bin-rows keep
+        # the first only if the row has zero matches across both bins.
+        matched = F.col(f"_r_{on}").isNotNull()
+        w = Window.partitionBy("_lrow")
+        joined = (
+            joined.withColumn("_any", F.max(matched.cast("int")).over(w) == 1)
+            .withColumn("_rn", F.row_number().over(w.orderBy(F.col("_lbin"))))
+            .filter(matched | (~F.col("_any") & (F.col("_rn") == 1)))
+        )
     out = [F.col(f"_l_{c}").alias(c) for c in left.columns]
     out += [F.col(f"_r_{c}").alias(c) for c in right.columns if c != on]
     return joined.select(*out)

@@ -1186,15 +1186,14 @@ def cms_counts(occurrences: DataFrame, *, term_col: str = "bigram") -> dict:
     distinct terms exist — the fixed-size summary a 100 TB corpus can
     always afford. Returns {(row, bucket): count} (≤32k entries,
     driver-held and broadcast back for estimation)."""
-    cells = None
-    for r in range(CMS_DEPTH):
-        part = (
-            occurrences.select(
-                F.lit(r).alias("r"),
-                F.pmod(F.xxhash64(F.col(term_col), F.lit(r)), F.lit(CMS_WIDTH)).alias("b"),
-            )
-        )
-        cells = part if cells is None else cells.unionByName(part)
+    # All depth hashes in ONE pass over the stream: each occurrence emits a
+    # CMS_DEPTH-element bucket array and posexplode yields (r, b) pairs —
+    # the corpus scan / bigram explode upstream runs once, not DEPTH times
+    # (a union of per-row projections recomputes the source per branch).
+    buckets = F.array(
+        *[F.pmod(F.xxhash64(F.col(term_col), F.lit(r)), F.lit(CMS_WIDTH)) for r in range(CMS_DEPTH)]
+    )
+    cells = occurrences.select(F.posexplode(buckets).alias("r", "b"))
     agg = cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
     return {(row["r"], row["b"]): row["n"] for row in agg.collect()}
 
