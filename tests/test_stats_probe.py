@@ -72,3 +72,63 @@ def test_meta_probe_refuses_statless_files(spark, tmp_path, monkeypatch):
     pq.write_table(t, out / "part.parquet", write_statistics=False)
     with pytest.raises(Exception, match="statistics|PROBE|scan probe"):
         quality.parquet_stats_probe(spark, str(out)).collect()
+
+
+def test_meta_probe_rejects_schema_only_file(spark, tmp_path):
+    # a >0-byte parquet file with ZERO row groups must raise the documented
+    # ValueError, not IndexError (ADVICE r6)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "empty.parquet")
+    w = pq.ParquetWriter(path, pa.schema([("l_quantity", pa.float64())]))
+    w.close()  # footer only, zero row groups
+    with pytest.raises(Exception) as ei:
+        quality.parquet_stats_probe(spark, path).collect()
+    assert "zero row groups" in str(ei.value)
+
+
+def test_quality_report_footer_path_rows_identical(spark, duck, monkeypatch):
+    # the sf-switch must be plan selection only: forced footer mode returns
+    # byte-identical report rows to the scan shape (and to the oracle)
+    monkeypatch.setenv("SPARK_GRAFT_FOOTER_STATS", "1")
+    footer = quality.q_quality_report(spark, SF_ORACLE)
+    monkeypatch.setenv("SPARK_GRAFT_FOOTER_STATS", "0")
+    scan = quality.q_quality_report(spark, SF_ORACLE)
+    frows = sorted(tuple(r) for r in footer.collect())
+    srows = sorted(tuple(r) for r in scan.collect())
+    assert frows == srows
+    from .oracle_compare import compare
+
+    monkeypatch.setenv("SPARK_GRAFT_FOOTER_STATS", "1")
+    compare(
+        quality.q_quality_report(spark, SF_ORACLE),
+        duck.sql(quality.ORACLE_QUALITY_REPORT).df(),
+        "quality_report_footer",
+    )
+
+
+def test_quality_report_footer_path_plan_shape(spark, monkeypatch):
+    # at the footer shape: NO orders scan at all, and the one remaining
+    # lineitem scan reads only the columns the footers cannot answer
+    monkeypatch.setenv("SPARK_GRAFT_FOOTER_STATS", "1")
+    plan = (
+        quality.q_quality_report(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "orders.parquet" not in plan
+    import re as _re
+
+    schemas = _re.findall(r"lineitem[^\n]*ReadSchema: ([^\n]+)", plan)
+    assert schemas, plan
+    for s in schemas:
+        assert "l_extendedprice" in s and "l_returnflag" in s
+        assert "l_shipdate" not in s and "l_quantity" not in s
+
+
+def test_rowcount_probe_matches_scan_count(spark):
+    got = quality.parquet_rowcount_probe(spark, f"{SF_ORACLE}/orders.parquet").collect()[0][0]
+    want = load_table(spark, SF_ORACLE, "orders").count()
+    assert got == want

@@ -16,6 +16,9 @@ plain SQL over the same tables.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,24 +40,65 @@ def _check(name, value, passed):
     )
 
 
+_FOOTER_SWITCH_SF = 0.5  # same threshold as relational._SCALE_SWITCH_SF
+
+
+def _use_footer_stats(sf_dir: str) -> bool:
+    """Pick the completeness/freshness physical source by data scale
+    (mirrors ``relational._use_split_distinct``'s switch mechanics): above
+    the threshold the checks the parquet footers answer EXACTLY (row
+    counts, null counts, min/max — not estimates, per the parquet spec)
+    come from the O(files) metadata probe instead of the fact-table scan,
+    and the remaining scan reads only the columns the footers cannot
+    answer (avg/stddev/distinct). ``SPARK_GRAFT_FOOTER_STATS=0/1``
+    forces either shape; rows are identical by construction
+    (differential-asserted in tests/test_stats_probe.py)."""
+    forced = os.environ.get("SPARK_GRAFT_FOOTER_STATS")
+    if forced is not None:
+        return forced == "1"
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    return sf >= _FOOTER_SWITCH_SF
+
+
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per quality check, computed in a single pass per table and
     exploded from one aggregate row — the reference's 8 sequential probes
-    become 2 scans and zero driver-side logic."""
+    become 2 scans and zero driver-side logic. At scale
+    (``_use_footer_stats``) the footer-answerable checks move to the
+    metadata probe: the orders scan disappears entirely and the lineitem
+    scan narrows to the two columns needing data pages."""
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
 
-    li_agg = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
-        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
-        F.avg("l_extendedprice").alias("price_avg"),
-        F.stddev_samp("l_extendedprice").alias("price_std"),
-        F.max("l_extendedprice").alias("price_max"),
-        F.count_distinct("l_returnflag").alias("n_flags"),
-    )
-    o_agg = orders.agg(F.count(F.lit(1)).alias("o_rows"))
-    row = li_agg.crossJoin(o_agg)
+    if _use_footer_stats(sf_dir):
+        meta = parquet_stats_probe(spark, os.path.join(sf_dir, "lineitem.parquet")).select(
+            "n_rows",
+            "null_qty",
+            "price_max",
+            F.col("last_ship_date").alias("last_ship"),
+        )
+        li_agg = li.agg(
+            F.avg("l_extendedprice").alias("price_avg"),
+            F.stddev_samp("l_extendedprice").alias("price_std"),
+            F.count_distinct("l_returnflag").alias("n_flags"),
+        )
+        o_agg = parquet_rowcount_probe(spark, os.path.join(sf_dir, "orders.parquet")).select(
+            F.col("n_rows").alias("o_rows")
+        )
+        row = meta.crossJoin(li_agg).crossJoin(o_agg)
+    else:
+        orders = load_table(spark, sf_dir, "orders")
+        li_agg = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+            F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+            F.avg("l_extendedprice").alias("price_avg"),
+            F.stddev_samp("l_extendedprice").alias("price_std"),
+            F.max("l_extendedprice").alias("price_max"),
+            F.count_distinct("l_returnflag").alias("n_flags"),
+        )
+        o_agg = orders.agg(F.count(F.lit(1)).alias("o_rows"))
+        row = li_agg.crossJoin(o_agg)
 
     freshness_days = F.datediff(F.lit(AS_OF_DATE).cast("date"), F.col("last_ship"))
     null_rate = F.col("null_qty") / F.col("n_rows")
@@ -116,14 +160,43 @@ SELECT 'returnflag_cardinality', CAST(n_flags AS DOUBLE),
 # Metadata-only probe: completeness/freshness from parquet FOOTERS
 # ---------------------------------------------------------------------------
 
-STATS_PROBE_COLS = {
-    # output alias -> (parquet column, kind)
-    "null_qty": ("l_quantity", "null_count"),
-    "null_flag": ("l_returnflag", "null_count"),
-    "price_max": ("l_extendedprice", "max"),
-    "price_min": ("l_extendedprice", "min"),
-    "last_ship": ("l_shipdate", "max"),
-}
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    """Enumerate non-empty parquet files under ``path`` via the Hadoop
+    FileSystem API — the listing goes through whatever filesystem the URI
+    resolves to (local, HDFS, object store), not driver-local os/glob, so
+    the probe's O(files) inventory works wherever the warehouse lives."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        raise ValueError(f"no parquet files under {path}")
+    it = fs.listFiles(jpath, True)  # recursive; a file path yields itself
+    paths = []
+    while it.hasNext():
+        st = it.next()
+        f = st.getPath().toString()
+        if f.endswith(".parquet") and st.getLen() > 0:
+            paths.append(f)
+    return sorted(paths)
+
+
+def _footer_metadata(path: str):
+    """Open ONLY the parquet footer for a possibly-URI path: local/file:
+    paths go straight to pyarrow; any other scheme resolves through
+    ``pyarrow.fs.FileSystem.from_uri`` (object stores included)."""
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        return pq.ParquetFile(u.path or path).metadata
+    from pyarrow import fs as pafs
+
+    fsys, rel = pafs.FileSystem.from_uri(path)
+    with fsys.open_input_file(rel) as f:
+        return pq.ParquetFile(f).metadata
 
 
 def _footer_partials(paths_df_iter):
@@ -133,12 +206,16 @@ def _footer_partials(paths_df_iter):
     metadata probe into a wrong answer; callers fall back to the scan
     probe explicitly."""
     import pandas as pd
-    import pyarrow.parquet as pq
 
     for pdf in paths_df_iter:
         out = []
         for path in pdf["path"]:
-            md = pq.ParquetFile(path).metadata
+            md = _footer_metadata(path)
+            if md.num_row_groups == 0:
+                raise ValueError(
+                    f"{path}: zero row groups (schema-only file); no footer "
+                    "statistics to probe — use the scan probe (q_quality_probe)"
+                )
             idx = {
                 md.row_group(0).column(i).path_in_schema: i
                 for i in range(md.row_group(0).num_columns)
@@ -197,17 +274,7 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
     fetched. Differential-tested against the scan probe
     (tests/test_stats_probe.py), including multi-file directories and
     planted nulls."""
-    import glob as _glob
-    import os as _os
-
-    if _os.path.isdir(path):
-        paths = sorted(
-            p
-            for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-            if _os.path.getsize(p) > 0
-        )
-    else:
-        paths = [path]
+    paths = _list_parquet_files(spark, path)
     if not paths:
         raise ValueError(f"no parquet files under {path}")
     schema = (
@@ -225,6 +292,32 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
         F.min("price_min").alias("price_min"),
         F.expr("cast(timestamp_micros(max(ship_us)) as date)").alias("last_ship_date"),
     )
+
+
+def parquet_rowcount_probe(spark: SparkSession, path: str) -> DataFrame:
+    """Exact table row count from parquet footers alone — the generic
+    single-stat sibling of ``parquet_stats_probe`` (``num_rows`` is exact
+    per the parquet spec and present for every file regardless of column
+    statistics). O(files) metadata reads, zero data pages; schema-agnostic,
+    so it serves any table's completeness check."""
+    paths = _list_parquet_files(spark, path)
+    if not paths:
+        raise ValueError(f"no parquet files under {path}")
+
+    def _counts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"n_rows": [int(_footer_metadata(p).num_rows) for p in pdf["path"]]}
+            )
+
+    partials = (
+        spark.createDataFrame([(p,) for p in paths], "path string")
+        .repartition(min(len(paths), 32))
+        .mapInPandas(_counts, "n_rows long")
+    )
+    return partials.agg(F.sum("n_rows").alias("n_rows"))
 
 
 def q_quality_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
