@@ -25,6 +25,7 @@ if str(_REPO) not in sys.path:
 
 from wnba_data_pipeline_spark.session import ensure_confs  # noqa: E402
 from wnba_data_pipeline_spark.operators import (  # noqa: E402
+    clustering,
     dedup,
     ml,
     multimodal,
@@ -40,7 +41,7 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
 # round — round 2 registered 52 and the last two in insertion order got no
 # CORRECTNESS row). Order puts the oracle-checkable families first and the
 # rows-only ML family last.
-_MODULES = [relational, quality, multimodal, dedup, similarity, spans, temporal, text, ml]
+_MODULES = [relational, quality, multimodal, dedup, clustering, similarity, spans, temporal, text, ml]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -11,7 +11,10 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pytest
 import pyarrow.parquet as pq
 
 from wnba_data_pipeline_spark.operators import clustering, similarity
@@ -251,3 +254,18 @@ def test_semantic_dedup_recall_vs_exact_baseline(spark):
         .count()
     )
     assert cand < 0.6 * aug_n * (aug_n - 1) // 2, (cand, aug_n)
+
+
+def test_fit_reproduces_checked_in_centroids(spark):
+    # Guards the round-7 semantic_dedup driver oracle: the static centroid
+    # literals in _semantic_centroids.py must be EXACTLY what the runtime
+    # fit recomputes on the same sf dir (the fit is partition-independent
+    # fixed-point arithmetic, so inequality means the fit code moved and
+    # tools/gen_semantic_oracle.py must be re-run).
+    from wnba_data_pipeline_spark.operators._semantic_centroids import CENTROIDS_BY_SF
+
+    sf_name = os.path.basename(SF_ORACLE.rstrip("/"))
+    if sf_name not in CENTROIDS_BY_SF:
+        pytest.skip(f"no checked-in centroids for {sf_name}")
+    model = clustering.kmeans_fit(similarity._augmented_corpus(spark, SF_ORACLE))
+    assert model.centroids == CENTROIDS_BY_SF[sf_name]

@@ -37,6 +37,11 @@ ROTATED = {
     # dedup.py.
     "sim_topk": (similarity.q_sim_topk, similarity.ORACLE_SIM_TOPK),
     "ngram_jaccard": (dedup.q_ngram_jaccard, dedup.ORACLE_NGRAM_JACCARD),
+    # fifth rotation (round 7): slot freed for semantic_dedup's hard driver
+    # row (static fitted-centroid oracle, operators/clustering.py).
+    # simhash_fingerprint is a zero-shuffle deterministic map whose bit-level
+    # behavior is additionally differential-tested in tests/test_dedup*.py.
+    "simhash_fingerprint": (dedup.q_simhash_fingerprint, dedup.ORACLE_SIMHASH),
 }
 
 
@@ -65,5 +70,6 @@ def test_rotated_queries_stay_off_registry():
         "dedup_incremental",
         "asof_attribution",
         "range_join_bins",
+        "semantic_dedup",
     ):
         assert newcomer in qs

@@ -6,12 +6,22 @@ from __future__ import annotations
 
 import pytest
 
+import os
+
 import __spark_entry__ as entrymod
+from wnba_data_pipeline_spark.operators import clustering
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
 
 _QUERIES = entrymod.queries()
-_ORACLES = entrymod.oracle_sql()
+_ORACLES = dict(entrymod.oracle_sql())
+
+# semantic_dedup's oracle embeds the fitted centroids for the DRIVER's sf
+# (sf0.01); when the sweep runs at another scale, swap in that scale's
+# checked-in centroid rendering so the comparison stays exact
+_SF_NAME = os.path.basename(SF_ORACLE.rstrip("/"))
+if _SF_NAME != "sf0.01":
+    _ORACLES["semantic_dedup"] = clustering.oracle_semantic_dedup(_SF_NAME)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

@@ -465,3 +465,19 @@ WITH aug AS (
 )
 SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= {SD_THRESHOLD}
 """
+
+
+def oracle_semantic_dedup(sf_name: str = "sf0.01") -> str:
+    """Static driver oracle for ``semantic_dedup``: the post-fit DuckDB twin
+    rendered from the checked-in fitted centroids for ``sf_name``
+    (``_semantic_centroids.py``, generated by tools/gen_semantic_oracle.py).
+    Valid because the runtime fit is bit-deterministic on a fixed sf dir —
+    exact-equality-guarded in tests/test_clustering.py, so the literals can
+    only go stale together with a failing test."""
+    from ._semantic_centroids import CENTROIDS_BY_SF
+
+    return semantic_dedup_pairs_sql(CENTROIDS_BY_SF[sf_name])
+
+
+QUERIES = {"semantic_dedup": q_semantic_dedup}
+ORACLES = {"semantic_dedup": oracle_semantic_dedup("sf0.01")}

@@ -566,13 +566,20 @@ QUERIES = {
     # all hold hard driver rows, and it keeps full oracle parity in
     # tests/test_offregistry_parity.py. The freed slot registers
     # range_join_bins (operators/temporal.py).
-    "simhash_fingerprint": q_simhash_fingerprint,
+    # simhash_fingerprint rotated OFF the registry (round-7 fifth rotation):
+    # a zero-shuffle deterministic map fully covered by the identical
+    # hash-differential parity check in tests/test_offregistry_parity.py
+    # plus the bit-level differentials in tests (VERDICT r6 item 5 named it
+    # the rotation candidate). The freed slot registers semantic_dedup
+    # (operators/clustering.py) — the one major LLM family that had no hard
+    # driver row — via the static fitted-centroid oracle.
     "dedup_incremental": q_dedup_incremental,
 }
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
-    "simhash_fingerprint": _oracle_simhash(),
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
 }
+
+ORACLE_SIMHASH = _oracle_simhash()  # off-registry parity twin
