@@ -388,3 +388,25 @@ def test_domain_blocklist_filter_removes_exactly_flagged_docs(spark):
         d for d in all_ids if d % text.URL_MOD == 0 and d % text.URL_SITES in (1, 4)
     }
     assert removed == want_removed and len(removed) > 0
+
+
+def test_gram_partials_yield_once_per_partition(spark):
+    # the gram path's exchange-size claim: the partial-moments worker
+    # yields ONCE per partition, so its output is bounded by
+    # partitions x labels rows, NOT arrow-batches x labels (ADVICE r6
+    # residue — the docstring's claim now has an executable bound)
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators.similarity import _gram_partial_moments
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .withColumn("label", F.col("vec_id") % 10)
+        .select("label", "embedding")
+        .repartition(4)
+    )
+    n_labels = 10
+    n_parts = emb.rdd.getNumPartitions()
+    partials = emb.mapInPandas(_gram_partial_moments, "label int, stats array<double>")
+    assert partials.count() <= n_parts * n_labels

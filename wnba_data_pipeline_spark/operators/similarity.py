@@ -639,6 +639,37 @@ def _spectrum_row(label: int, n: int, C) -> tuple:
     return (label, n, round(lam, 6), round(lam / total, 6), round(total, 6))
 
 
+def _gram_partial_moments(batches):
+    """mapInPandas worker for ``embedding_spectrum(mode="gram")``:
+    accumulate (n, Σx, ΣxxT) across ALL Arrow batches of the partition and
+    yield ONCE at the end — mapInPandas hands ~10k-row batches, so
+    yielding per batch would shuffle batches × labels dim²-sized partials,
+    a meaningfully larger exchange than the intended partitions × labels
+    (round-5 ADVICE; the ≤ partitions × labels output bound is asserted in
+    tests/test_contamination.py)."""
+    import numpy as np
+    import pandas as pd
+
+    acc: dict[int, list] = {}
+    for pdf in batches:
+        for label, grp in pdf.groupby("label"):
+            X = np.array(grp["embedding"].tolist(), dtype=np.float64)
+            ent = acc.get(int(label))
+            if ent is None:
+                acc[int(label)] = [float(len(X)), X.sum(axis=0), X.T @ X]
+            else:
+                ent[0] += float(len(X))
+                ent[1] = ent[1] + X.sum(axis=0)
+                ent[2] = ent[2] + X.T @ X
+    if acc:
+        labels = sorted(acc)
+        stats = [
+            np.concatenate(([acc[lb][0]], acc[lb][1], acc[lb][2].ravel())).tolist()
+            for lb in labels
+        ]
+        yield pd.DataFrame({"label": labels, "stats": stats})
+
+
 def embedding_spectrum(emb: DataFrame, *, mode: str = "pandas") -> DataFrame:
     """Per-label top covariance eigenvalue + explained-variance ratio over
     the embedding clusters — the anisotropy probe an embedding-quality
@@ -691,33 +722,8 @@ def embedding_spectrum(emb: DataFrame, *, mode: str = "pandas") -> DataFrame:
     if mode != "gram":
         raise ValueError(f"unknown spectrum mode: {mode!r}")
 
-    def partial_moments(batches):
-        # accumulate across ALL Arrow batches of the partition and yield
-        # ONCE at the end: mapInPandas hands ~10k-row batches, so yielding
-        # per batch would shuffle batches × labels dim²-sized partials —
-        # a meaningfully larger exchange than the intended
-        # partitions × labels (round-5 ADVICE)
-        acc: dict[int, list] = {}
-        for pdf in batches:
-            for label, grp in pdf.groupby("label"):
-                X = np.array(grp["embedding"].tolist(), dtype=np.float64)
-                ent = acc.get(int(label))
-                if ent is None:
-                    acc[int(label)] = [float(len(X)), X.sum(axis=0), X.T @ X]
-                else:
-                    ent[0] += float(len(X))
-                    ent[1] = ent[1] + X.sum(axis=0)
-                    ent[2] = ent[2] + X.T @ X
-        if acc:
-            labels = sorted(acc)
-            stats = [
-                np.concatenate(([acc[lb][0]], acc[lb][1], acc[lb][2].ravel())).tolist()
-                for lb in labels
-            ]
-            yield pd.DataFrame({"label": labels, "stats": stats})
-
     partials = emb.select("label", "embedding").mapInPandas(
-        partial_moments, "label int, stats array<double>"
+        _gram_partial_moments, "label int, stats array<double>"
     )
     # partial rows are O(partitions × labels) — one yield per partition,
     # see partial_moments; the element-wise sum is a hash aggregate over
