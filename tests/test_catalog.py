@@ -113,6 +113,12 @@ def test_bucketed_layout_queries_same_rows_no_keyed_exchange(spark, tmp_path, mo
     plan = spark._jvm.PythonSQLUtils.explainString(rank._jdf.queryExecution(), "formatted")
     assert "hashpartitioning(o_custkey" not in plan, plan
     assert not re.search(r"\n\(\d+\) Exchange", plan), plan  # window: zero exchanges
+    # round 7: co-bucketed enrichment join runs as a bucket-local HASH
+    # join (hinted — changes only the per-bucket algorithm), no Exchange
+    join = relational.q_join_left_enrich(spark, SF_ORACLE)
+    jplan = join._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in jplan, jplan
+    assert "Exchange hashpartitioning" not in jplan, jplan
 
     # without the env the same session keeps reading the plain layout
     monkeypatch.delenv("SPARK_GRAFT_LAYOUT")
@@ -163,7 +169,12 @@ def test_bucketed_events_elides_sessionize_exchange(spark, tmp_path, monkeypatch
     )
     monkeypatch.setenv("SPARK_GRAFT_LAYOUT", "bucketed")
     s = relational.q_sessionize_events(spark, SF_ORACLE)
-    assert "hashpartitioning(user_id" not in s._jdf.queryExecution().executedPlan().toString()
+    splan = s._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" not in splan
+    # round 7: the bucketed shape is lag+cumsum over the advertised
+    # (user_id, ts) scan order — zero Exchange AND zero Sort
+    assert "Exchange hashpartitioning" not in splan, splan
+    assert "+- Sort" not in splan, splan
     assert rows_key(s) == before_s
     a = relational.q_agg_multi(spark, SF_ORACLE)
     assert "hashpartitioning(l_suppkey" not in a._jdf.queryExecution().executedPlan().toString()

@@ -33,12 +33,18 @@ def test_meta_probe_matches_scan_probe(spark):
     assert got == want
 
 
-def test_meta_probe_multifile_directory(spark, tmp_path):
+@pytest.mark.parametrize("driver_max", ["256", "0"])
+def test_meta_probe_multifile_directory(spark, tmp_path, monkeypatch, driver_max):
+    # both physical paths: driver-side footer reads (default at this file
+    # count) and the distributed mapInPandas path (forced via the override)
+    monkeypatch.setenv("SPARK_GRAFT_PROBE_DRIVER_MAX", driver_max)
     out = str(tmp_path / "li_multi")
     load_table(spark, SF_ORACLE, "lineitem").repartition(7).write.parquet(out)
     got = quality.parquet_stats_probe(spark, out).collect()[0].asDict()
     want = _scan_subset(load_table(spark, SF_ORACLE, "lineitem")).collect()[0].asDict()
     assert got == want
+    got_n = quality.parquet_rowcount_probe(spark, out).collect()[0][0]
+    assert got_n == want["n_rows"]
 
 
 def test_meta_probe_counts_planted_nulls(spark, tmp_path):

@@ -71,21 +71,36 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     if _use_footer_stats(sf_dir):
-        meta = parquet_stats_probe(spark, os.path.join(sf_dir, "lineitem.parquet")).select(
-            "n_rows",
-            "null_qty",
-            "price_max",
-            F.col("last_ship_date").alias("last_ship"),
-        )
         li_agg = li.agg(
             F.avg("l_extendedprice").alias("price_avg"),
             F.stddev_samp("l_extendedprice").alias("price_std"),
             F.count_distinct("l_returnflag").alias("n_flags"),
         )
-        o_agg = parquet_rowcount_probe(spark, os.path.join(sf_dir, "orders.parquet")).select(
-            F.col("n_rows").alias("o_rows")
-        )
-        row = meta.crossJoin(li_agg).crossJoin(o_agg)
+        li_path = os.path.join(sf_dir, "lineitem.parquet")
+        o_path = os.path.join(sf_dir, "orders.parquet")
+        vals = footer_stats_row(spark, li_path)
+        o_rows = footer_rowcount_value(spark, o_path)
+        if vals is not None and o_rows is not None:
+            # driver-path probe: the footer stats become plan LITERALS on
+            # the single narrowed scan — no extra stage at all (the
+            # crossJoin-of-1-row shape costs two broadcast rounds per
+            # execution, measured slower than the scan it saves at sf10)
+            row = li_agg.select(
+                F.lit(vals["n_rows"]).alias("n_rows"),
+                F.lit(vals["null_qty"]).alias("null_qty"),
+                F.lit(vals["price_max"]).alias("price_max"),
+                F.lit(vals["last_ship_date"]).alias("last_ship"),
+                "price_avg",
+                "price_std",
+                "n_flags",
+                F.lit(o_rows).alias("o_rows"),
+            )
+        else:
+            meta = parquet_stats_probe(spark, li_path).select(
+                "n_rows", "null_qty", "price_max", F.col("last_ship_date").alias("last_ship")
+            )
+            o_agg = parquet_rowcount_probe(spark, o_path).select(F.col("n_rows").alias("o_rows"))
+            row = meta.crossJoin(li_agg).crossJoin(o_agg)
     else:
         orders = load_table(spark, sf_dir, "orders")
         li_agg = li.agg(
@@ -181,6 +196,16 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     return sorted(paths)
 
 
+PROBE_DRIVER_MAX = 256  # ≤ this many files: driver-side footer reads (no
+# extra Spark job / Python workers — measured 0.3 s fixed cost at sf10);
+# above it the probe distributes via mapInPandas. Env-overridable so the
+# distributed path stays testable at any file count.
+
+
+def _probe_driver_max() -> int:
+    return int(os.environ.get("SPARK_GRAFT_PROBE_DRIVER_MAX", str(PROBE_DRIVER_MAX)))
+
+
 def _footer_metadata(path: str):
     """Open ONLY the parquet footer for a possibly-URI path: local/file:
     paths go straight to pyarrow; any other scheme resolves through
@@ -268,12 +293,18 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
     estimates, per the parquet spec); the scan probe remains the answer
     for the stats the footer lacks (avg, stddev, distinct).
 
-    Distributed: the file list is parallelized and each executor reads
-    only footers (``mapInPandas`` over paths, one partial row per file),
-    then a single tiny aggregation merges partials — no data page is ever
-    fetched. Differential-tested against the scan probe
-    (tests/test_stats_probe.py), including multi-file directories and
-    planted nulls."""
+    Two physical paths by FILE count (round 7 — the sf10 A/B showed the
+    distributed path's two extra Python-crossing jobs cost ~0.3 s, more
+    than the column-pruning savings at small file counts): at or below
+    ``PROBE_DRIVER_MAX`` files the footers are read in the DRIVER (a
+    43-file inventory is ~5 ms of metadata; Spark's own scan planner does
+    the same driver-side footer pass) and the partials become a literal
+    DataFrame; above it the file list is parallelized and each executor
+    reads only footers (``mapInPandas`` over paths, one partial row per
+    file). Either way a single tiny aggregation merges partials — no data
+    page is ever fetched. Differential-tested against the scan probe
+    (tests/test_stats_probe.py), including multi-file directories,
+    planted nulls, and both physical paths."""
     paths = _list_parquet_files(spark, path)
     if not paths:
         raise ValueError(f"no parquet files under {path}")
@@ -281,9 +312,19 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
         "n_rows long, null_qty long, null_flag long, "
         "price_max double, price_min double, ship_us long"
     )
-    partials = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(min(len(paths), 32)).mapInPandas(_footer_partials, schema)
+    if len(paths) <= _probe_driver_max():
+        import pandas as pd
+
+        rows = [
+            tuple(r)
+            for pdf in _footer_partials(iter([pd.DataFrame({"path": paths})]))
+            for r in pdf.itertuples(index=False)
+        ]
+        partials = spark.createDataFrame(rows, schema)
+    else:
+        partials = spark.createDataFrame(
+            [(p,) for p in paths], "path string"
+        ).repartition(min(len(paths), 32)).mapInPandas(_footer_partials, schema)
     return partials.agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("null_qty").alias("null_qty"),
@@ -292,6 +333,52 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
         F.min("price_min").alias("price_min"),
         F.expr("cast(timestamp_micros(max(ship_us)) as date)").alias("last_ship_date"),
     )
+
+
+def footer_stats_row(spark: SparkSession, path: str) -> dict | None:
+    """Driver-path shortcut for the probe's consumers: when the file count
+    is at or under ``PROBE_DRIVER_MAX``, return the AGGREGATED footer stats
+    as plain Python values so callers can inject them as plan LITERALS —
+    zero extra Spark stages (the crossJoin-of-1-row-DataFrames shape costs
+    two broadcast-join rounds per execution, measured ~0.14 s at sf10).
+    Returns None above the threshold; callers fall back to the distributed
+    ``parquet_stats_probe`` DataFrame and a crossJoin."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    paths = _list_parquet_files(spark, path)
+    if not paths:
+        raise ValueError(f"no parquet files under {path}")
+    if len(paths) > _probe_driver_max():
+        return None
+    rows = [
+        r
+        for pdf in _footer_partials(iter([pd.DataFrame({"path": paths})]))
+        for r in pdf.itertuples(index=False)
+    ]
+    ship_us = max(r.ship_us for r in rows)
+    return {
+        "n_rows": sum(r.n_rows for r in rows),
+        "null_qty": sum(r.null_qty for r in rows),
+        "null_flag": sum(r.null_flag for r in rows),
+        "price_max": max(r.price_max for r in rows),
+        "price_min": min(r.price_min for r in rows),
+        "last_ship_date": (
+            _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(ship_us))
+        ).date(),
+    }
+
+
+def footer_rowcount_value(spark: SparkSession, path: str) -> int | None:
+    """Driver-path row count (see ``footer_stats_row``): the exact total
+    when the file count permits driver-side footer reads, else None."""
+    paths = _list_parquet_files(spark, path)
+    if not paths:
+        raise ValueError(f"no parquet files under {path}")
+    if len(paths) > _probe_driver_max():
+        return None
+    return sum(int(_footer_metadata(p).num_rows) for p in paths)
 
 
 def parquet_rowcount_probe(spark: SparkSession, path: str) -> DataFrame:
@@ -303,6 +390,9 @@ def parquet_rowcount_probe(spark: SparkSession, path: str) -> DataFrame:
     paths = _list_parquet_files(spark, path)
     if not paths:
         raise ValueError(f"no parquet files under {path}")
+    val = footer_rowcount_value(spark, path)
+    if val is not None:
+        return spark.createDataFrame([(val,)], "n_rows long")
 
     def _counts(batches):
         import pandas as pd
