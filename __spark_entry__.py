@@ -29,6 +29,7 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
     dedup,
     ml,
     multimodal,
+    pq,
     quality,
     relational,
     similarity,
@@ -41,7 +42,7 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
 # round — round 2 registered 52 and the last two in insertion order got no
 # CORRECTNESS row). Order puts the oracle-checkable families first and the
 # rows-only ML family last.
-_MODULES = [relational, quality, multimodal, dedup, clustering, similarity, spans, temporal, text, ml]
+_MODULES = [relational, quality, multimodal, dedup, clustering, similarity, pq, spans, temporal, text, ml]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pytest
 
-from wnba_data_pipeline_spark.operators import dedup, relational, similarity, text
+from wnba_data_pipeline_spark.operators import dedup, multimodal, relational, similarity, text
 
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
@@ -42,6 +42,10 @@ ROTATED = {
     # simhash_fingerprint is a zero-shuffle deterministic map whose bit-level
     # behavior is additionally differential-tested in tests/test_dedup*.py.
     "simhash_fingerprint": (dedup.q_simhash_fingerprint, dedup.ORACLE_SIMHASH),
+    # sixth rotation (round 7): slot freed for pq_rerank's hard driver row
+    # (static fitted-codebook oracle, operators/pq.py); multimodal_features
+    # keeps the family's driver row over the same mapInPandas plumbing.
+    "frame_sample": (multimodal.q_frame_sample, multimodal.ORACLE_FRAME_SAMPLE),
 }
 
 
@@ -71,5 +75,6 @@ def test_rotated_queries_stay_off_registry():
         "asof_attribution",
         "range_join_bins",
         "semantic_dedup",
+        "pq_rerank",
     ):
         assert newcomer in qs

@@ -9,7 +9,7 @@ import pytest
 import os
 
 import __spark_entry__ as entrymod
-from wnba_data_pipeline_spark.operators import clustering
+from wnba_data_pipeline_spark.operators import clustering, pq
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
 
@@ -22,6 +22,7 @@ _ORACLES = dict(entrymod.oracle_sql())
 _SF_NAME = os.path.basename(SF_ORACLE.rstrip("/"))
 if _SF_NAME != "sf0.01":
     _ORACLES["semantic_dedup"] = clustering.oracle_semantic_dedup(_SF_NAME)
+    _ORACLES["pq_rerank"] = pq.oracle_pq_rerank(_SF_NAME)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

@@ -141,3 +141,18 @@ def test_pq_reconstruction_beats_global_mean(spark, model):
     # gate is "quantizer genuinely fitted" (well below baseline), not a
     # compression-ratio promise
     assert err < 0.7 * base, f"PQ mse {err} vs mean-baseline mse {base}"
+
+
+def test_fit_reproduces_checked_in_codebooks(spark, model):
+    # Guards the round-7 pq_rerank driver oracle: the static codebook
+    # literals in _pq_codebooks.py must be EXACTLY what the runtime fit
+    # recomputes on the same sf dir (bit-deterministic sub-fits; on
+    # inequality re-run tools/gen_pq_oracle.py).
+    import os
+
+    from wnba_data_pipeline_spark.operators._pq_codebooks import CODEBOOKS_BY_SF
+
+    sf_name = os.path.basename(SF_ORACLE.rstrip("/"))
+    if sf_name not in CODEBOOKS_BY_SF:
+        pytest.skip(f"no checked-in codebooks for {sf_name}")
+    assert model.codebooks == CODEBOOKS_BY_SF[sf_name]

