@@ -164,3 +164,100 @@ def test_session_window_stream_matches_batch_twin(spark):
         tuple(r) for r in relational.q_sessionize_events(spark, SF_SMOKE).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_matches_sequential_batch_replay(spark, tmp_path):
+    # Drain a 3-chunk document stream with planted cross-chunk exact and
+    # near copies through the foreachBatch ingestion dedup, then replay
+    # the same chunks SEQUENTIALLY with the batch operator: the verdict
+    # log and the final corpus must agree, and the corpus must hold no
+    # duplicate content hash (streaming/dedup.py correctness gate).
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.functions.hashing import md5_long
+    from wnba_data_pipeline_spark.operators.dedup import incremental_verdicts
+    from wnba_data_pipeline_spark.sources.tables import load_table
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    chunk0 = docs.filter(F.col("doc_id") % 3 == 0)
+    # chunk1: fresh docs + exact copies of chunk0 docs + one within-batch pair
+    chunk1 = (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .unionByName(
+            docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 30)).select(
+                (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") == 1).select(
+                (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    # chunk2: fresh docs + near-copies (last word dropped) of chunk1 docs
+    chunk2 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+        docs.filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 40)).select(
+            (F.col("doc_id") + 30_000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), " [^ ]+$", "").alias("text"),
+        )
+    )
+    chunks = [chunk0, chunk1, chunk2]
+
+    src = str(tmp_path / "arrivals")
+    _os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        ch.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+        part = next(
+            f for f in _os.listdir(str(tmp_path / f"stage{i}")) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(src, f"chunk{i}.parquet")
+        _os.rename(_os.path.join(str(tmp_path / f"stage{i}"), part), dst)
+        _os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))  # arrival order
+
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    q = sdedup.dedup_ingest_stream(
+        spark, src, corpus_dir, verdicts_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    # sequential batch replay (same within-batch collapse, same screen)
+    ref = spark.createDataFrame([], sdedup.DOC_SCHEMA)
+    replay_verdicts = []
+    for ch in chunks:
+        batch = sdedup._dedup_within_batch(ch)
+        v = incremental_verdicts(batch, ref).cache()
+        replay_verdicts.append(v)
+        ref = ref.unionByName(
+            batch.join(v.filter(F.col("verdict") == "kept").select("doc_id"), "doc_id")
+        ).cache()
+
+    got_v = sorted(
+        tuple(r) for r in spark.read.parquet(f"{verdicts_dir}/*/").collect()
+    )
+    want_v = sorted(
+        tuple(r) for df in replay_verdicts for r in df.collect()
+    )
+    assert got_v == want_v
+
+    corpus = sdedup.read_corpus(spark, corpus_dir)
+    assert sorted(r.doc_id for r in corpus.collect()) == sorted(
+        r.doc_id for r in ref.collect()
+    )
+    # no duplicate content hash survives in the corpus
+    dupes = (
+        corpus.select(md5_long(F.col("text")).alias("h"))
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
