@@ -20,7 +20,8 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def append_table(df: DataFrame, path: str, partition_by: tuple[str, ...] = (), column_order: tuple[str, ...] = ()) -> None:
@@ -76,6 +77,57 @@ def write_clustered(df: DataFrame, path: str, cluster_by: str, *, n_files: int =
     (
         df.repartitionByRange(n_files, cluster_by)
         .sortWithinPartitions(cluster_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def zorder_key(df: DataFrame, cols: tuple[str, ...], *, bits: int = ZORDER_BITS) -> Column:
+    """Morton (Z-order) key over ``cols``: each column min-max scales to
+    ``bits`` bits (stats collected in one tiny driver job — layout writes
+    are eager jobs already) and the bits interleave, so points close in
+    the key are close in EVERY listed dimension. Pure codegen expression
+    (bits × len(cols) shift/mask terms), no UDF."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(float(top))
+        ).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: tuple[str, ...], *, n_files: int = 16
+) -> None:
+    """Multi-column layout optimization — the lakehouse
+    ``OPTIMIZE ... ZORDER BY (a, b)`` move, generalizing
+    ``write_clustered`` beyond one key: rows sort by the interleaved
+    Morton key, so every output file covers a small HYPER-RECTANGLE of
+    the listed dimensions and parquet row-group min/max stats prune range
+    predicates on ANY of them (a linear sort prunes only its leading
+    column; verified against the actual footers, both layouts, in
+    tests/test_layout.py). At 100 TB this is what makes the second and
+    third most-filtered columns skippable without a second copy of the
+    data."""
+    (
+        df.withColumn("_z", zorder_key(df, cols))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )
