@@ -135,3 +135,24 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     assert zc <= n_files - 4
     assert zo <= n_files - 4
     assert zo <= lo_ - 4
+
+
+def test_zorder_key_bounds_and_locality(spark):
+    # zorder key sanity: values bound by 2^(bits*ncols); equal points get
+    # equal keys; moving only one dimension by the full domain moves the
+    # key more than a one-quantum step does (interleaving preserves
+    # per-dimension monotonicity at fixed other dims)
+    from wnba_data_pipeline_spark.sources.sinks import ZORDER_BITS, zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 100), (100, 0), (100, 100), (50, 50), (50, 50)], "a long, b long"
+    )
+    keys = [
+        r.z for r in df.withColumn("z", zorder_key(df, ("a", "b"))).collect()
+    ]
+    assert all(0 <= k < (1 << (ZORDER_BITS * 2)) for k in keys)
+    rows = {(r.a, r.b): r.z for r in df.withColumn("z", zorder_key(df, ("a", "b"))).collect()}
+    assert rows[(0, 0)] < rows[(0, 100)] and rows[(0, 0)] < rows[(100, 0)]
+    assert rows[(100, 100)] == max(rows.values())
+    dup = [r.z for r in df.filter("a = 50").withColumn("z", zorder_key(df, ("a", "b"))).collect()]
+    assert dup[0] == dup[1]
