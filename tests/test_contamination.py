@@ -410,3 +410,47 @@ def test_gram_partials_yield_once_per_partition(spark):
     n_parts = emb.rdd.getNumPartitions()
     partials = emb.mapInPandas(_gram_partial_moments, "label int, stats array<double>")
     assert partials.count() <= n_parts * n_labels
+
+
+def test_chunk_docs_matches_duckdb_twin(spark, duck):
+    from wnba_data_pipeline_spark.operators import text as text_mod
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    sdf = text_mod.chunk_docs(load_table(spark, SF_ORACLE, "documents"))
+    compare(sdf, duck.sql(text_mod.ORACLE_CHUNK_DOCS).df(), "chunk_docs")
+
+
+def test_chunk_docs_coverage_and_overlap(spark):
+    # invariants: >=1 chunk per doc; every chunk but a doc's last is
+    # exactly the window long; consecutive chunks overlap by
+    # window - stride tokens; the last chunk reaches the doc's end
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import text as text_mod
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    ch = text_mod.chunk_docs(load_table(spark, SF_ORACLE, "documents")).cache()
+    per_doc = ch.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.max("chunk_id").alias("last_id")
+    )
+    bad = per_doc.filter(
+        (F.col("n_chunks") < 1) | (F.col("n_chunks") != F.col("last_id") + 1)
+    ).count()
+    assert bad == 0
+    # non-final chunks are full windows
+    nonfinal = ch.join(
+        per_doc.select("doc_id", "last_id"), "doc_id"
+    ).filter(F.col("chunk_id") < F.col("last_id"))
+    assert nonfinal.filter(F.col("chunk_tokens") != text_mod.CHUNK_W).count() == 0
+    # final chunk covers through the end: start + len == n_tokens (a doc
+    # with n <= window yields one n-token chunk)
+    final = ch.join(per_doc.select("doc_id", "last_id"), "doc_id").filter(
+        F.col("chunk_id") == F.col("last_id")
+    )
+    assert (
+        final.filter(
+            F.col("chunk_id") * text_mod.CHUNK_S + F.col("chunk_tokens")
+            != F.col("n_tokens")
+        ).count()
+        == 0
+    )

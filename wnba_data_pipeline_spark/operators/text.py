@@ -802,6 +802,60 @@ PACK_BUDGET = 512  # tokens per training sequence
 PACK_BUCKETS = 64  # hash buckets ~ corpus_tokens / (docs_per_bucket * budget)
 
 
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16-token overlap)
+
+
+def chunk_docs(docs: DataFrame, *, window: int = CHUNK_W, stride: int = CHUNK_S) -> DataFrame:
+    """(… doc_id, text …) → one row per fixed-window token chunk with
+    overlap — the context-window chunking every training/RAG pipeline runs
+    beside packing: chunk c covers tokens [c·stride, c·stride + window).
+    A doc with n tokens yields ceil(max(n - window, 0) / stride) + 1
+    chunks (always ≥ 1 — short docs are one whole chunk), so every token
+    lands in at least one chunk and consecutive chunks share
+    window − stride tokens.
+
+    Zero-shuffle: split → per-doc start-index sequence → posexplode of
+    slice-joins, all codegen expressions (no UDF). Output carries the
+    chunk text plus the md5→int64 fingerprint of it, so downstream exact
+    dedup of chunks is one hash away."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    last_start = F.floor((F.greatest(n - F.lit(window), F.lit(0)) + F.lit(stride - 1)) / F.lit(stride)).cast("int") * F.lit(stride)
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(words, s + 1, window)))
+    out = docs.select(
+        "doc_id", n.cast("long").alias("n_tokens"), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias("chunk_tokens"),
+        md5_long(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+ORACLE_CHUNK_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words, len(string_split(text, ' ')) AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, n, words,
+         unnest(range(0, CAST(ceil(greatest(n - {CHUNK_W}, 0) / {CHUNK_S}.0) AS BIGINT) * {CHUNK_S} + 1, {CHUNK_S})) AS s
+  FROM tok
+), c AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(s / {CHUNK_S} AS BIGINT) AS chunk_id,
+         array_to_string(words[s + 1 : s + {CHUNK_W}], ' ') AS chunk_text
+  FROM starts
+)
+SELECT doc_id, n_tokens, chunk_id,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens,
+       {md5_long_sql("chunk_text")} AS chunk_hash
+FROM c
+"""
+
+
 def pack_docs(docs: DataFrame) -> DataFrame:
     """(… doc_id, text …) → (doc_id, n_tok, pack_id, running_tok): the
     deterministic pack layout (reusable transform — see
