@@ -13,8 +13,10 @@ sweep runs via SPARK_GRAFT_TEST_SF_DIR.
 from __future__ import annotations
 
 from wnba_data_pipeline_spark.operators import similarity
+from wnba_data_pipeline_spark.sources.tables import load_table
 
 from .conftest import SF_ORACLE
+from .oracle_compare import compare
 
 
 def _pairs(df):
@@ -35,3 +37,31 @@ def test_bucketed_plan_has_no_cartesian(spark):
     # nested-loop product (which is exactly what the all-pairs baseline is)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_exact_matches_duckdb_twin(spark, duck):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    compare(
+        similarity.hard_negatives_exact(emb),
+        duck.sql(similarity.ORACLE_HARD_NEGATIVES_EXACT).df(),
+        "hard_negatives_exact",
+    )
+
+
+def test_hard_negatives_bucketed_recall_and_subset(spark):
+    # the banded path must (a) only ever report true different-label
+    # pairs with exact cosines (verified per-row against the exact
+    # ranking) and (b) recover >= 90% of the true top-1 hard negatives
+    # (measured 92.8% at sf0.01 with 4-plane bands; deterministic —
+    # planes are fixed hash-derived literals, so this is a property of
+    # the corpus, not a flaky sample)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = {(r.a_vec_id, r.n_vec_id): r.cosine for r in similarity.hard_negatives_exact(emb, k=50).collect()}
+    top1 = {r.a_vec_id: r.n_vec_id for r in similarity.hard_negatives_exact(emb).collect() if r.neg_rank == 1}
+    got = similarity.hard_negatives_bucketed(emb).collect()
+    for r in got:
+        assert (r.a_vec_id, r.n_vec_id) in exact  # true pair, not fabricated
+        assert exact[(r.a_vec_id, r.n_vec_id)] == r.cosine
+    got1 = {r.a_vec_id: r.n_vec_id for r in got if r.neg_rank == 1}
+    recall = sum(1 for a, n in top1.items() if got1.get(a) == n) / len(top1)
+    assert recall >= 0.9

@@ -988,6 +988,112 @@ def hamming_rerank(
     )
 
 
+# ---------------------------------------------------------------------------
+# hard-negative mining — per-anchor top-k most-similar DIFFERENT-label rows
+# ---------------------------------------------------------------------------
+
+HN_PLANES = 4  # hard-negative bands use 4-bit buckets: negatives live at
+# cosine ~0.3-0.8, far below the near-dup bar the 8-bit (ND_PLANES) bands
+# are tuned for, so collision probability must stay high at moderate
+# angles — (1 - θ/π)^4 per band, OR'd over ND_BANDS bands
+HN_TOP_K = 3
+
+
+def _hn_band_key(v, band: int):
+    """4-bit SRP band key: the first HN_PLANES planes of the shared
+    ``_ND_COEFFS`` family (same fold/association contract as
+    ``_nd_band_key``)."""
+    def _prod_term(ks):
+        return lambda i: F.element_at(v, i + F.lit(1)).cast("double") * F.element_at(ks, i + F.lit(1))
+
+    out = F.lit(band * (1 << HN_PLANES))
+    for p in range(HN_PLANES):
+        ks = F.array(*[F.lit(k) for k in _ND_COEFFS[(band, p)]])
+        prods = F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), _prod_term(ks))
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        out = out + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def hard_negatives_exact(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
+    """Ground truth: for EVERY vector, the k most-cosine-similar vectors
+    carrying a DIFFERENT label — the contrastive-training mining step.
+    All-pairs (N² cosines): the explicitly-labeled baseline the bucketed
+    path is recall-scored against; at 100 TB only the bucketed path runs."""
+    a = emb.select(F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("_ae"), F.col("label").alias("_al"))
+    b = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("_ne"), F.col("label").alias("_nl"))
+    pairs = a.join(b, (F.col("a_vec_id") != F.col("n_vec_id")) & (F.col("_al") != F.col("_nl")))
+    w = Window.partitionBy("a_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
+    return (
+        pairs.withColumn("_cos", _cosine(F.col("_ae"), F.col("_ne")))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "a_vec_id",
+            "n_vec_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
+def hard_negatives_bucketed(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
+    """The scale path: candidates = different-label pairs sharing any of
+    the ND_BANDS 4-bit SRP buckets (never all-pairs — the band join is the
+    only corpus×corpus contact), exact cosine + per-anchor top-k on the
+    survivors. Same output schema as :func:`hard_negatives_exact`;
+    measured top-1 recall against it is asserted in
+    tests/test_contamination.py. Each anchor emits ND_BANDS band rows, so
+    the shuffle is bands × N keys of ≤DIM+2 columns; per-bucket candidate
+    volume is bounded by the 4-bit split per band."""
+    bands = F.array(*[_hn_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
+    keyed = emb.select(
+        "vec_id", "embedding", "label", F.explode(bands).alias("_bk")
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("_ae"),
+        F.col("label").alias("_al"), "_bk",
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("_ne"),
+        F.col("label").alias("_nl"), "_bk",
+    )
+    cand = (
+        a.join(b, ["_bk"])
+        .filter((F.col("a_vec_id") != F.col("n_vec_id")) & (F.col("_al") != F.col("_nl")))
+        .select("a_vec_id", "_ae", "n_vec_id", "_ne")
+        .distinct()  # a pair can collide in several bands
+    )
+    w = Window.partitionBy("a_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
+    return (
+        cand.withColumn("_cos", _cosine(F.col("_ae"), F.col("_ne")))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "a_vec_id",
+            "n_vec_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
+ORACLE_HARD_NEGATIVES_EXACT = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_vec_id, b.vec_id AS n_vec_id,
+         {_cosine_sql("a.embedding", "b.embedding")} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT a_vec_id, n_vec_id, round(cos, 6) AS cosine, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM (
+  SELECT a_vec_id, n_vec_id, cos,
+         row_number() OVER (PARTITION BY a_vec_id ORDER BY cos DESC, n_vec_id) AS neg_rank
+  FROM pairs
+) WHERE neg_rank <= {HN_TOP_K}
+"""
+
+
 QUERIES = {
     # sim_topk left OFF the capped registry (round-6 fourth rotation): it is
     # the explicitly-labeled brute-force ground-truth baseline whose scale
