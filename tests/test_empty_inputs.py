@@ -174,3 +174,43 @@ def test_new_round6_ops_on_empty_corpus(spark):
         ).count()
         == 0
     )
+
+
+def test_round7_ops_on_empty_inputs(spark, tmp_path):
+    """Round-7 additions flow empty frames without error: chunking yields
+    zero chunks, hard-negative mining zero pairs (both paths), the z-order
+    key builds on a single-row frame (degenerate min==max spans), and the
+    streaming-dedup corpus reader is empty-safe before any batch."""
+    from wnba_data_pipeline_spark.operators import similarity, text
+    from wnba_data_pipeline_spark.sources.sinks import zorder_key
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    empty_docs = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert text.chunk_docs(empty_docs).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>, label int")
+    assert similarity.hard_negatives_exact(empty_emb).count() == 0
+    assert similarity.hard_negatives_bucketed(empty_emb).count() == 0
+
+    one = spark.createDataFrame([(1, 1)], "a long, b long")
+    z = one.withColumn("z", zorder_key(one, ("a", "b"))).collect()
+    assert z[0]["z"] == 0  # min==max collapses each dim to bucket 0
+
+    assert sdedup.read_corpus(spark, str(tmp_path / "no_corpus")).count() == 0
+
+
+def test_hard_negatives_single_label_corpus_is_empty(spark):
+    # every vector shares one label -> there are NO valid negatives;
+    # both paths must return zero rows, not error or fabricate pairs
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import similarity
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < 20)
+        .withColumn("label", F.lit(7))
+    )
+    assert similarity.hard_negatives_exact(emb).count() == 0
+    assert similarity.hard_negatives_bucketed(emb).count() == 0
