@@ -261,3 +261,51 @@ def test_streaming_dedup_matches_sequential_batch_replay(spark, tmp_path):
         .count()
     )
     assert dupes == 0
+
+
+def test_streaming_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    # The at-least-once window of foreachBatch: a crash AFTER the corpus
+    # append but BEFORE the checkpoint commit re-delivers the same batch
+    # id. The re-run must re-screen against the corpus as it stood BEFORE
+    # the batch (its own batch=N output excluded), reproducing identical
+    # verdicts and an identical kept set — NOT flag its own survivors as
+    # exact_dup and overwrite corpus/batch=N empty (ADVICE r7 high).
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], sdedup.DOC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(3, "eta theta iota"), (4, "alpha beta gamma")], sdedup.DOC_SCHEMA
+    )
+    sdedup.process_batch(spark, b0, 0, corpus_dir, verdicts_dir)
+    sdedup.process_batch(spark, b1, 1, corpus_dir, verdicts_dir)
+
+    first_verdicts = sorted(
+        tuple(r) for r in spark.read.parquet(f"{verdicts_dir}/batch=1").collect()
+    )
+    first_corpus = sorted(
+        r.doc_id for r in sdedup.read_corpus(spark, corpus_dir).collect()
+    )
+    assert 3 in first_corpus and 4 not in first_corpus  # doc 4 is an exact dup of doc 1
+
+    # simulated redelivery: corpus/batch=1 already on disk from the first run
+    sdedup.process_batch(spark, b1, 1, corpus_dir, verdicts_dir)
+
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{verdicts_dir}/batch=1").collect())
+        == first_verdicts
+    )
+    assert (
+        sorted(r.doc_id for r in sdedup.read_corpus(spark, corpus_dir).collect())
+        == first_corpus
+    )
+    # and the kept doc is still physically present in its own batch subdir
+    assert spark.read.parquet(f"{corpus_dir}/batch=1").filter(
+        F.col("doc_id") == 3
+    ).count() == 1

@@ -61,15 +61,57 @@ def _dedup_within_batch(batch: DataFrame) -> DataFrame:
     return batch.join(keep, "doc_id")
 
 
-def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """The accumulated clean corpus, empty-safe before the first batch."""
-    if os.path.isdir(corpus_dir) and any(
-        f.endswith(".parquet")
-        for _r, _d, fs in os.walk(corpus_dir)
-        for f in fs
-    ):
-        return spark.read.schema(DOC_SCHEMA).parquet(f"{corpus_dir}/*/")
+def read_corpus(
+    spark: SparkSession, corpus_dir: str, *, exclude_batch: int | None = None
+) -> DataFrame:
+    """The accumulated clean corpus, empty-safe before the first batch.
+    ``exclude_batch`` drops that batch's OWN ``batch=N`` subdir from the
+    read — the replay-idempotence guard: a re-delivered batch must screen
+    against the corpus as it stood BEFORE its first (possibly partially
+    committed) delivery, never against its own prior output."""
+    dirs = []
+    if os.path.isdir(corpus_dir):
+        for d in sorted(os.listdir(corpus_dir)):
+            if exclude_batch is not None and d == f"batch={exclude_batch}":
+                continue
+            full = os.path.join(corpus_dir, d)
+            if os.path.isdir(full) and any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ):
+                dirs.append(full)
+    if dirs:
+        return spark.read.schema(DOC_SCHEMA).parquet(*dirs)
     return spark.createDataFrame([], DOC_SCHEMA)
+
+
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    verdicts_dir: str,
+) -> None:
+    """One micro-batch of the ingestion dedup: within-batch collapse →
+    screen vs the accumulated corpus → overwrite this batch's verdict and
+    corpus subdirs. IDEMPOTENT per batch id even against a crash BETWEEN
+    the corpus append and the checkpoint commit (the foreachBatch
+    at-least-once window): the reference corpus excludes ``batch=N``'s own
+    subdir, so a re-delivered batch re-screens against exactly the
+    pre-batch corpus and rewrites identical output — without the exclusion
+    a replay would see its own kept docs in the corpus, flag everything
+    exact_dup, and overwrite corpus/batch=N empty (permanent doc loss;
+    crash-replay test in tests/test_streaming.py)."""
+    batch = _dedup_within_batch(batch_df)
+    ref = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
+    v = incremental_verdicts(batch, ref)
+    v.write.mode("overwrite").parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
+    kept = batch.join(
+        spark.read.parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
+        .filter(F.col("verdict") == "kept")
+        .select("doc_id"),
+        "doc_id",
+    )
+    kept.write.mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
 
 
 def dedup_ingest_stream(
@@ -84,19 +126,7 @@ def dedup_ingest_stream(
     corpus. Returns the StreamingQuery; callers ``awaitTermination``."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = _dedup_within_batch(batch_df)
-        ref = read_corpus(spark, corpus_dir)
-        v = incremental_verdicts(batch, ref)
-        # per-batch subdirs + overwrite make checkpoint replay idempotent:
-        # a re-delivered batch id rewrites its own output, never doubles it
-        v.write.mode("overwrite").parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
-        kept = batch.join(
-            spark.read.parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
-            .filter(F.col("verdict") == "kept")
-            .select("doc_id"),
-            "doc_id",
-        )
-        kept.write.mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+        process_batch(spark, batch_df, batch_id, corpus_dir, verdicts_dir)
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
