@@ -29,7 +29,7 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     before_rows = sorted(
         tuple(r) for r in spark.read.parquet(path).drop("flag").collect()
     )
-    plan = maintenance.compaction_plan(path, target_bytes=1 << 30)
+    plan = maintenance.compaction_plan(spark, path, target_bytes=1 << 30)
     assert all(p["compact"] for p in plan)  # every partition over-sharded
     stats = maintenance.compact_table(spark, path, target_bytes=1 << 30)
     assert stats["partitions_compacted"] == len(plan) == 3  # A/N/R flags
@@ -90,3 +90,59 @@ def test_compaction_recovers_interrupted_swap(spark, tmp_path):
     got_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
     assert got_rows == want_rows
     assert not os.path.isdir(old)
+
+
+def test_compaction_recovery_keeps_committed_swap(spark, tmp_path):
+    # A surviving __compact_trash dir means the swap COMMITTED: the
+    # partition dir holds the complete new output and the trash holds the
+    # superseded originals. Recovery must drop the trash and keep the new
+    # output — never "restore" stale rows over a committed rewrite.
+    path = str(tmp_path / "committed")
+    _fragmented_table(spark, path)
+    want_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    part = os.path.join(path, "flag=A")
+    trash = part + "__compact_trash"
+    os.makedirs(trash)
+    # stale "originals" that must NOT come back
+    load_table(spark, SF_SMOKE, "nation").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stale")
+    )
+    stale = next(f for f in os.listdir(str(tmp_path / "stale")) if f.endswith(".parquet"))
+    os.rename(os.path.join(str(tmp_path / "stale"), stale), os.path.join(trash, stale))
+    actions = maintenance.recover_interrupted(spark, path)
+    assert actions["committed"] == 1 and actions["rolled_back"] == 0
+    assert not os.path.isdir(trash)
+    got_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    assert got_rows == want_rows
+
+
+def test_compaction_recovery_drops_orphan_tmp(spark, tmp_path):
+    # Crash BEFORE the aside: the partition dir was never touched and the
+    # temp output is garbage — recovery deletes it and nothing else.
+    path = str(tmp_path / "orphan")
+    _fragmented_table(spark, path)
+    want_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    part = os.path.join(path, "flag=R")
+    tmp = part + "__compact_tmp"
+    load_table(spark, SF_SMOKE, "nation").coalesce(1).write.parquet(tmp)
+    actions = maintenance.recover_interrupted(spark, path)
+    assert actions["tmp_dropped"] == 1 and actions["rolled_back"] == 0
+    assert not os.path.isdir(tmp)
+    got_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    assert got_rows == want_rows
+
+
+def test_compaction_recovery_restores_vanished_partition_dir(spark, tmp_path):
+    # Crash BETWEEN the whole-dir aside and the recreate: the partition dir
+    # does not exist at all; the aside holds everything. Recovery renames
+    # it back wholesale.
+    path = str(tmp_path / "vanished")
+    _fragmented_table(spark, path)
+    want_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    part = os.path.join(path, "flag=N")
+    os.rename(part, part + "__compact_old")
+    actions = maintenance.recover_interrupted(spark, path)
+    assert actions["rolled_back"] == 1
+    assert os.path.isdir(part) and not os.path.isdir(part + "__compact_old")
+    got_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
+    assert got_rows == want_rows

@@ -16,86 +16,143 @@ Design choices:
   independently, so a compaction can run per-partition (incremental
   maintenance behind the same idempotent contract as
   ``upsert_partitions``) and never touches cold partitions unless asked.
-- Rewrite-then-swap: the new files land in a sibling temp directory and
-  replace the old partition atomically-enough for a single-writer
-  warehouse (a real lakehouse would use a table format's commit protocol;
-  that boundary is documented, not hidden).
+- All filesystem traffic goes through the Hadoop FileSystem API resolved
+  from the path's URI (local, HDFS, object store) — the same posture as
+  ``operators/quality._list_parquet_files`` — never driver-local ``os``
+  calls, so the maintenance pass runs wherever the warehouse lives.
+- Atomic rewrite-then-swap (round 8, closes the ADVICE r7 mid-aside
+  data-loss window): new files land in a sibling ``__compact_tmp``; the
+  WHOLE partition directory is then renamed aside in ONE ``fs.rename``
+  (never a per-file loop whose interruption strands originals on both
+  sides), the directory is recreated, new files move in, and a second
+  single rename ``__compact_old`` → ``__compact_trash`` is the commit
+  point. Every crash state is therefore unambiguous:
+
+    * ``__compact_old`` present  → the swap did NOT commit; the aside holds
+      the COMPLETE original set (whole-dir rename is all-or-nothing), and
+      anything in the partition dir is partial new output — recovery drops
+      it and renames the aside back.
+    * ``__compact_trash`` present → the swap DID commit; the partition dir
+      holds the complete new output and the trash is garbage to delete.
+    * orphan ``__compact_tmp``    → crash before the aside; the partition
+      dir was never touched — recovery just deletes the temp output.
+
+  Directory-rename atomicity holds on HDFS and POSIX filesystems; object
+  stores without atomic rename need a table-format commit protocol
+  (Iceberg/Delta) instead — that contract boundary is documented here,
+  not hidden behind a best-effort emulation.
 """
 
 from __future__ import annotations
 
 import math
-import os
-import shutil
 
 from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
+_OLD = "__compact_old"
+_TMP = "__compact_tmp"
+_TRASH = "__compact_trash"
+_MARKERS = (_OLD, _TMP, _TRASH)
 
-def _partition_dirs(path: str) -> list[str]:
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-factory) for ``path``'s URI scheme."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path
+
+
+def _walk(fs, P, path: str):
+    """Recursive listStatus: (all directories, [(file, size), ...]) under
+    ``path``. One driver-side metadata sweep, O(files) — the same cost
+    class the plan itself reports."""
+    dirs, files = [], []
+    stack = [P(path)]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            sp = st.getPath().toString()
+            if st.isDirectory():
+                dirs.append(sp)
+                stack.append(st.getPath())
+            else:
+                files.append((sp, st.getLen()))
+    return dirs, files
+
+
+def _in_marker(path: str) -> bool:
+    return any(seg.endswith(_MARKERS) for seg in path.split("/"))
+
+
+def _partition_dirs(fs, P, path: str) -> list[str]:
     """Leaf directories that directly contain parquet files — the unit of
-    rewrite. An unpartitioned table yields [path] itself."""
-    leaves = []
-    for root, dirs, files in os.walk(path):
-        # in-flight/interrupted compaction scratch dirs are not partitions
-        dirs[:] = [x for x in dirs if not x.endswith(("__compact_old", "__compact_tmp"))]
-        if any(f.endswith(".parquet") for f in files):
-            leaves.append(root)
-    return leaves or [path]
+    rewrite. An unpartitioned table yields [path] itself. Compaction
+    scratch dirs (old/tmp/trash) are never partitions."""
+    _dirs, files = _walk(fs, P, path)
+    leaves = sorted(
+        {f.rsplit("/", 1)[0] for f, _sz in files if f.endswith(".parquet") and not _in_marker(f)}
+    )
+    return leaves or [P(path).toString()]
 
 
-def _interrupted_dirs(path: str) -> list[str]:
-    """Partition dirs with a surviving rename-aside from a crashed swap."""
-    hits = []
-    for root, dirs, _files in os.walk(path):
-        for x in dirs:
-            if x.endswith("__compact_old"):
-                hits.append(os.path.join(root, x)[: -len("__compact_old")])
-    return hits
+def recover_interrupted(spark: SparkSession, path: str) -> dict:
+    """Roll the table forward or back out of any crashed compaction state
+    (see the module docstring's three-state protocol). Idempotent; safe to
+    run on a healthy table. Returns counts per recovery action."""
+    fs, P = _fs(spark, path)
+    if not fs.exists(P(path)):
+        return {"rolled_back": 0, "committed": 0, "tmp_dropped": 0}
+    dirs, _files = _walk(fs, P, path)
+    rolled_back = committed = tmp_dropped = 0
+    # commit-point dirs first: a trash dir proves the swap finished
+    for t in [d for d in dirs if d.endswith(_TRASH)]:
+        fs.delete(P(t), True)
+        committed += 1
+    for old in [d for d in dirs if d.endswith(_OLD)]:
+        d = old[: -len(_OLD)]
+        # the aside holds the complete originals; the partition dir (if it
+        # reappeared) holds only partial new output — drop and restore
+        fs.delete(P(d), True)
+        if not fs.rename(P(old), P(d)):
+            raise IOError(f"recovery rename failed: {old} -> {d}")
+        rolled_back += 1
+    for tmp in [d for d in dirs if d.endswith(_TMP)]:
+        fs.delete(P(tmp), True)
+        tmp_dropped += 1
+    return {"rolled_back": rolled_back, "committed": committed, "tmp_dropped": tmp_dropped}
 
 
-def compaction_plan(path: str, *, target_bytes: int = DEFAULT_TARGET_BYTES) -> list[dict]:
-    """Inventory pass (driver-side, O(files) metadata only): one row per
-    leaf partition directory with file count, bytes, and the shard count a
-    compaction would rewrite it to. Partitions already at ≤ that shard
-    count are reported with ``compact=False`` so the rewrite can skip
-    them."""
+def compaction_plan(
+    spark: SparkSession, path: str, *, target_bytes: int = DEFAULT_TARGET_BYTES
+) -> list[dict]:
+    """Inventory pass (O(files) metadata only, via the Hadoop FS): one row
+    per leaf partition directory with file count, bytes, and the shard
+    count a compaction would rewrite it to. Partitions already at ≤ that
+    shard count are reported with ``compact=False`` so the rewrite can
+    skip them."""
+    fs, P = _fs(spark, path)
+    _dirs, files = _walk(fs, P, path)
+    by_dir: dict[str, list[int]] = {}
+    for f, sz in files:
+        if f.endswith(".parquet") and not _in_marker(f):
+            by_dir.setdefault(f.rsplit("/", 1)[0], []).append(sz)
     plan = []
-    for d in _partition_dirs(path):
-        files = [
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
-        ]
-        total = sum(os.path.getsize(f) for f in files)
+    for d in sorted(by_dir) or [P(path).toString()]:
+        sizes = by_dir.get(d, [])
+        total = sum(sizes)
         shards = max(1, math.ceil(total / target_bytes))
         plan.append(
             {
                 "dir": d,
-                "n_files": len(files),
+                "n_files": len(sizes),
                 "bytes": total,
                 "target_shards": shards,
-                "compact": len(files) > shards,
+                "compact": len(sizes) > shards,
             }
         )
     return plan
-
-
-def _recover_interrupted(d: str) -> None:
-    """Roll back a compaction interrupted mid-swap: a surviving
-    ``__compact_old`` directory means the rename-aside originals are the
-    authoritative copy — restore them over any partially-moved new files
-    and drop the incomplete temp output."""
-    old = d + "__compact_old"
-    tmp = d + "__compact_tmp"
-    if os.path.isdir(old):
-        for f in os.listdir(d):
-            if f.endswith(".parquet") or f.startswith("_"):
-                os.remove(os.path.join(d, f))
-        for f in os.listdir(old):
-            os.rename(os.path.join(old, f), os.path.join(d, f))
-        shutil.rmtree(old)
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
 
 
 def compact_table(
@@ -105,38 +162,38 @@ def compact_table(
     shard count. Returns {partitions_compacted, files_before, files_after}.
     Rows and schema are preserved exactly (row-identity asserted in
     tests/test_maintenance.py); partition directories not over-sharded are
-    left byte-identical."""
-    for d in _interrupted_dirs(path):
-        _recover_interrupted(d)
-    plan = compaction_plan(path, target_bytes=target_bytes)
+    left byte-identical. Any interrupted prior run is recovered first."""
+    recover_interrupted(spark, path)
+    fs, P = _fs(spark, path)
+    plan = compaction_plan(spark, path, target_bytes=target_bytes)
     before = sum(p["n_files"] for p in plan)
     done = 0
     for p in plan:
         if not p["compact"]:
             continue
         d = p["dir"]
-        tmp = d + "__compact_tmp"
-        old = d + "__compact_old"
+        tmp, old, trash = d + _TMP, d + _OLD, d + _TRASH
         (
             spark.read.parquet(d)
             .coalesce(p["target_shards"])
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        # Crash-safe swap (ADVICE r6): the originals are RENAMED aside —
-        # never deleted while they are the only copy — so every
-        # intermediate state is recoverable: a crash before the swap
-        # completes leaves the full original set in `old`, and the
-        # recovery sweep above restores it on the next run.
-        os.makedirs(old, exist_ok=True)
-        for f in os.listdir(d):
-            if f.endswith(".parquet") or f.startswith("_"):
-                os.rename(os.path.join(d, f), os.path.join(old, f))
-        for f in os.listdir(tmp):
+        # single-rename aside: the originals move as ONE unit, so no crash
+        # can strand them split across two directories (ADVICE r7)
+        if not fs.rename(P(d), P(old)):
+            raise IOError(f"aside rename failed: {d} -> {old}")
+        fs.mkdirs(P(d))
+        for f, _sz in _walk(fs, P, tmp)[1]:
             if f.endswith(".parquet"):
-                shutil.move(os.path.join(tmp, f), os.path.join(d, f))
-        shutil.rmtree(tmp)
-        shutil.rmtree(old)
+                if not fs.rename(P(f), P(d + "/" + f.rsplit("/", 1)[1])):
+                    raise IOError(f"install rename failed: {f}")
+        # commit point: one rename flips the aside from authoritative to
+        # garbage; recovery reads this bit instead of guessing
+        if not fs.rename(P(old), P(trash)):
+            raise IOError(f"commit rename failed: {old} -> {trash}")
+        fs.delete(P(trash), True)
+        fs.delete(P(tmp), True)
         done += 1
-    after = sum(p["n_files"] for p in compaction_plan(path, target_bytes=target_bytes))
+    after = sum(p["n_files"] for p in compaction_plan(spark, path, target_bytes=target_bytes))
     return {"partitions_compacted": done, "files_before": before, "files_after": after}
