@@ -156,3 +156,49 @@ def test_zorder_key_bounds_and_locality(spark):
     assert rows[(100, 100)] == max(rows.values())
     dup = [r.z for r in df.filter("a = 50").withColumn("z", zorder_key(df, ("a", "b"))).collect()]
     assert dup[0] == dup[1]
+
+
+def test_zorder_key_never_overflows_sign_bit(spark):
+    # 4 columns at the default 16 bits/dim would put the top interleaved
+    # bit at position 63 (the sign), sorting high-value rows NEGATIVE —
+    # the resolution must auto-scale to 63 // n_cols instead (ADVICE r7).
+    from wnba_data_pipeline_spark.sources.sinks import zorder_key
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_linenumber"
+    )
+    keys = li.select(
+        zorder_key(li, ("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber")).alias("z")
+    )
+    mn, mx, nulls = keys.agg(
+        F.min("z"), F.max("z"), F.sum(F.when(F.col("z").isNull(), 1).otherwise(0))
+    ).collect()[0]
+    assert mn >= 0 and mx >= 0 and nulls == 0
+    # and the max-corner row actually maps near the key-space top, proving
+    # the high bits are in use (not clipped away with the sign fix)
+    assert mx > (1 << 59)
+
+
+def test_zorder_key_places_nulls_in_min_cell(spark):
+    from wnba_data_pipeline_spark.sources.sinks import zorder_key
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .withColumn(
+            "l_suppkey",
+            F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(F.col("l_suppkey")),
+        )
+    )
+    keyed = li.withColumn("z", zorder_key(li, ("l_orderkey", "l_suppkey")))
+    # every row keyed, none null
+    assert keyed.filter(F.col("z").isNull()).count() == 0
+    # a null dimension equals the key of that dimension's minimum value
+    s_min = li.agg(F.min("l_suppkey")).collect()[0][0]
+    probe = keyed.filter(F.col("l_suppkey").isNull()).limit(1).collect()
+    if probe:
+        ok = li.filter(F.col("l_orderkey") == probe[0]["l_orderkey"]).withColumn(
+            "l_suppkey", F.lit(s_min)
+        )
+        want = ok.withColumn("z", zorder_key(li, ("l_orderkey", "l_suppkey"))).collect()[0]["z"]
+        assert probe[0]["z"] == want

@@ -138,3 +138,36 @@ def test_rowcount_probe_matches_scan_count(spark):
     got = quality.parquet_rowcount_probe(spark, f"{SF_ORACLE}/orders.parquet").collect()[0][0]
     want = load_table(spark, SF_ORACLE, "orders").count()
     assert got == want
+
+
+def test_quality_queries_fall_back_to_scan_on_statless_files(spark, tmp_path, monkeypatch):
+    # write_statistics=False is legal parquet; at the footer-stats switch
+    # the QUERY entry points must fall back to the scan shape and return
+    # correct rows, not hard-fail (ADVICE r7 — only the explicit probe
+    # entry points keep the strict error).
+    from wnba_data_pipeline_spark.operators import relational
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    sf_dir = str(tmp_path / "statless_sf")
+    import os as _os
+    _os.makedirs(sf_dir)
+    for name in ("lineitem", "orders"):
+        tbl = pq.read_table(f"{SF_ORACLE}/{name}.parquet")
+        pq.write_table(tbl, f"{sf_dir}/{name}.parquet", write_statistics=False)
+
+    monkeypatch.setenv("SPARK_GRAFT_FOOTER_STATS", "1")
+    got_probe = relational.q_quality_probe(spark, sf_dir).collect()[0].asDict()
+    got_report = {
+        r["check_name"]: (r["value"], r["status"])
+        for r in quality.q_quality_report(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_FOOTER_STATS", "0")
+    want_probe = relational.q_quality_probe(spark, sf_dir).collect()[0].asDict()
+    want_report = {
+        r["check_name"]: (r["value"], r["status"])
+        for r in quality.q_quality_report(spark, sf_dir).collect()
+    }
+    assert got_probe == want_probe
+    assert got_report == want_report and len(got_report) == 6

@@ -70,38 +70,52 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan narrows to the two columns needing data pages."""
     li = load_table(spark, sf_dir, "lineitem")
 
+    row = None
     if _use_footer_stats(sf_dir):
-        li_agg = li.agg(
-            F.avg("l_extendedprice").alias("price_avg"),
-            F.stddev_samp("l_extendedprice").alias("price_std"),
-            F.count_distinct("l_returnflag").alias("n_flags"),
-        )
-        li_path = os.path.join(sf_dir, "lineitem.parquet")
-        o_path = os.path.join(sf_dir, "orders.parquet")
-        vals = footer_stats_row(spark, li_path)
-        o_rows = footer_rowcount_value(spark, o_path)
-        if vals is not None and o_rows is not None:
-            # driver-path probe: the footer stats become plan LITERALS on
-            # the single narrowed scan — no extra stage at all (the
-            # crossJoin-of-1-row shape costs two broadcast rounds per
-            # execution, measured slower than the scan it saves at sf10)
-            row = li_agg.select(
-                F.lit(vals["n_rows"]).alias("n_rows"),
-                F.lit(vals["null_qty"]).alias("null_qty"),
-                F.lit(vals["price_max"]).alias("price_max"),
-                F.lit(vals["last_ship_date"]).alias("last_ship"),
-                "price_avg",
-                "price_std",
-                "n_flags",
-                F.lit(o_rows).alias("o_rows"),
+        # Footer shape, with an explicit fallback (ADVICE r7): parquet
+        # files may legally lack column statistics (write_statistics=False)
+        # or carry zero row groups — the strict metadata path raises
+        # ValueError on them, and the query falls back to the scan shape
+        # rather than hard-failing on valid data. The strict error stays on
+        # the explicit probe entry points (parquet_stats_probe).
+        try:
+            li_agg = li.agg(
+                F.avg("l_extendedprice").alias("price_avg"),
+                F.stddev_samp("l_extendedprice").alias("price_std"),
+                F.count_distinct("l_returnflag").alias("n_flags"),
             )
-        else:
-            meta = parquet_stats_probe(spark, li_path).select(
-                "n_rows", "null_qty", "price_max", F.col("last_ship_date").alias("last_ship")
-            )
-            o_agg = parquet_rowcount_probe(spark, o_path).select(F.col("n_rows").alias("o_rows"))
-            row = meta.crossJoin(li_agg).crossJoin(o_agg)
-    else:
+            li_path = os.path.join(sf_dir, "lineitem.parquet")
+            o_path = os.path.join(sf_dir, "orders.parquet")
+            vals = footer_stats_row(spark, li_path)
+            o_rows = footer_rowcount_value(spark, o_path)
+            if vals is not None and o_rows is not None:
+                # driver-path probe: the footer stats become plan LITERALS on
+                # the single narrowed scan — no extra stage at all (the
+                # crossJoin-of-1-row shape costs two broadcast rounds per
+                # execution, measured slower than the scan it saves at sf10)
+                row = li_agg.select(
+                    F.lit(vals["n_rows"]).alias("n_rows"),
+                    F.lit(vals["null_qty"]).alias("null_qty"),
+                    F.lit(vals["price_max"]).alias("price_max"),
+                    F.lit(vals["last_ship_date"]).alias("last_ship"),
+                    "price_avg",
+                    "price_std",
+                    "n_flags",
+                    F.lit(o_rows).alias("o_rows"),
+                )
+            else:
+                # the distributed probe is lazy — sample one footer NOW so a
+                # homogeneous statless table falls back at build time
+                # (a heterogeneous mix still fails strictly at execution)
+                sample_footer_check(spark, li_path)
+                meta = parquet_stats_probe(spark, li_path).select(
+                    "n_rows", "null_qty", "price_max", F.col("last_ship_date").alias("last_ship")
+                )
+                o_agg = parquet_rowcount_probe(spark, o_path).select(F.col("n_rows").alias("o_rows"))
+                row = meta.crossJoin(li_agg).crossJoin(o_agg)
+        except ValueError:
+            row = None
+    if row is None:
         orders = load_table(spark, sf_dir, "orders")
         li_agg = li.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -333,6 +347,20 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
         F.min("price_min").alias("price_min"),
         F.expr("cast(timestamp_micros(max(ship_us)) as date)").alias("last_ship_date"),
     )
+
+
+def sample_footer_check(spark: SparkSession, path: str) -> None:
+    """Plan-time guard for the LAZY distributed probe: read ONE file's
+    footer through the same strict partials pass, so a table whose writer
+    disabled column statistics (a homogeneous property of the writer
+    config) raises ValueError at query-BUILD time — where callers can fall
+    back to the scan shape — instead of deep inside a Spark task."""
+    import pandas as pd
+
+    paths = _list_parquet_files(spark, path)
+    if not paths:
+        raise ValueError(f"no parquet files under {path}")
+    list(_footer_partials(iter([pd.DataFrame({"path": paths[:1]})])))
 
 
 def footer_stats_row(spark: SparkSession, path: str) -> dict | None:

@@ -917,49 +917,64 @@ def q_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_extendedprice for the fixed-point sum + stddev, l_suppkey for the
     distinct subtree) instead of four. Rows identical in all shapes
     (differential-asserted in tests/test_stats_probe.py)."""
-    from .quality import _use_footer_stats, footer_stats_row, parquet_stats_probe
+    from .quality import (
+        _use_footer_stats,
+        footer_stats_row,
+        parquet_stats_probe,
+        sample_footer_check,
+    )
 
     li = _layout_table(spark, sf_dir, "lineitem")
     if _use_footer_stats(sf_dir):
-        stats = li.agg(
-            _dsum("l_extendedprice").alias("_psum"),
-            _r6(F.stddev_samp("l_extendedprice")).alias("price_std"),
-        )
-        distinct = li.select("l_suppkey").distinct().agg(
-            F.count(F.lit(1)).alias("n_suppliers")
-        )
-        vals = footer_stats_row(spark, os.path.join(sf_dir, "lineitem.parquet"))
-        if vals is not None:
-            # driver-path probe → plan literals; only the two single-column
-            # subtrees (fixed-point sum + stddev, distinct) execute
-            joined = stats.crossJoin(F.broadcast(distinct)).select(
-                F.lit(vals["n_rows"]).alias("n_rows"),
-                F.lit(vals["null_qty"]).alias("null_qty"),
-                F.lit(vals["null_flag"]).alias("null_flag"),
-                _r6(F.col("_psum") / F.lit(vals["n_rows"])).alias("price_avg"),
-                "price_std",
-                F.lit(vals["price_max"]).alias("price_max"),
-                F.lit(vals["price_min"]).alias("price_min"),
-                "n_suppliers",
-                F.lit(vals["last_ship_date"]).alias("last_ship_date"),
+        # ValueError from the strict footer readers (statless files, zero
+        # row groups — both legal parquet) falls through to the scan shape
+        # below instead of hard-failing at scale on valid data (ADVICE r7);
+        # the strict error stays on the explicit probe entry points.
+        try:
+            stats = li.agg(
+                _dsum("l_extendedprice").alias("_psum"),
+                _r6(F.stddev_samp("l_extendedprice")).alias("price_std"),
             )
-            return joined
-        meta = parquet_stats_probe(spark, os.path.join(sf_dir, "lineitem.parquet"))
-        return (
-            meta.crossJoin(stats)
-            .crossJoin(F.broadcast(distinct))
-            .select(
-                "n_rows",
-                "null_qty",
-                "null_flag",
-                _r6(F.col("_psum") / F.col("n_rows")).alias("price_avg"),
-                "price_std",
-                "price_max",
-                "price_min",
-                "n_suppliers",
-                "last_ship_date",
+            distinct = li.select("l_suppkey").distinct().agg(
+                F.count(F.lit(1)).alias("n_suppliers")
             )
-        )
+            vals = footer_stats_row(spark, os.path.join(sf_dir, "lineitem.parquet"))
+            if vals is not None:
+                # driver-path probe → plan literals; only the two single-column
+                # subtrees (fixed-point sum + stddev, distinct) execute
+                joined = stats.crossJoin(F.broadcast(distinct)).select(
+                    F.lit(vals["n_rows"]).alias("n_rows"),
+                    F.lit(vals["null_qty"]).alias("null_qty"),
+                    F.lit(vals["null_flag"]).alias("null_flag"),
+                    _r6(F.col("_psum") / F.lit(vals["n_rows"])).alias("price_avg"),
+                    "price_std",
+                    F.lit(vals["price_max"]).alias("price_max"),
+                    F.lit(vals["price_min"]).alias("price_min"),
+                    "n_suppliers",
+                    F.lit(vals["last_ship_date"]).alias("last_ship_date"),
+                )
+                return joined
+            # the distributed probe is lazy — sample one footer now so a
+            # homogeneous statless table falls back at build time
+            sample_footer_check(spark, os.path.join(sf_dir, "lineitem.parquet"))
+            meta = parquet_stats_probe(spark, os.path.join(sf_dir, "lineitem.parquet"))
+            return (
+                meta.crossJoin(stats)
+                .crossJoin(F.broadcast(distinct))
+                .select(
+                    "n_rows",
+                    "null_qty",
+                    "null_flag",
+                    _r6(F.col("_psum") / F.col("n_rows")).alias("price_avg"),
+                    "price_std",
+                    "price_max",
+                    "price_min",
+                    "n_suppliers",
+                    "last_ship_date",
+                )
+            )
+        except ValueError:
+            pass
     base_aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).cast("bigint").alias("null_qty"),

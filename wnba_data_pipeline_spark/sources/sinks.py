@@ -90,7 +90,21 @@ def zorder_key(df: DataFrame, cols: tuple[str, ...], *, bits: int = ZORDER_BITS)
     ``bits`` bits (stats collected in one tiny driver job — layout writes
     are eager jobs already) and the bits interleave, so points close in
     the key are close in EVERY listed dimension. Pure codegen expression
-    (bits × len(cols) shift/mask terms), no UDF."""
+    (bits × len(cols) shift/mask terms), no UDF.
+
+    Per-dimension resolution auto-scales so the top interleaved bit never
+    reaches the int64 sign bit (``bits × len(cols) ≤ 63`` — at the default
+    16 bits a 4-column key would otherwise put bit 63 into the sign and
+    sort high-value rows NEGATIVE, breaking the hyper-rectangle layout;
+    ADVICE r7). NULL dimension values land in that dimension's MINIMUM
+    cell (explicit placement, mirroring Spark's NULLS FIRST sort default)
+    so every row gets a non-null key and null-heavy rows cluster together
+    — still skippable via row-group null counts."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}): needs ≥1 bit each")
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
@@ -98,11 +112,16 @@ def zorder_key(df: DataFrame, cols: tuple[str, ...], *, bits: int = ZORDER_BITS)
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
-        span = (mx - mn) or 1.0
-        scaled = F.floor(
-            (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(float(top))
-        ).cast("long")
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:  # all-null dimension: constant cell 0
+            continue
+        span = (float(mx) - float(mn)) or 1.0
+        scaled = F.coalesce(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(span) * F.lit(float(top))
+            ).cast("long"),
+            F.lit(0).cast("long"),  # nulls → minimum cell
+        )
         for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)), b * len(cols) + i)
