@@ -48,3 +48,56 @@ def test_registry_exactly_at_driver_cap():
     assert len(_QUERIES) == 50
     # and every oracle belongs to a registered query (no orphans)
     assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_sessionize_oracle_deterministic_on_boundary_ties(spark, tmp_path):
+    # A session boundary landing exactly on a duplicate (user_id, ts): the
+    # flag row and its tie-peer must share the NEW session under both
+    # engines regardless of physical tie order (VERDICT r7 item 3 — the
+    # oracle's running sum now orders its ROWS frame by (ts, event_id)).
+    # Adversarial layout: event_ids of the tie pair are interleaved so an
+    # id-ordered OR arrival-ordered scan both exercise the tie.
+    import datetime as dt
+
+    import duckdb
+
+    from wnba_data_pipeline_spark.operators import relational
+    from .oracle_compare import compare
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap = dt.timedelta(seconds=relational.SESSION_GAP_S + 1)
+    rows = [
+        # user 1: boundary tie — two events at exactly t0+gap
+        (5, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + gap, 1, "click", 2.0, "{}"),
+        (9, t0 + gap, 1, "view", 3.0, "{}"),
+        # user 2: tie at session START (first events of the partition)
+        (4, t0, 2, "click", 4.0, "{}"),
+        (1, t0, 2, "view", 5.0, "{}"),
+        (7, t0 + gap + gap, 2, "click", 6.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "tie_sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev_stage"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "ev_stage")) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(str(tmp_path / "ev_stage"), part), os.path.join(sf_dir, "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    sdf = relational.q_sessionize_events(spark, sf_dir)
+    ddf = con.sql(relational.ORACLE_SESSIONIZE_EVENTS).df()
+    compare(sdf, ddf, "sessionize_boundary_tie")
+    # and the expected shape: user 1 has two sessions (1 + 2 tie-peers),
+    # user 2 has two sessions (2 tie-peers + 1)
+    got = {(r["user_id"], r["session_start"]): r["n_events"] for r in sdf.collect()}
+    assert got[(1, "2024-01-01 00:00:00")] == 1
+    assert got[(1, "2024-01-01 00:30:01")] == 2
+    assert got[(2, "2024-01-01 00:00:00")] == 2
+    assert got[(2, "2024-01-01 01:00:02")] == 1
+    con.close()

