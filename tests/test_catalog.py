@@ -200,4 +200,34 @@ def test_bucketed_events_makes_exact_tumbling_distinct_local(spark, tmp_path, mo
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         assert not seg.startswith("user_id"), plan
         assert "user_id" not in seg.split(")")[0], plan
+    # round 8 fused shape: ONE scan (the split plan's second scan is gone)
+    assert plan.count("Scan parquet") == 1, plan
     assert sorted(tuple(r) for r in df.collect()) == before
+
+
+def test_bucketed_events_elide_temporal_join_exchange_and_sort(spark, tmp_path, monkeypatch):
+    """Round 8 (VERDICT r7 item 2): on the user-bucketed, (user_id, ts)-
+    sorted events layout the as-of attribution and the trailing-24h range
+    aggregate both run with ZERO Exchange and ZERO Sort — the same
+    treatment that took sessionize from 2.11x to 1.17x — with rows
+    identical to the plain-layout shapes (which the sf0.01 driver oracle
+    hash-checks)."""
+    from wnba_data_pipeline_spark.operators import temporal
+
+    from .conftest import SF_ORACLE
+
+    def rows_key(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    before_a = rows_key(temporal.q_asof_attribution(spark, SF_ORACLE))
+    before_r = rows_key(temporal.q_range_join_bins(spark, SF_ORACLE))
+    catalog.ensure_bucketed_layout(
+        spark, SF_ORACLE, n_buckets=8, base_path=str(tmp_path / "bucketed_tj")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT", "bucketed")
+    for q, before in ((temporal.q_asof_attribution, before_a), (temporal.q_range_join_bins, before_r)):
+        df = q(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "+- Sort" not in plan, plan
+        assert rows_key(df) == before

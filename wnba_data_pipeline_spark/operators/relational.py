@@ -1661,7 +1661,19 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id), so the EXACT shape stops shuffling ~8 M distinct tuples;
     only per-partition partial counts cross the wire. The one exact-
     distinct signature cost this query had disappears on the production
-    layout (measured in BENCH_SCALE_r06)."""
+    layout (measured in BENCH_SCALE_r06).
+
+    Round 8 (VERDICT r7 item 1 — the exact shape's residual): on the
+    bucketed layout the split plan still paid TWO scans (base agg +
+    distinct subtree) and two 10 M-row hash passes. The FUSED shape does
+    everything in one: a bucket-local ``groupBy(day, type, user_id)``
+    carrying count + fixed-point sum (zero Exchange — same subset rule as
+    the distinct), then a second-level ``groupBy(day, type)`` whose
+    map-side partial agg means only ~groups×partitions partial rows cross
+    the wire; ``n_users = count(*)`` of the unique first-level rows.
+    Identical values by associativity of count/int64-sum (identity
+    plan-asserted and row-compared in tests/test_catalog.py; measured in
+    BENCH_SCALE_r08)."""
     ev = _layout_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
     if os.environ.get("SPARK_GRAFT_APPROX_DISTINCT") == "1":
@@ -1673,6 +1685,16 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(LG_K)))
             .cast("long")
             .alias("n_users"),
+        )
+    if _is_bucketed(spark, sf_dir, "events"):
+        per_user = ev.groupBy(day, "event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.floor(F.col("value") * _DSCALE + F.lit(0.5)).cast("long")).alias("_s"),
+        )
+        return per_user.groupBy("day", "event_type").agg(
+            F.sum("_c").alias("n_events"),
+            _r6((F.sum("_s") / _DSCALE).cast("double")).alias("value_sum"),
+            F.count(F.lit(1)).alias("n_users"),
         )
     if _use_split_distinct(sf_dir):
         base = ev.groupBy(day, "event_type").agg(
