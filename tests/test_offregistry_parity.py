@@ -46,6 +46,13 @@ ROTATED = {
     # (static fitted-codebook oracle, operators/pq.py); multimodal_features
     # keeps the family's driver row over the same mapInPandas plumbing.
     "frame_sample": (multimodal.q_frame_sample, multimodal.ORACLE_FRAME_SAMPLE),
+    # seventh rotation (round 8): slots freed for chunk_docs and
+    # hard_negatives_bucketed's hard driver rows. Both rotated-out queries
+    # are single-shuffle aggregation shapes whose §2-row coverage is
+    # duplicated by text_stats / text_corpus_rollup / tfidf_top_terms
+    # (identical posexplode-and-agg physics) — see text.py registry comment.
+    "lang_id_agreement": (text.q_lang_id_agreement, text._oracle_lang_id()),
+    "bigram_topk": (text.q_bigram_topk, text.ORACLE_BIGRAM_TOPK),
 }
 
 

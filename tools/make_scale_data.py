@@ -46,15 +46,42 @@ SPANS = {
 
 # the six BASELINE.md headline queries' tables + the stateful family's
 TABLES = ("lineitem", "orders", "customer", "supplier", "events")
+# round 8: the LLM-pipeline tables too (curation funnel at sf1 needs them).
+# Naive row replication would plant a 100% cross-replica dup rate, so the
+# payloads are DECORRELATED per replica while preserving each replica's
+# internal dup structure exactly:
+#   documents: a replica-salt token every 4 words — no 8-gram shingle
+#     survives unchanged, so cross-replica MinHash Jaccard ≈ 0, while
+#     within-replica exact/near dup pairs transform identically;
+#   embeddings: a per-replica deterministic sign-flip pattern — norms and
+#     within-replica cosines are preserved EXACTLY, cross-replica cosines
+#     decorrelate to ~0 (sum of ±x_j*y_j under independent sign patterns).
+_DOC_TEXT = (
+    "CASE WHEN i = 0 THEN text ELSE "
+    "regexp_replace(text, '((\\S+ ){4})', '\\1zzr' || i || ' ', 'g') END"
+)
+_EMB = (
+    "CASE WHEN i = 0 THEN embedding ELSE "
+    "CAST(list_transform(range(len(embedding)), j -> embedding[j + 1] * "
+    "(CASE WHEN hash(i * 131 + j) % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS REAL[]) END"
+)
+SPECIAL_SEL = {
+    # vec_id aligns with doc_id, so it shifts by the DOC span (5000)
+    "documents": f"doc_id + i * 5000 AS doc_id, {_DOC_TEXT} AS text, lang, source, "
+    f"length({_DOC_TEXT}) AS n_chars",
+    "embeddings": f"vec_id + i * 5000 AS vec_id, {_EMB} AS embedding, label",
+}
 
 
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    for t in TABLES:
+    for t in TABLES + tuple(SPECIAL_SEL):
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
-        sel = ", ".join(f"{c} + i * {SPANS[c]} AS {c}" if c in SPANS else c for c in cols)
+        sel = SPECIAL_SEL.get(t) or ", ".join(
+            f"{c} + i * {SPANS[c]} AS {c}" if c in SPANS else c for c in cols
+        )
         t0 = time.perf_counter()
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{t}.parquet'), range({replicas}) r(i)) "

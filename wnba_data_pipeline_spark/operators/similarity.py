@@ -1078,6 +1078,56 @@ def hard_negatives_bucketed(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
     )
 
 
+def q_hard_negatives_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for :func:`hard_negatives_bucketed` over the
+    embeddings table (round-8 seventh rotation: hard driver row for the
+    round-7 mining operator; the 92.8% top-1 recall against the all-pairs
+    twin stays pinned in tests/test_similarity_bucketed.py)."""
+    return hard_negatives_bucketed(load_table(spark, sf_dir, "embeddings"))
+
+
+def _hn_band_key_sql(v: str, band: int) -> str:
+    """DuckDB twin of ``_hn_band_key`` — same unrolled left-associative dot
+    products as ``_nd_band_key_sql`` (identical association ⇒ identical
+    sign), over the first HN_PLANES planes with the 4-bit band offset."""
+    terms = [str(band * (1 << HN_PLANES))]
+    for p in range(HN_PLANES):
+        dot = " + ".join(
+            f"CAST({v}[{i + 1}] AS DOUBLE) * ({k})" for i, k in enumerate(_ND_COEFFS[(band, p)])
+        )
+        terms.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _oracle_hard_negatives_bucketed() -> str:
+    """The bucketed miner's EXACT twin: candidates from the same SRP band
+    keys (bit-identical sign arithmetic), different-label filter, exact
+    cosine + per-anchor top-k — two independent executors must produce the
+    same candidate sets AND the same ranks."""
+    band_keys = ", ".join(_hn_band_key_sql("embedding", b) for b in range(ND_BANDS))
+    return f"""
+WITH banded AS MATERIALIZED (
+  SELECT vec_id, label, unnest([{band_keys}]) AS bkey FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS n_vec_id
+  FROM banded a JOIN banded b ON a.bkey = b.bkey
+   AND a.vec_id <> b.vec_id AND a.label <> b.label
+), scored AS (
+  SELECT c.a_vec_id, c.n_vec_id,
+         {_cosine_sql("x.embedding", "y.embedding")} AS cos
+  FROM cand c
+  JOIN embeddings x ON c.a_vec_id = x.vec_id
+  JOIN embeddings y ON c.n_vec_id = y.vec_id
+)
+SELECT a_vec_id, n_vec_id, round(cos, 6) AS cosine, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM (
+  SELECT a_vec_id, n_vec_id, cos,
+         row_number() OVER (PARTITION BY a_vec_id ORDER BY cos DESC, n_vec_id) AS neg_rank
+  FROM scored
+) WHERE neg_rank <= {HN_TOP_K}
+"""
+
+
 ORACLE_HARD_NEGATIVES_EXACT = f"""
 WITH pairs AS (
   SELECT a.vec_id AS a_vec_id, b.vec_id AS n_vec_id,
@@ -1104,6 +1154,9 @@ QUERIES = {
     "sim_ivf": q_sim_ivf,
     "emb_near_dup_bucketed": q_emb_near_dup_bucketed,
     "emb_label_centroids": q_emb_label_centroids,
+    # round-8 seventh rotation: hard driver row for the round-7 miner
+    # (slots freed by lang_id_agreement/bigram_topk — see text.py)
+    "hard_negatives_bucketed": q_hard_negatives_bucketed,
 }
 
 ORACLES = {
@@ -1111,4 +1164,5 @@ ORACLES = {
     "sim_ivf": ORACLE_SIM_IVF,
     "emb_near_dup_bucketed": _oracle_emb_near_dup_bucketed(),
     "emb_label_centroids": _oracle_centroids(),
+    "hard_negatives_bucketed": _oracle_hard_negatives_bucketed(),
 }

@@ -856,6 +856,14 @@ FROM c
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for :func:`chunk_docs` over the documents table
+    (round-8 seventh rotation: the newest text-family operator gets a hard
+    driver row; coverage/overlap invariants stay pinned in
+    tests/test_contamination.py)."""
+    return chunk_docs(load_table(spark, sf_dir, "documents"))
+
+
 def pack_docs(docs: DataFrame) -> DataFrame:
     """(… doc_id, text …) → (doc_id, n_tok, pack_id, running_tok): the
     deterministic pack layout (reusable transform — see
@@ -1290,32 +1298,38 @@ def heavy_hitters_cms(
         .filter(F.col("n") >= min_count)
     )
 
+# Round-8 seventh rotation: lang_id_agreement and bigram_topk leave the
+# capped registry (both are single-shuffle aggregation shapes whose §2-row
+# coverage is duplicated by text_stats / text_corpus_rollup /
+# tfidf_top_terms' identical posexplode-and-agg physics) so chunk_docs
+# (the round-7 token-window chunking, here) and hard_negatives_bucketed
+# (operators/similarity.py) get hard driver rows. Both rotated-out queries
+# keep the identical hash-differential parity check in
+# tests/test_offregistry_parity.py.
 QUERIES = {
     "text_stats": q_text_stats,
-    "lang_id_agreement": q_lang_id_agreement,
     "text_corpus_rollup": q_text_corpus_rollup,
     "doc_winnow": q_doc_winnow,
     "corpus_sample": q_corpus_sample,
     "mixture_sample": q_mixture_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "bigram_topk": q_bigram_topk,
     "contamination_check": q_contamination_check,
     "sequence_packing": q_sequence_packing,
     "pii_stats": q_pii_stats,
     "unigram_ppl": q_unigram_ppl,
+    "chunk_docs": q_chunk_docs,
 }
 
 ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
-    "lang_id_agreement": _oracle_lang_id(),
     "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
     "doc_winnow": ORACLE_DOC_WINNOW,
     "corpus_sample": _oracle_corpus_sample(),
     "mixture_sample": _oracle_mixture_sample(),
     "tfidf_top_terms": _oracle_tfidf(),
-    "bigram_topk": ORACLE_BIGRAM_TOPK,
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
     "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "pii_stats": ORACLE_PII_STATS,
     "unigram_ppl": ORACLE_UNIGRAM_PPL,
+    "chunk_docs": ORACLE_CHUNK_DOCS,
 }

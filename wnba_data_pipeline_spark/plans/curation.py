@@ -48,6 +48,7 @@ def _p(base: str, *parts: str) -> str:
 def run_curation(
     spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFAULT_AS_OF,
     *, cc_max_iter: int = 25, near_dedup: str = "minhash",
+    stage_seconds: dict | None = None,
 ) -> DataFrame:
     """Run the four-stage funnel over ``documents``; writes every stage to
     the curation warehouse and returns the funnel report (stage, n_docs,
@@ -63,10 +64,24 @@ def run_curation(
     behavior when vector coverage is partial). Both feed the SAME
     transitive closure + keep-lowest survivor contract
     (``cluster_survivors``), so the funnel downstream of the pair source
-    is identical."""
+    is identical.
+
+    ``stage_seconds``: pass a dict to receive per-stage wall seconds
+    (each stage is write-materialized, so the walls are real work, not
+    laziness artifacts) — the bench hook for BENCH_SCALE_r08."""
+    import time as _time
+
+    _t = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        if stage_seconds is not None:
+            stage_seconds[stage] = round(_time.perf_counter() - _t, 2)
+        _t = _time.perf_counter()
     audit = F.lit(as_of).cast("timestamp_ntz").alias("curated_at")
     docs = load_table(spark, sf_dir, "documents")
     overwrite_table(docs.select("*", audit), _p(base, "curation", "corpus"))
+    _mark("corpus_write")
 
     # 1. quality gate: join the per-doc stats back to the text — both are
     # zero-shuffle maps over the same scan, so the join broadcasts the
@@ -77,14 +92,17 @@ def run_curation(
         .filter(F.col("quality_score") >= QUALITY_MIN)
     )
     overwrite_table(kept.select("*", audit), _p(base, "curation", "quality_kept"))
+    _mark("quality_gate")
 
     # 2. stratified sampling (hash gate — reshuffle-proof)
     sampled = sample_gate(read_table(spark, _p(base, "curation", "quality_kept")))
     overwrite_table(sampled, _p(base, "curation", "sampled"))
+    _mark("sample_gate")
 
     # 3. exact dedup (content hash, keep lowest doc_id)
     deduped = exact_survivors(read_table(spark, _p(base, "curation", "sampled")))
     overwrite_table(deduped, _p(base, "curation", "deduped"))
+    _mark("exact_dedup")
 
     # 4. transitive near-dup removal: near-dup PAIRS (MinHash-LSH or
     # SemDeDup, see docstring) → connected components (the iterative step)
@@ -106,10 +124,12 @@ def run_curation(
     )
     near_deduped = deduped.join(losers, "doc_id", "left_anti")
     overwrite_table(near_deduped, _p(base, "curation", "near_deduped"))
+    _mark("near_dedup")
 
     # 5. sequence packing to the token budget
     packed = pack_docs(read_table(spark, _p(base, "curation", "near_deduped")))
     overwrite_table(packed, _p(base, "curation", "packed"))
+    _mark("packing")
 
     report = funnel_report(spark, base)
     overwrite_table(report, _p(base, "curation", "funnel_report"))
