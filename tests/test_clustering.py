@@ -269,3 +269,40 @@ def test_fit_reproduces_checked_in_centroids(spark):
         pytest.skip(f"no checked-in centroids for {sf_name}")
     model = clustering.kmeans_fit(similarity._augmented_corpus(spark, SF_ORACLE))
     assert model.centroids == CENTROIDS_BY_SF[sf_name]
+
+
+def test_sd_cells_scale_with_corpus():
+    """The funnel's semantic-dedup cell count follows k ~ n/SD_CELL_TARGET
+    (bounded per-cell pair volume at scale) while degenerate corpora keep
+    k <= n and small corpora keep the SD_K test dial."""
+    from wnba_data_pipeline_spark.operators.clustering import (
+        SD_CELL_TARGET,
+        SD_K,
+        sd_cells_for,
+    )
+
+    assert sd_cells_for(1) == 1
+    assert sd_cells_for(3) == 3  # capped at n: k-means needs k seeds
+    assert sd_cells_for(500) == SD_K
+    assert sd_cells_for(29_239) == -(-29_239 // SD_CELL_TARGET)
+    # per-probed-cell membership stays ~SD_CELL_TARGET as n grows 100x
+    for n in (10_000, 100_000, 1_000_000):
+        k = sd_cells_for(n)
+        assert n / k <= SD_CELL_TARGET + SD_CELL_TARGET // 8
+
+
+def test_semantic_pairs_gram_path_matches_join_path(spark):
+    """The funnel's gram physics (per-cell numpy Gram via applyInPandas)
+    reports exactly the join path's pairs with the same 6-decimal cosines
+    over the planted-near-dup corpus."""
+    from wnba_data_pipeline_spark.operators.clustering import semantic_pairs
+
+    aug = similarity._augmented_corpus(spark, SF_ORACLE)
+    join_rows = sorted(
+        tuple(r) for r in semantic_pairs(aug, path="join").collect()
+    )
+    gram_rows = sorted(
+        tuple(r) for r in semantic_pairs(aug, path="gram").collect()
+    )
+    assert join_rows == gram_rows
+    assert join_rows, "planted corpus unexpectedly produced no pairs"

@@ -128,6 +128,9 @@ def cmd_scale() -> dict:
         return fn(spark, sf_dir)
 
     names = ("tumbling_daily", "asof_attribution", "range_join_bins", "rolling_5", "dispersion_stats")
+    subset = os.environ.get("SPARK_GRAFT_R08_QUERIES")
+    if subset:
+        names = tuple(n for n in names if n in subset.split(","))
     oracles = {
         "tumbling_daily": relational.ORACLE_TUMBLING_DAILY,
         "asof_attribution": temporal.ORACLES["asof_attribution"],
@@ -158,7 +161,7 @@ def cmd_scale() -> dict:
     finally:
         del os.environ["SPARK_GRAFT_LAYOUT"]
     out["duckdb_engine"] = {
-        n: _spread_duck(con, sql) for n, sql in oracles.items() if sql
+        n: _spread_duck(con, sql) for n, sql in oracles.items() if sql and n in names
     }
     out["ratio_bucketed_vs_duckdb_min"] = {
         n: round(out["bucketed"][n]["min"] / out["duckdb_engine"][n]["min"], 2)

@@ -70,6 +70,23 @@ COMP_SCALE = 10**9
 INERTIA_SCALE = 10**6
 
 SD_K = 8  # semantic-dedup cells for the test corpus (~500 rows; see module doc)
+# Production dial: cells SCALE WITH THE CORPUS so per-cell membership (and
+# with it the within-cell pair volume, which is quadratic in cell size)
+# stays bounded as n grows — k ≈ n / SD_CELL_TARGET, floored at SD_K.
+# Round-8 measured negative of the fixed-k dial: the sf1 curation funnel's
+# semantic near-dedup stage at k=8 spent 434 s generating ~1e8 within-cell
+# candidate pairs over 29k docs (10x the corpus, ~29x the wall of sf0.1);
+# scaled k keeps candidate volume linear in n. (The assignment's physical
+# path is chosen independently by the k x dim term budget below.)
+SD_CELL_TARGET = 512
+
+
+def sd_cells_for(n: int) -> int:
+    """Semantic-dedup cell count for an n-doc corpus: n/SD_CELL_TARGET,
+    floored at SD_K, capped at n (k-means needs k distinct seeds)."""
+    return max(min(SD_K, n), min(n, (n + SD_CELL_TARGET - 1) // SD_CELL_TARGET))
+
+
 SD_ITERS = 4
 SD_THRESHOLD = 0.9  # same near-dup bar as q_emb_near_dup
 SD_NPROBE = 2  # cells probed per vector in the dedup candidate join — the
@@ -128,6 +145,23 @@ def _assignment_cols(vec: Column, centroids: list[list[float]]) -> tuple[Column,
 # round 6 (tests/test_clustering.py: both paths agree exactly at k=8, and
 # a k=256 fit is bit-exact vs the numpy reference through the pandas path).
 KM_EXPR_MAX_K = 64
+# Round 8: the switch must weigh k x dim, not k alone — the expression
+# path's per-row cost is the FULL unrolled term count (k fold chains of
+# dim multiply-adds, evaluated as a Catalyst expression tree once the
+# generated method blows past JIT limits), while the Arrow path amortizes
+# the same arithmetic into one numpy (rows x dim) @ (dim x k) matmul per
+# batch. Measured at sf1 (n=20k, dim=64): k=40 on the expression path
+# spent 268 s in probe_assignments and 11 s per fit iteration; the same
+# shapes through Arrow run in low single-digit seconds. 512 terms keeps
+# the k=8 x dim=64 test dial (the registry query's fitted-centroid shape,
+# measured fine through seven rounds) on the zero-shuffle path and hands
+# anything bigger to Arrow.
+KM_EXPR_TERM_BUDGET = 512
+
+
+def _expr_path_ok(centroids: list[list[float]]) -> bool:
+    k = len(centroids)
+    return k <= KM_EXPR_MAX_K and k * len(centroids[0]) <= KM_EXPR_TERM_BUDGET
 
 
 def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, dist_col: str | None):
@@ -174,7 +208,7 @@ def _assignment_df(base: DataFrame, vec_col: str, centroids: list[list[float]]) 
     Arrow-batched numpy argmin above ``KM_EXPR_MAX_K`` (same values — see
     ``_batch_assign_fn``)."""
     vec = F.col(vec_col)
-    if len(centroids) <= KM_EXPR_MAX_K:
+    if _expr_path_ok(centroids):
         cluster, mind = _assignment_cols(vec, centroids)
         return base.select(
             cluster.alias("_cl"), mind.alias("_mind"), vec.cast("array<double>").alias("_v")
@@ -291,7 +325,7 @@ def assign_clusters(
     The pandas path round-trips every input column through Arrow, so it
     expects Arrow-compatible schemas (all of ours are)."""
     if path is None:
-        path = "expr" if len(centroids) <= KM_EXPR_MAX_K else "pandas"
+        path = "expr" if _expr_path_ok(centroids) else "pandas"
     if path == "expr":
         cluster, _ = _assignment_cols(F.col(vec_col), centroids)
         return df.withColumn(out_col, cluster)
@@ -359,7 +393,7 @@ def probe_assignments(
     the sorted-struct expression at small k, the Arrow-batched stable
     argsort above it (identical cells — equality-tested)."""
     if path is None:
-        path = "expr" if len(centroids) <= KM_EXPR_MAX_K else "pandas"
+        path = "expr" if _expr_path_ok(centroids) else "pandas"
     if path == "expr":
         return df.withColumn("cell", F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)))
     if path != "pandas":
@@ -375,6 +409,49 @@ def probe_assignments(
 # ---------------------------------------------------------------------------
 
 
+def _gram_cell_pairs(asg: DataFrame, *, threshold: float) -> DataFrame:
+    """(vec_id, embedding, norm, cell) → (vec_a, vec_b, cosine): per-cell
+    Gram-matrix pair generation (the ``path="gram"`` physics — see
+    ``semantic_pairs``). One Arrow batch per cell; the upper triangle of
+    the normalized gram is thresholded in numpy. A pair colliding in both
+    probed cells appears twice with a bit-identical cosine (same two
+    normalized rows dotted by the same BLAS kernel is not guaranteed
+    identical across different matrix shapes, so the dedup aggregates
+    MIN(cosine) rather than trusting distinct() on a float)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        # sort by vec_id so iu < ju always means id_a < id_b
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        x /= pdf["norm"].to_numpy()[:, None]
+        g = x @ x.T
+        iu, ju = np.triu_indices(m, k=1)
+        keep = g[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[keep]],
+                "vec_b": ids[ju[keep]],
+                "cosine": np.round(g[iu, ju][keep], 6),
+            }
+        )
+
+    return (
+        asg.groupBy("cell")
+        .applyInPandas(fn, "vec_a long, vec_b long, cosine double")
+        .groupBy("vec_a", "vec_b")
+        .agg(F.min("cosine").alias("cosine"))
+    )
+
+
 def semantic_pairs(
     corpus: DataFrame,
     *,
@@ -382,6 +459,7 @@ def semantic_pairs(
     max_iter: int = SD_ITERS,
     threshold: float = SD_THRESHOLD,
     nprobe: int = SD_NPROBE,
+    path: str = "join",
 ) -> DataFrame:
     """(vec_id, embedding, norm) → near-dup pairs (vec_a, vec_b, cosine):
     fit k-means on the corpus's own geometry, expand every vector to its
@@ -389,9 +467,29 @@ def semantic_pairs(
     >= threshold. The reusable transform behind ``q_semantic_dedup`` and
     the curation funnel's ``near_dedup="semantic"`` stage
     (``plans/curation.py``). The fit runs eagerly (driver-coordinated
-    Lloyd's — max_iter+1 small jobs); the pair plan is lazy."""
+    Lloyd's — max_iter+1 small jobs); the pair plan is lazy.
+
+    ``path`` picks the within-cell pair physics:
+
+    - ``"join"`` (default): self-join on cell + a JVM fold cosine per
+      candidate. Oracle-exact (the fold is the same left-associative sum
+      the DuckDB twin unrolls) — the registry query's path.
+    - ``"gram"``: one Arrow batch per cell via ``applyInPandas``; the
+      cell's cosines come from one numpy Gram matmul. Same pairs (numpy
+      dot vs the fold differ only in last-ulp association; both round to
+      6 decimals — equality-tested in tests/test_clustering.py), vastly
+      faster once cells hold hundreds of members: the join path pays a
+      ~10 µs Catalyst lambda fold PER CANDIDATE PAIR (measured 216 s for
+      ~20 M candidates at sf1) while the matmul amortizes to nanoseconds.
+      Executor memory is the cell's m x m gram — bounded by design
+      because ``sd_cells_for`` keeps m ~ SD_CELL_TARGET. The curation
+      funnel's production path."""
     model = kmeans_fit(corpus, k=k, max_iter=max_iter)
     asg = probe_assignments(corpus, model.centroids, nprobe=nprobe)
+    if path == "gram":
+        return _gram_cell_pairs(asg, threshold=threshold)
+    if path != "join":
+        raise ValueError(f"unknown semantic_pairs path: {path!r}")
     a = asg.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("_ea"),

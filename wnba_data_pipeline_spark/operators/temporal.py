@@ -364,38 +364,63 @@ def q_range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is semantically the raw ``ts`` order, but Spark's ordering
     satisfaction is SYNTACTIC — a window ordered by ``unix_micros(ts)``
     re-sorts even on the (user_id, ts)-sorted bucketed scan. On that
-    layout the frame becomes an INTERVAL range over the raw ts column
-    (``RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND INTERVAL 0.000001
-    SECONDS PRECEDING`` — timestamps carry microsecond precision, so the
-    1 µs-preceding end bound is exactly ts' < ts), and the plan runs with
-    ZERO Exchange and ZERO Sort (identity asserted in
-    tests/test_catalog.py; measured in BENCH_SCALE_r08)."""
+    layout the window orders by the RAW ts column with interval bounds,
+    and the plan runs with ZERO Exchange and ZERO Sort (identity asserted
+    in tests/test_catalog.py; measured in BENCH_SCALE_r08).
+
+    Frame shape (round 8, second pass): a trailing SLIDING frame
+    ``[ts−W, ts)`` makes Spark recompute the aggregate from scratch every
+    time a row leaves the frame (``SlidingWindowFunctionFrame`` replays
+    the whole buffer — O(rows × frame) adds; DuckDB's segment-tree
+    evaluator is O(rows·log frame), which is exactly the measured sf10
+    gap). Both trailing aggregates are therefore computed as a DIFFERENCE
+    OF CUMULATIVES: frames anchored at UNBOUNDED PRECEDING with a moving
+    upper bound only ever ADD rows (``UnboundedPrecedingWindowFunctionFrame``
+    — O(rows) total), and WindowExec fuses both frames into the single
+    window pass.  count[ts−W, ts) = count(< ts) − count(< ts−W); the 1 µs
+    end offsets make both bounds end-exclusive at timestamp precision.
+    The value sum subtracts in fixed-point int64 (exact; overflow needs a
+    single user exceeding ~9e9 events × avg |value|·1e6 ≈ 1e9, far beyond
+    any per-key stream this engine targets — and the subtraction is exact
+    even then, since int64 wraparound cancels in the difference)."""
     events = _layout_table(spark, sf_dir, "events")
+    fp = "cast(floor(value * 1000000 + 0.5d) as long)"
     if _is_bucketed(spark, sf_dir, "events"):
         # both bounds must share one interval type: seconds on both sides
-        frame = (
-            "PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL '86400' "
-            "SECOND PRECEDING AND INTERVAL '0.000001' SECOND PRECEDING"
+        lt_now = (
+            "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED "
+            "PRECEDING AND INTERVAL '0.000001' SECOND PRECEDING"
         )
-        n_col = F.expr(f"count(1) OVER ({frame})").cast("long")
+        lt_cut = (
+            "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED "
+            "PRECEDING AND INTERVAL '86400.000001' SECOND PRECEDING"
+        )
+        n_col = F.expr(f"count(1) OVER ({lt_now}) - count(1) OVER ({lt_cut})").cast("long")
         s_col = F.expr(
-            f"sum(cast(floor(value * 1000000 + 0.5d) as long)) OVER ({frame})"
+            f"coalesce(sum({fp}) OVER ({lt_now}), 0L) - "
+            f"coalesce(sum({fp}) OVER ({lt_cut}), 0L)"
         )
     else:
         us = _us("ts")
-        w = (
-            Window.partitionBy("user_id")
-            .orderBy(us)
-            .rangeBetween(-WINDOW_US, -1)
+        base = Window.partitionBy("user_id").orderBy(us)
+        w_now = base.rangeBetween(Window.unboundedPreceding, -1)
+        w_cut = base.rangeBetween(Window.unboundedPreceding, -WINDOW_US - 1)
+        fp_col = F.expr(fp)
+        n_col = (F.count(F.lit(1)).over(w_now) - F.count(F.lit(1)).over(w_cut)).cast("long")
+        s_col = F.coalesce(F.sum(fp_col).over(w_now), F.lit(0).cast("long")) - F.coalesce(
+            F.sum(fp_col).over(w_cut), F.lit(0).cast("long")
         )
-        n_col = F.count(F.lit(1)).over(w).cast("long")
-        s_col = F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")).over(w)
+    # single select so all four window expressions (two frames × two
+    # aggregates) land in ONE WindowExec pass — chained withColumns would
+    # interpose a Project and defeat CollapseWindow, doubling the sort
     return (
-        events.select("event_id", "user_id", "ts", "value", F.col("event_type"))
-        .withColumn("n_prior_24h", n_col)
-        .withColumn(
-            "value_sum_24h",
-            F.coalesce((s_col / 1_000_000).cast("double"), F.lit(0.0)),
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("event_type"),
+            n_col.alias("n_prior_24h"),
+            (s_col / 1_000_000).cast("double").alias("value_sum_24h"),
         )
         .filter(F.col("event_type") == ASOF_LEFT_TYPE)
         .select(

@@ -143,10 +143,12 @@ def _semantic_survivors(
     table to the surviving docs (vec_id ≡ doc_id in the driver's data
     model), fit k-means on that restricted geometry, and close the
     within-cell cosine pairs with the same ``cluster_survivors`` contract
-    as the MinHash path. k shrinks to the corpus when the funnel left
-    fewer than SD_K rows (k ~ N/cell_size is the production dial — see
-    ``operators/clustering.py``)."""
-    from ..operators.clustering import SD_K, semantic_pairs
+    as the MinHash path. k scales with the surviving corpus
+    (``sd_cells_for``: k ≈ n/SD_CELL_TARGET, floored at SD_K, capped at
+    n) so per-cell pair volume stays bounded as the funnel grows — the
+    fixed test-corpus k=8 measured 434 s at sf1 against 76 s for the
+    whole MinHash stage (BENCH_SCALE_r08 curation_sf1)."""
+    from ..operators.clustering import sd_cells_for, semantic_pairs
     from ..operators.similarity import _dot
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -165,7 +167,9 @@ def _semantic_survivors(
                 F.col("doc_id").alias("comp"),
                 F.lit(True).alias("is_survivor"),
             )
-        pairs = semantic_pairs(corpus, k=min(SD_K, n))
+        # gram path: per-cell numpy Gram pairs (the production physics —
+        # the join path's per-candidate fold measured 216 s at sf1)
+        pairs = semantic_pairs(corpus, k=sd_cells_for(n), path="gram")
         return cluster_survivors(pairs, id_a="vec_a", id_b="vec_b", max_iter=cc_max_iter)
     finally:
         corpus.unpersist()
