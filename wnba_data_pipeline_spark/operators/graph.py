@@ -47,8 +47,17 @@ def connected_components(edges: DataFrame, *, max_iter: int = 25) -> DataFrame:
     the funnel (round-4 ADVICE). Raises rather than returning a partial
     labeling on non-convergence.
     """
-    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
-        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    # Materialize the symmetric edge set ONCE before iterating: ``edges``
+    # usually arrives as a lazy pair pipeline (MinHash shingle+LSH+verify,
+    # or the SemDeDup fit+gram), and the per-round neighbor join would
+    # otherwise re-execute that whole pipeline every round — measured as
+    # the dominant cost of the sf1 curation near-dedup stage (the pair
+    # graph itself is tiny next to the corpus, so checkpointing it is
+    # cheap by construction).
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
