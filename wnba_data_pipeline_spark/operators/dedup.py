@@ -166,7 +166,20 @@ def _minhash_band_keys_sql() -> str:
 _SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%{P}))" for a, b in COEFFS) + "]"
 
 
-def minhash_pairs(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame:
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(… doc_id, text …) → (doc_id, sh): the per-doc distinct-shingle
+    arrays every MinHash consumer derives from. Exposed so a caller that
+    evaluates the pair plan eagerly (the curation funnel) can persist ONE
+    shingle computation across its three uses inside ``minhash_pairs``
+    (band explode + both verification payload joins — the shingle map is
+    the stage's dominant per-row cost, ~1 ms/doc single-core)."""
+    words = F.split(F.col("text"), " ")
+    return docs.select("doc_id", _shingles(F.col("text"), words).alias("sh"))
+
+
+def minhash_pairs(
+    docs: DataFrame, *, threshold: float = 0.5, shingled: DataFrame | None = None
+) -> DataFrame:
     """(… doc_id, text …) → near-dup pairs (doc_a, doc_b, jaccard) via
     MinHash-LSH — the reusable transform behind ``q_dedup_minhash`` and
     the curation pipeline's near-dup stage.
@@ -174,9 +187,14 @@ def minhash_pairs(docs: DataFrame, *, threshold: float = 0.5) -> DataFrame:
     Plan: shingle+signature are per-row expressions (no shuffle); explode
     N_BANDS band keys; self-join on band_key (the LSH bucket join — the
     step that replaces O(n²) all-pairs at 100 TB); distinct candidate
-    pairs; exact shingle-Jaccard verification ONLY on candidates."""
-    words = F.split(F.col("text"), " ")
-    shingled = docs.select("doc_id", _shingles(F.col("text"), words).alias("sh"))
+    pairs; exact shingle-Jaccard verification ONLY on candidates.
+
+    ``shingled``: optionally pass a (persisted) ``shingle_docs`` frame to
+    share the shingle computation across this plan's three consumers —
+    lifecycle stays with the caller (lazy registry/oracle consumers keep
+    the default pure-plan form)."""
+    if shingled is None:
+        shingled = shingle_docs(docs)
     banded = shingled.select("doc_id", F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key"))
 
     a, b = banded.alias("a"), banded.alias("b")

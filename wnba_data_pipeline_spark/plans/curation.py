@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import exact_survivors, minhash_pairs
+from ..operators.dedup import exact_survivors, minhash_pairs, shingle_docs
 from ..operators.graph import cluster_survivors
 from ..operators.text import PACK_BUDGET, doc_stats, pack_docs, sample_gate
 from ..sources.sinks import overwrite_table, read_table
@@ -110,8 +110,14 @@ def run_curation(
     # graph only (tiny next to the corpus); the corpus-side removal is one
     # anti-join on doc_id.
     deduped = read_table(spark, _p(base, "curation", "deduped"))
+    shingled = None
     if near_dedup == "minhash":
-        pairs = minhash_pairs(deduped.select("doc_id", "text"))
+        # persist ONE shingle computation across the pair plan's three
+        # consumers (band explode + both verification joins) — the funnel
+        # evaluates the pairs eagerly inside cluster_survivors, so the
+        # persist is released as soon as the stage's write lands
+        shingled = shingle_docs(deduped.select("doc_id", "text")).persist()
+        pairs = minhash_pairs(deduped.select("doc_id", "text"), shingled=shingled)
         survivors = cluster_survivors(pairs, max_iter=cc_max_iter)
     elif near_dedup == "semantic":
         survivors = _semantic_survivors(spark, sf_dir, deduped, cc_max_iter=cc_max_iter)
@@ -124,6 +130,8 @@ def run_curation(
     )
     near_deduped = deduped.join(losers, "doc_id", "left_anti")
     overwrite_table(near_deduped, _p(base, "curation", "near_deduped"))
+    if shingled is not None:
+        shingled.unpersist()
     _mark("near_dedup")
 
     # 5. sequence packing to the token budget
