@@ -13,6 +13,7 @@ SECTIONS = {
     "sf30_trend": "/tmp/r08_sf30_scale.json",
     "streaming_dedup": "/tmp/r08_streaming.json",
     "curation_sf1": "/tmp/r08_curation.json",
+    "curation_sf30": "/tmp/r08_curation_sf30.json",
 }
 
 out: dict = {
