@@ -45,7 +45,9 @@ def test_long_chain_converges_within_default_cap(spark):
     # of label work), so the default cap holds even for pathological
     # chain-shaped near-dup graphs (round-4 ADVICE: degrade, don't abort)
     n = 300
-    comps = connected_components(_edges(spark, [(i, i + 1) for i in range(n)]))
+    comps = connected_components(
+        _edges(spark, [(i, i + 1) for i in range(n)]), driver_max_edges=0
+    )
     got = {r["id"]: r["comp"] for r in comps.collect()}
     assert len(got) == n + 1 and set(got.values()) == {0}
 
@@ -58,7 +60,9 @@ def test_max_iter_is_exposed_and_enforced(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
     assert cluster_survivors(pairs, max_iter=10).count() == 4
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_edges(spark, [(i, i + 1) for i in range(50)]), max_iter=1)
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(50)]), max_iter=1, driver_max_edges=0
+        )
 
 
 def test_cluster_survivors_keep_lowest(spark):
@@ -100,3 +104,27 @@ def test_multi_hop_near_dup_chain_dedups_transitively(spark):
     assert out[102][0] == 100 and not out[102][1]
     # the unrelated doc never entered the pair graph at all
     assert 500 not in out
+
+
+def test_driver_and_distributed_components_agree(spark):
+    """The size-gated driver union-find fast path labels every vertex
+    identically to the distributed pointer-doubling loop (same
+    smallest-reachable-id contract) on a mixed graph: two chains, a
+    triangle with a duplicate edge, reversed directions, an isolated
+    pair."""
+    pairs = (
+        [(i, i + 1) for i in range(0, 40)]
+        + [(100 + i + 1, 100 + i) for i in range(0, 17)]
+        + [(200, 201), (201, 202), (202, 200), (200, 202)]
+        + [(300, 301)]
+    )
+    edges = _edges(spark, pairs)
+    via_driver = {
+        (r["id"], r["comp"]) for r in connected_components(edges).collect()
+    }
+    via_distributed = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_distributed
+    assert via_driver  # non-empty
