@@ -306,3 +306,23 @@ def test_semantic_pairs_gram_path_matches_join_path(spark):
     )
     assert join_rows == gram_rows
     assert join_rows, "planted corpus unexpectedly produced no pairs"
+
+
+def test_sd_fit_mod_keeps_points_per_cell():
+    """The funnel's fit-sample dial: ~SD_FIT_PER_CELL points per cell in
+    the scaled-k regime, no sampling for small corpora, and the sample
+    never shrinks below one point per cell."""
+    from wnba_data_pipeline_spark.operators.clustering import (
+        SD_FIT_PER_CELL,
+        sd_cells_for,
+        sd_fit_mod_for,
+    )
+
+    assert sd_fit_mod_for(290, sd_cells_for(290)) == 1  # test corpora: exact fit
+    for n in (50_000, 878_353, 10_000_000):
+        k = sd_cells_for(n)
+        mod = sd_fit_mod_for(n, k)
+        sample = n // mod
+        assert sample >= k  # k-means needs k seeds
+        # points per cell stays in a stable band around the dial
+        assert SD_FIT_PER_CELL / 2 <= sample / k <= SD_FIT_PER_CELL * 2

@@ -79,6 +79,24 @@ SD_K = 8  # semantic-dedup cells for the test corpus (~500 rows; see module doc)
 # scaled k keeps candidate volume linear in n. (The assignment's physical
 # path is chosen independently by the k x dim term budget below.)
 SD_CELL_TARGET = 512
+# Fit-on-sample dial for the scaled-k regime: with k ~ n/512 a full-corpus
+# Lloyd's pass costs O(n·k) distance work AND n rows × (dim+2) fixed-point
+# decimal partial sums PER ITERATION — both quadratic-ish in n once k
+# scales. The funnel therefore fits on a deterministic hash-sample sized
+# ~SD_FIT_PER_CELL points per cell (the standard big-data recipe the
+# module docstring prescribes; kmeans_fit(sample_mod=...)) and pays the
+# full-corpus cost exactly once, in the final probe assignment. 64 points
+# per cell keeps centroid estimates stable while shrinking the fit input
+# by n/(64k) ≈ 8x whenever the k-scaling dial is active; small corpora
+# (mod == 1) keep the exact previous behavior.
+SD_FIT_PER_CELL = 64
+
+
+def sd_fit_mod_for(n: int, k: int) -> int:
+    """Deterministic hash-sample modulus for the funnel's k-means fit:
+    keeps ~SD_FIT_PER_CELL sample points per cell, never samples below
+    one-point-per-cell, and disables sampling (mod 1) for small corpora."""
+    return max(1, n // (SD_FIT_PER_CELL * k))
 
 
 def sd_cells_for(n: int) -> int:
@@ -460,6 +478,7 @@ def semantic_pairs(
     threshold: float = SD_THRESHOLD,
     nprobe: int = SD_NPROBE,
     path: str = "join",
+    fit_sample_mod: int = 1,
 ) -> DataFrame:
     """(vec_id, embedding, norm) → near-dup pairs (vec_a, vec_b, cosine):
     fit k-means on the corpus's own geometry, expand every vector to its
@@ -483,8 +502,13 @@ def semantic_pairs(
       ~20 M candidates at sf1) while the matmul amortizes to nanoseconds.
       Executor memory is the cell's m x m gram — bounded by design
       because ``sd_cells_for`` keeps m ~ SD_CELL_TARGET. The curation
-      funnel's production path."""
-    model = kmeans_fit(corpus, k=k, max_iter=max_iter)
+      funnel's production path.
+
+    ``fit_sample_mod``: forwarded to ``kmeans_fit(sample_mod=...)`` — fit
+    the cells on a deterministic hash-sample, then assign the FULL corpus
+    once (``sd_fit_mod_for`` computes the funnel's dial; 1 = exact
+    previous behavior, the registry/oracle default)."""
+    model = kmeans_fit(corpus, k=k, max_iter=max_iter, sample_mod=fit_sample_mod)
     asg = probe_assignments(corpus, model.centroids, nprobe=nprobe)
     if path == "gram":
         return _gram_cell_pairs(asg, threshold=threshold)

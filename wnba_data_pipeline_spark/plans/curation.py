@@ -156,7 +156,7 @@ def _semantic_survivors(
     n) so per-cell pair volume stays bounded as the funnel grows — the
     fixed test-corpus k=8 measured 434 s at sf1 against 76 s for the
     whole MinHash stage (BENCH_SCALE_r08 curation_sf1)."""
-    from ..operators.clustering import sd_cells_for, semantic_pairs
+    from ..operators.clustering import sd_cells_for, sd_fit_mod_for, semantic_pairs
     from ..operators.similarity import _dot
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -176,8 +176,14 @@ def _semantic_survivors(
                 F.lit(True).alias("is_survivor"),
             )
         # gram path: per-cell numpy Gram pairs (the production physics —
-        # the join path's per-candidate fold measured 216 s at sf1)
-        pairs = semantic_pairs(corpus, k=sd_cells_for(n), path="gram")
+        # the join path's per-candidate fold measured 216 s at sf1); fit
+        # on a hash-sample of ~SD_FIT_PER_CELL points per cell (with
+        # scaled k a full-corpus fit pays O(n·k) distance work and n
+        # fixed-point partial-sum rows PER ITERATION — quadratic-ish in n)
+        k = sd_cells_for(n)
+        pairs = semantic_pairs(
+            corpus, k=k, path="gram", fit_sample_mod=sd_fit_mod_for(n, k)
+        )
         return cluster_survivors(pairs, id_a="vec_a", id_b="vec_b", max_iter=cc_max_iter)
     finally:
         corpus.unpersist()
