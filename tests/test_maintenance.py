@@ -146,3 +146,49 @@ def test_compaction_recovery_restores_vanished_partition_dir(spark, tmp_path):
     assert os.path.isdir(part) and not os.path.isdir(part + "__compact_old")
     got_rows = sorted(tuple(r) for r in spark.read.parquet(path).drop("flag").collect())
     assert got_rows == want_rows
+
+
+def _unpartitioned_table(spark, path: str):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    for _ in range(3):
+        li.repartition(8).write.mode("append").parquet(path)
+
+
+def test_unpartitioned_table_compacts_and_recovers(spark, tmp_path):
+    """An unpartitioned table is its own rewrite unit (d == path), so the
+    swap scratch lands as SIBLINGS of the root — compaction must still
+    work, and recovery must find the sibling markers even when the root
+    itself was renamed aside (the state where the table 'vanishes')."""
+    path = str(tmp_path / "flat")
+    _unpartitioned_table(spark, path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    stats = maintenance.compact_table(spark, path, target_bytes=1 << 30)
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_after"] == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_trash")
+
+    # crash state A: aside rename done, root missing entirely
+    os.rename(path, path + "__compact_old")
+    got = maintenance.recover_interrupted(spark, path)
+    assert got["rolled_back"] == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # crash state B: aside done, root holds partial new output
+    os.rename(path, path + "__compact_old")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-partial.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    got = maintenance.recover_interrupted(spark, path)
+    assert got["rolled_back"] == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # crash state C: commit happened, sibling trash left behind
+    os.makedirs(path + "__compact_trash")
+    got = maintenance.recover_interrupted(spark, path)
+    assert got["committed"] == 1
+    assert not os.path.exists(path + "__compact_trash")
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before

@@ -36,7 +36,8 @@ which would cascade into assignment flips at Voronoi boundaries.
 
 Scale posture (100 TB):
 - fit: iterations scan the input; pass ``sample_mod > 1`` to fit on a
-  deterministic hash-sample (vec_id % mod == 0) and assign the full corpus
+  deterministic hash-sample (md5("kms:" || id) % mod == 0 — uniform over
+  ANY id space, unlike a raw id modulus) and assign the full corpus
   once afterwards — the standard big-data k-means recipe. Persist the
   input upstream if iterating over an expensive lineage.
 - k: the per-iteration shuffle is k x dim longs — negligible. The
@@ -266,7 +267,21 @@ def kmeans_fit(
     rebuilds centroids with one hash aggregate (fixed-point decimal sums;
     see module docstring). Empty clusters keep their previous centroid.
     Stops early when the quantized centroids reach an exact fixed point."""
-    base = df if sample_mod <= 1 else df.filter(F.col(id_col) % sample_mod == 0)
+    # sample gate is md5-HASHED, not a raw `id % mod` (round-8 review fix):
+    # id spaces with modular structure (all-odd ids, strided generators)
+    # would leave a raw-modulo sample empty or biased, crashing the seed
+    # pick; the hash gate is uniform over any id space and reshuffle-proof
+    # (same recipe as text.sample_gate). "kms:" de-correlates it from the
+    # "km:"-tagged seed selection hash.
+    from ..functions.hashing import md5_long
+
+    base = (
+        df
+        if sample_mod <= 1
+        else df.filter(
+            md5_long(F.concat(F.lit("kms:"), F.col(id_col).cast("string"))) % sample_mod == 0
+        )
+    )
     vec = F.col(vec_col)
 
     seed_rows = (
@@ -427,40 +442,60 @@ def probe_assignments(
 # ---------------------------------------------------------------------------
 
 
+# Peak float64 elements per Gram block (~128 MB): the blocked loop below
+# bounds executor memory for ANY cell size — sd_cells_for bounds the
+# AVERAGE cell, but Lloyd's puts no ceiling on a hot cell over a dense
+# semantic region, and an unblocked m x m gram at m=100k would be 80 GB.
+# (The PAIR volume of a hot cell is still quadratic — that is SemDeDup's
+# within-cell semantics, not a memory property.)
+GRAM_BLOCK_ELEMS = 1 << 24
+
+
 def _gram_cell_pairs(asg: DataFrame, *, threshold: float) -> DataFrame:
     """(vec_id, embedding, norm, cell) → (vec_a, vec_b, cosine): per-cell
     Gram-matrix pair generation (the ``path="gram"`` physics — see
-    ``semantic_pairs``). One Arrow batch per cell; the upper triangle of
-    the normalized gram is thresholded in numpy. A pair colliding in both
-    probed cells appears twice with a bit-identical cosine (same two
-    normalized rows dotted by the same BLAS kernel is not guaranteed
-    identical across different matrix shapes, so the dedup aggregates
-    MIN(cosine) rather than trusting distinct() on a float)."""
+    ``semantic_pairs``). One Arrow batch per cell; the strict upper
+    triangle of the normalized gram is thresholded in numpy, in row
+    blocks of ≤GRAM_BLOCK_ELEMS elements so memory stays bounded on
+    skewed cells. Surviving cosines are quantized with the repo's
+    standard ``floor(x·1e6 + 0.5)/1e6`` fixed-point rounding (the _dsum
+    quantizer — deliberately NOT numpy's half-even ``np.round``, which
+    diverges from the join path's HALF_UP contract on dyadic midpoints),
+    and the quantized value is identical whichever probed cell a pair is
+    seen in, so the cross-cell dedup can aggregate MIN(cosine) safely.
+    Gram↔join pair equality is pinned in tests/test_clustering.py."""
 
     def fn(pdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-            )
-        # sort by vec_id so iu < ju always means id_a < id_b
+            return empty
+        # sort by vec_id so col > row always means id_a < id_b
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         x /= pdf["norm"].to_numpy()[:, None]
-        g = x @ x.T
-        iu, ju = np.triu_indices(m, k=1)
-        keep = g[iu, ju] >= threshold
-        return pd.DataFrame(
-            {
-                "vec_a": ids[iu[keep]],
-                "vec_b": ids[ju[keep]],
-                "cosine": np.round(g[iu, ju][keep], 6),
-            }
-        )
+        cols = np.arange(m)
+        block = max(1, GRAM_BLOCK_ELEMS // m)
+        parts = []
+        for i0 in range(0, m - 1, block):
+            i1 = min(i0 + block, m)
+            g = x[i0:i1] @ x.T  # (i1-i0) x m
+            keep = (g >= threshold) & (cols[None, :] > np.arange(i0, i1)[:, None])
+            bi, bj = np.nonzero(keep)
+            if len(bi):
+                cos = np.floor(g[bi, bj] * 1e6 + 0.5) / 1e6
+                parts.append(
+                    pd.DataFrame(
+                        {"vec_a": ids[bi + i0], "vec_b": ids[bj], "cosine": cos}
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return (
         asg.groupBy("cell")

@@ -241,11 +241,18 @@ def image_features(df: DataFrame, *, id_col: str = "doc_id", payload_col: str = 
                     out["decoded"].append(True)
                     out["width"].append(img.width)
                     out["height"].append(img.height)
-                    # memoryview slicing keeps this O(pixels) with no copy
-                    mv = memoryview(img.pixels)
-                    out["mean_r"].append(sum(mv[0::3]) / n)
-                    out["mean_g"].append(sum(mv[1::3]) / n)
-                    out["mean_b"].append(sum(mv[2::3]) / n)
+                    # vectorized channel sums (int64 — exact, so the /n
+                    # division is bit-identical to the old per-byte Python
+                    # loop, which cost seconds per megapixel on this hot
+                    # path; numpy is already a dependency of the Arrow
+                    # batch crossing)
+                    import numpy as np
+
+                    px = np.frombuffer(img.pixels, dtype=np.uint8).reshape(-1, 3)
+                    sums = px.sum(axis=0, dtype=np.int64)
+                    out["mean_r"].append(int(sums[0]) / n)
+                    out["mean_g"].append(int(sums[1]) / n)
+                    out["mean_b"].append(int(sums[2]) / n)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(

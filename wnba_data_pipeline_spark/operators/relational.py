@@ -1691,10 +1691,14 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("_c"),
             F.sum(F.floor(F.col("value") * _DSCALE + F.lit(0.5)).cast("long")).alias("_s"),
         )
+        # count("user_id"), not count(1): the NULL-user group (if any)
+        # must not count as a user — count_distinct in the plain shape
+        # excludes NULLs, and the layout switch must not change values
+        # (round-8 review fix; null-free driver data is unaffected)
         return per_user.groupBy("day", "event_type").agg(
             F.sum("_c").alias("n_events"),
             _r6((F.sum("_s") / _DSCALE).cast("double")).alias("value_sum"),
-            F.count(F.lit(1)).alias("n_users"),
+            F.count("user_id").alias("n_users"),
         )
     if _use_split_distinct(sf_dir):
         base = ev.groupBy(day, "event_type").agg(
@@ -1705,7 +1709,9 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.select(day, "event_type", "user_id")
             .distinct()
             .groupBy("day", "event_type")
-            .agg(F.count(F.lit(1)).alias("n_users"))
+            # count("user_id") skips a NULL-user distinct row, matching
+            # count_distinct's NULL exclusion (round-8 review fix)
+            .agg(F.count("user_id").alias("n_users"))
         )
         # every (day, type) group has ≥1 user, so inner join loses nothing
         return base.join(users, ["day", "event_type"])

@@ -287,6 +287,14 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The general two-table operator stays :func:`asof_join`."""
     events = _layout_table(spark, sf_dir, "events")
     if _is_bucketed(spark, sf_dir, "events"):
+        # null-key/null-ts contract must match the generic asof_join
+        # (round-8 review fix): a NULL user_id or ts row neither matches
+        # nor is matched there (rhs filters both; null-key lhs rows join
+        # nothing and drop in the inner filter), while an unfiltered
+        # window would group NULL keys into one partition and let a
+        # NULL-ts click ride inside a non-null struct. Filter both
+        # up front — values on null-free data are untouched.
+        events = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         w = Window.partitionBy("user_id").orderBy("ts")  # default RANGE frame
         click = F.when(
             F.col("event_type") == ASOF_RIGHT_TYPE,

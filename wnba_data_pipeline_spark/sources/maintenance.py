@@ -86,25 +86,21 @@ def _in_marker(path: str) -> bool:
     return any(seg.endswith(_MARKERS) for seg in path.split("/"))
 
 
-def _partition_dirs(fs, P, path: str) -> list[str]:
-    """Leaf directories that directly contain parquet files — the unit of
-    rewrite. An unpartitioned table yields [path] itself. Compaction
-    scratch dirs (old/tmp/trash) are never partitions."""
-    _dirs, files = _walk(fs, P, path)
-    leaves = sorted(
-        {f.rsplit("/", 1)[0] for f, _sz in files if f.endswith(".parquet") and not _in_marker(f)}
-    )
-    return leaves or [P(path).toString()]
-
-
 def recover_interrupted(spark: SparkSession, path: str) -> dict:
     """Roll the table forward or back out of any crashed compaction state
     (see the module docstring's three-state protocol). Idempotent; safe to
-    run on a healthy table. Returns counts per recovery action."""
+    run on a healthy table. Returns counts per recovery action.
+
+    Marker dirs live in two places: under the root for partitioned
+    leaves, and as SIBLINGS of the root for an unpartitioned table (the
+    root is then its own rewrite unit, ``d == path``, and after the
+    aside rename the root itself may not exist — so the sibling probe
+    must run even when ``path`` is missing)."""
     fs, P = _fs(spark, path)
-    if not fs.exists(P(path)):
-        return {"rolled_back": 0, "committed": 0, "tmp_dropped": 0}
-    dirs, _files = _walk(fs, P, path)
+    dirs = []
+    if fs.exists(P(path)):
+        dirs, _files = _walk(fs, P, path)
+    dirs = dirs + [path + m for m in _MARKERS if fs.exists(P(path + m))]
     rolled_back = committed = tmp_dropped = 0
     # commit-point dirs first: a trash dir proves the swap finished
     for t in [d for d in dirs if d.endswith(_TRASH)]:
