@@ -154,7 +154,7 @@ def test_session_window_stream_matches_batch_twin(spark):
     from wnba_data_pipeline_spark.operators import relational
     from wnba_data_pipeline_spark.streaming import sessions as ss
 
-    ss.run_append_to_memory(
+    ss.drain_to_memory(
         ss.sessionize_stream(spark, SF_SMOKE), "stream_sessions", mode="complete"
     )
     got = sorted(
@@ -233,8 +233,8 @@ def test_streaming_dedup_matches_sequential_batch_replay(spark, tmp_path):
     ref = spark.createDataFrame([], sdedup.DOC_SCHEMA)
     replay_verdicts = []
     for ch in chunks:
-        batch = sdedup._dedup_within_batch(ch)
-        v = incremental_verdicts(batch, ref).cache()
+        batch, v = sdedup.screen_batch(ch, ref)
+        v = v.cache()
         replay_verdicts.append(v)
         ref = ref.unionByName(
             batch.join(v.filter(F.col("verdict") == "kept").select("doc_id"), "doc_id")
@@ -309,3 +309,32 @@ def test_streaming_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{corpus_dir}/batch=1").filter(
         F.col("doc_id") == 3
     ).count() == 1
+
+
+def test_screen_batch_audits_collapsed_rows_and_duplicate_ids(spark):
+    """Round-8 review fixes: (a) within-batch exact copies collapsed by
+    screen_batch still receive exact_dup verdict rows (the audit log
+    accounts for every arriving doc_id); (b) a batch carrying the same
+    doc_id twice with different texts keeps exactly one deterministic row
+    instead of fanning out through the doc_id joins."""
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    ref = spark.createDataFrame([], sdedup.DOC_SCHEMA)
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact copy of 1 → collapsed
+            (3, "separate text entirely here"),
+            (4, "first variant of this doc"),
+            (4, "second variant of this doc"),  # duplicate doc_id
+        ],
+        sdedup.DOC_SCHEMA,
+    )
+    survivors, verdicts = sdedup.screen_batch(batch, ref)
+    s_rows = survivors.collect()
+    assert sorted(r["doc_id"] for r in s_rows) == [1, 3, 4]
+    assert sum(1 for r in s_rows if r["doc_id"] == 4) == 1  # no fan-out
+    v = {r["doc_id"]: r for r in verdicts.collect()}
+    assert set(v) == {1, 2, 3, 4}  # every arriving doc_id has a verdict
+    assert v[2]["verdict"] == "exact_dup" and v[2]["matched_ref"] == 1
+    assert v[1]["verdict"] == "kept" and v[3]["verdict"] == "kept"

@@ -14,10 +14,11 @@ lakehouse ingestion pattern (the checkpoint dir gives exactly-once batch
 replay; the append is idempotent per batch id via overwrite-by-batch
 subdirs).
 
-Per micro-batch:
+Per micro-batch (``screen_batch``):
 1. exact WITHIN-batch collapse (two copies arriving together: keep the
-   min doc_id — ``content_hash`` groupBy, the same md5→int64 contract as
-   the batch operator);
+   min doc_id — the same md5→int64 contract as the batch operator);
+   collapsed rows still receive ``exact_dup`` verdict rows so the audit
+   log accounts for EVERY arriving doc_id;
 2. ``incremental_verdicts`` vs the accumulated corpus (exact hash +
    MinHash-LSH near screen — band equi-joins, never batch × corpus);
 3. verdicts append to an audit table; ``kept`` docs append to the corpus.
@@ -42,23 +43,47 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from ..functions.hashing import md5_long
 from ..operators.dedup import incremental_verdicts
 
 DOC_SCHEMA = "doc_id long, text string"
 
 
-def _dedup_within_batch(batch: DataFrame) -> DataFrame:
-    """Collapse exact duplicates INSIDE one arriving batch: keep the min
-    doc_id per content hash (deterministic; same hash contract as
-    ``operators/dedup.exact_survivors``)."""
-    keep = (
-        batch.select("doc_id", md5_long(F.col("text")).alias("_h"))
-        .groupBy("_h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+def screen_batch(
+    batch: DataFrame, ref: DataFrame, *, threshold: float = 0.5
+) -> tuple[DataFrame, DataFrame]:
+    """(within-batch survivors, COMPLETE verdict frame) for one arriving
+    batch vs the accumulated corpus.
+
+    Within-batch exact duplicates (same content hash arriving together)
+    collapse to the min doc_id, and — unlike the round-7 form — the
+    collapsed rows DO get verdict rows (``exact_dup``, matched_ref = the
+    surviving doc_id), so the verdict log accounts for every arriving
+    doc_id (the audit contract). A pathological batch carrying the same
+    doc_id twice with different texts keeps exactly one deterministic
+    row (lowest content hash) instead of fanning out through the
+    downstream doc_id joins."""
+    base = batch.withColumn("_h", md5_long(F.col("text"))).withColumn(
+        "_rid", F.row_number().over(Window.partitionBy("doc_id").orderBy("_h"))
     )
-    return batch.join(keep, "doc_id")
+    one_per_id = base.filter(F.col("_rid") == 1).withColumn(
+        "_keep_id", F.min("doc_id").over(Window.partitionBy("_h"))
+    )
+    survivors = one_per_id.filter(F.col("doc_id") == F.col("_keep_id")).select(
+        *batch.columns
+    )
+    collapsed_v = one_per_id.filter(F.col("doc_id") != F.col("_keep_id")).select(
+        "doc_id",
+        F.lit("exact_dup").alias("verdict"),
+        F.col("_keep_id").cast("bigint").alias("matched_ref"),
+        F.lit(1.0).alias("best_jaccard"),
+    )
+    verdicts = incremental_verdicts(survivors, ref, threshold=threshold).unionByName(
+        collapsed_v
+    )
+    return survivors, verdicts
 
 
 def read_corpus(
@@ -68,19 +93,32 @@ def read_corpus(
     ``exclude_batch`` drops that batch's OWN ``batch=N`` subdir from the
     read — the replay-idempotence guard: a re-delivered batch must screen
     against the corpus as it stood BEFORE its first (possibly partially
-    committed) delivery, never against its own prior output."""
+    committed) delivery, never against its own prior output.
+
+    Listing goes through the Hadoop FS API resolved from the path's URI
+    (round-8 review fix: driver-local ``os.listdir`` silently returned an
+    EMPTY corpus on any non-local filesystem — every duplicate would then
+    be verdicted ``kept`` with no error — while the module's own posture
+    is object-store warehouses; same convention as
+    ``sources/maintenance.py``)."""
+    from ..sources.maintenance import _fs
+
+    fs, P = _fs(spark, corpus_dir)
     dirs = []
-    if os.path.isdir(corpus_dir):
-        for d in sorted(os.listdir(corpus_dir)):
-            if exclude_batch is not None and d == f"batch={exclude_batch}":
+    if fs.exists(P(corpus_dir)):
+        for st in fs.listStatus(P(corpus_dir)):
+            if not st.isDirectory():
                 continue
-            full = os.path.join(corpus_dir, d)
-            if os.path.isdir(full) and any(
-                f.endswith(".parquet") for f in os.listdir(full)
+            name = st.getPath().getName()
+            if exclude_batch is not None and name == f"batch={exclude_batch}":
+                continue
+            if any(
+                f.getPath().getName().endswith(".parquet")
+                for f in fs.listStatus(st.getPath())
             ):
-                dirs.append(full)
+                dirs.append(st.getPath().toString())
     if dirs:
-        return spark.read.schema(DOC_SCHEMA).parquet(*dirs)
+        return spark.read.schema(DOC_SCHEMA).parquet(*sorted(dirs))
     return spark.createDataFrame([], DOC_SCHEMA)
 
 
@@ -101,9 +139,8 @@ def process_batch(
     a replay would see its own kept docs in the corpus, flag everything
     exact_dup, and overwrite corpus/batch=N empty (permanent doc loss;
     crash-replay test in tests/test_streaming.py)."""
-    batch = _dedup_within_batch(batch_df)
     ref = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
-    v = incremental_verdicts(batch, ref)
+    batch, v = screen_batch(batch_df, ref)
     v.write.mode("overwrite").parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
     kept = batch.join(
         spark.read.parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))

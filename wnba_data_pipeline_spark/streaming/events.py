@@ -21,6 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.relational import _dsum, _r6
+
+# (schema, ts dtype) per sf_dir — the footer probe is a driver-side batch
+# read (~75 ms, the dominant fixed cost sources/tables.py's handle cache
+# exists to kill); attribution_pairs_stream builds TWO streams per query,
+# so an uncached probe would pay it twice per plan build
+_PROBES: dict[str, tuple] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over ``events.parquet``, normalized to a plain
     TIMESTAMP ``ts`` (event-time watermarks require it; the session
@@ -33,15 +42,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch the rebuild exactly like the batch loader
     (``sources.tables.load_table``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the docstring's UTC pin must not silently depend on the caller having
+    # run session.ensure_confs: on a non-UTC session the nanos rebuild and
+    # the window/day casts below would shift buckets relative to the NTZ
+    # batch twin (round-8 review fix — set defensively like nanosAsLong)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if sf_dir not in _PROBES:
+        probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _PROBES[sf_dir] = (probe.schema, dict(probe.dtypes).get("ts"))
+    schema, ts_type = _PROBES[sf_dir]
     # the file source wants a DIRECTORY; point it at the sf dir and glob the
     # single events file out of the other tables
     stream = (
-        spark.readStream.schema(probe.schema)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(probe.dtypes).get("ts")
     if ts_type == "bigint":
         # nanos arrive as bigint and are rebuilt with exact integer
         # arithmetic (div, not float: ~1.7e18 exceeds double's mantissa)
@@ -58,7 +74,12 @@ def tumbling_daily_stream(spark: SparkSession, sf_dir: str, *, watermark: str = 
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            # fixed-point _dsum, NOT round(sum(double)): micro-batch fold
+            # order differs from the batch hash aggregate, and plain
+            # double sums diverge in the 6th decimal at large groups —
+            # the cross-check wants order-independent exactness
+            # (round-8 review fix; same contract as the batch twin)
+            _r6(_dsum("value")).alias("value_sum"),
             F.approx_count_distinct("user_id").alias("n_users_approx"),
         )
         .select(F.col("w.start").cast("date").alias("day"), "event_type", "n_events", "value_sum", "n_users_approx")
@@ -77,7 +98,7 @@ def hopping_6h_stream(spark: SparkSession, sf_dir: str, *, watermark: str = "1 d
         .groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            _r6(_dsum("value")).alias("value_sum"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
@@ -98,7 +119,7 @@ def hopping_6h_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            _r6(_dsum("value")).alias("value_sum"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("win_start"),
@@ -112,12 +133,8 @@ def hopping_6h_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(df: DataFrame, table_name: str) -> None:
     """Drain the (finite) file stream into an in-memory sink — availableNow
     processes everything then stops; complete mode emits final windows
-    without waiting for the watermark to advance past them."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    without waiting for the watermark to advance past them. (Shared body:
+    ``sessions.drain_to_memory`` — one place to change drain mechanics.)"""
+    from .sessions import drain_to_memory
+
+    drain_to_memory(df, table_name, mode="complete")

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 from ..operators.temporal import ASOF_LEFT_TYPE, WINDOW_US, range_join
 from .events import read_events_stream
 
+# whole seconds only: a sub-second WINDOW_US would silently truncate here
+# and drift the stream's join band off the batch range_join's exact
+# microsecond bound (round-8 review fix — fail loudly instead)
+assert WINDOW_US % 1_000_000 == 0, "streaming interval join needs whole-second WINDOW_US"
 _WINDOW_SECONDS = WINDOW_US // 1_000_000
 
 
@@ -85,13 +89,8 @@ def attribution_pairs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_pairs_to_memory(df: DataFrame, table_name: str) -> None:
-    """Drain the finite file stream — append mode (joins emit rows as they
-    match; no final-state flush needed)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Drain the append-mode pair stream (shared body:
+    ``sessions.drain_to_memory``)."""
+    from .sessions import drain_to_memory
+
+    drain_to_memory(df, table_name, mode="append")

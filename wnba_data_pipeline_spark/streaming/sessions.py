@@ -54,14 +54,15 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(df: DataFrame, table_name: str) -> None:
-    q = (
-        df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Drain the update-mode stateful totals (delegates to
+    :func:`drain_to_memory`). NOTE the single-drain assumption: the memory
+    sink in update mode appends every batch's updated rows, so consumers
+    taking 'the final row per user' must aggregate (e.g. max n_events per
+    user) if the source ever drains in more than one micro-batch."""
+    return drain_to_memory(df, table_name, mode="update")
+
+
+
 
 
 def sessionize_stream(
@@ -103,7 +104,7 @@ def sessionize_stream(
     )
 
 
-def run_append_to_memory(df: DataFrame, table_name: str, *, mode: str = "complete") -> None:
+def drain_to_memory(df: DataFrame, table_name: str, *, mode: str = "complete") -> None:
     q = (
         df.writeStream.format("memory")
         .queryName(table_name)
