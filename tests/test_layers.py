@@ -26,9 +26,11 @@ def test_full_pipeline(spark, tmp_path):
     assert raw.count() == n_src
     assert "created_at" in raw.columns and "ship_ym" in raw.columns
 
-    # append is append: second raw run doubles the row count
+    # re-running the raw layer is IDEMPOTENT (round-8: upsert_partitions
+    # replaces the month partitions it carries — a re-run after a
+    # mid-pipeline failure must not double the raw rows)
     layers.run_raw_layer(spark, SF_SMOKE, base)
-    assert read_table(spark, t["raw.lineitem_box"]).count() == 2 * n_src
+    assert read_table(spark, t["raw.lineitem_box"]).count() == n_src
 
     # analytics layer: one row per supplier; spot-check a value in DuckDB
     stats = read_table(spark, t["analytics.supplier_stats"])

@@ -40,8 +40,19 @@ def salted_join(
 ) -> DataFrame:
     """Join with the hot keys of ``probe`` spread over ``n_salts`` shuffle
     partitions. Semantically identical to ``probe.join(build, on, how)``
-    for equi-joins (asserted in tests/test_skew.py); costs a ``build``
-    replication of n_salts×, so size the build side accordingly."""
+    for the SUPPORTED hows (asserted in tests/test_skew.py); costs a
+    ``build`` replication of n_salts×, so size the build side accordingly.
+
+    Right/full-outer are rejected (round-8 review fix): the build side is
+    replicated n_salts×, so every build row unmatched under one salt
+    would emit its own null-extended row — measured 8 rows where the
+    plain right join returns 2. Salting the other way (salt build, 
+    explode probe) is the right construction for a skewed BUILD side."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated build side "
+            "duplicates unmatched build rows under outer-right semantics"
+        )
     p = with_salt(probe, n_salts)
     b = explode_salts(build, n_salts)
     return p.join(b, on + [SALT_COL], how).drop(SALT_COL)

@@ -62,4 +62,8 @@ def rolling_avg_exact(col: Column | str, window: WindowSpec, n: int) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     frame = window.rowsBetween(-(n - 1), 0)
     fsum = F.sum(F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")).over(frame) / 1_000_000
-    return fsum / F.count(F.lit(1)).over(frame)
+    # count(c), not count(1): SQL avg skips nulls in BOTH the sum and the
+    # denominator — dividing the null-skipping sum by the raw frame row
+    # count deflates the mean on nullable metrics (round-8 review fix;
+    # measured: frame [2.0, NULL] gave 1.0 where avg gives 2.0)
+    return fsum / F.count(c).over(frame)

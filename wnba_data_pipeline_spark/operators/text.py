@@ -59,6 +59,30 @@ def _count_in_sql(words: str, vocab_sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def quality_score_col(text: Column | str = "text") -> Column:
+    """The composite per-document quality score as a ROW-LOCAL expression
+    (rounded to 6 decimals, identical to ``doc_stats``'s column): exposed
+    so gates can stack it on a scan with ``withColumn`` instead of
+    re-deriving the whole stats frame and joining it back on doc_id —
+    at corpus scale that join shuffles two corpus-sized sides for a value
+    computable in the same codegen stage (round-8 review fix;
+    ``plans/curation.py``'s quality gate is the consumer)."""
+    words = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    n = F.size(words).cast("long")
+    n_uniq = F.size(F.array_distinct(words)).cast("long")
+    ttr = n_uniq / n
+    stop_ratio = _count_in(words, STOPWORDS) / n
+    return F.round(
+        F.least(
+            F.lit(1.0),
+            ttr * 0.5
+            + (F.lit(1.0) - stop_ratio) * 0.3
+            + F.least(n / F.lit(100.0), F.lit(1.0)) * 0.2,
+        ),
+        6,
+    )
+
+
 def doc_stats(docs: DataFrame) -> DataFrame:
     """(… doc_id, lang, text …) → per-document curation stats — the
     reusable transform behind ``q_text_stats`` and the curation pipeline
@@ -70,10 +94,6 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     stop_n = _count_in(words, STOPWORDS)
     ttr = n_uniq / n
     stop_ratio = stop_n / n
-    quality = F.least(
-        F.lit(1.0),
-        ttr * 0.5 + (F.lit(1.0) - stop_ratio) * 0.3 + F.least(n / F.lit(100.0), F.lit(1.0)) * 0.2,
-    )
     return docs.select(
         "doc_id",
         "lang",
@@ -83,7 +103,7 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         F.round(sum_len / n, 6).alias("avg_token_len"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        quality_score_col("text").alias("quality_score"),
     )
 
 

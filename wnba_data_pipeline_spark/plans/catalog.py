@@ -60,9 +60,17 @@ BUCKET_SPECS = {
 
 
 def bucketed_db(sf_dir: str) -> str:
-    """Catalog database name for one sf_dir's bucketed layout."""
-    token = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(os.path.normpath(sf_dir)))
-    return f"bucketed_{token}"
+    """Catalog database name for one sf_dir's bucketed layout. The name
+    carries a short hash of the ABSOLUTE path, not just the basename
+    (round-8 review fix): two datasets both named "sf10" in different
+    parents must not collide onto one database/bucket path, where
+    bucketed_table would silently serve the other dataset's rows."""
+    import hashlib
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    token = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(norm))
+    digest = hashlib.md5(norm.encode()).hexdigest()[:8]
+    return f"bucketed_{token}_{digest}"
 
 
 def ensure_bucketed_layout(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_survivors, minhash_pairs, shingle_docs
 from ..operators.graph import cluster_survivors
-from ..operators.text import PACK_BUDGET, doc_stats, pack_docs, sample_gate
+from ..operators.text import PACK_BUDGET, pack_docs, quality_score_col, sample_gate
 from ..sources.sinks import overwrite_table, read_table
 from ..sources.tables import load_table
 
@@ -83,13 +83,13 @@ def run_curation(
     overwrite_table(docs.select("*", audit), _p(base, "curation", "corpus"))
     _mark("corpus_write")
 
-    # 1. quality gate: join the per-doc stats back to the text — both are
-    # zero-shuffle maps over the same scan, so the join broadcasts the
-    # filtered stats at mart scale / co-partitions at 100 TB
-    stats = doc_stats(docs)
-    kept = (
-        docs.join(stats.select("doc_id", "quality_score"), "doc_id")
-        .filter(F.col("quality_score") >= QUALITY_MIN)
+    # 1. quality gate: the score is a ROW-LOCAL expression, so it stacks
+    # directly on the scan (one codegen pass, zero shuffle) — the earlier
+    # doc_stats self-join re-scanned the corpus and shuffled two
+    # corpus-sized sides on doc_id for a value derivable in place
+    # (round-8 review fix; same 6-decimal value as doc_stats)
+    kept = docs.withColumn("quality_score", quality_score_col("text")).filter(
+        F.col("quality_score") >= QUALITY_MIN
     )
     overwrite_table(kept.select("*", audit), _p(base, "curation", "quality_kept"))
     _mark("quality_gate")

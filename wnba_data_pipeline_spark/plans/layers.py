@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.windows import avg_rank, rolling_avg
-from ..sources.sinks import append_table, export_json, overwrite_table, read_table
+from ..sources.sinks import export_json, overwrite_table, read_table, upsert_partitions
 from ..sources.tables import load_table
 
 DEFAULT_AS_OF = "2001-09-01 00:00:00"
@@ -47,14 +47,18 @@ def run_raw_layer(spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFA
             "ship_ym": F.date_format(F.col("l_shipdate"), "yyyy-MM"),
         }
     )
-    append_table(li, _p(base, "raw", "lineitem_box"), partition_by=("ship_ym",))
+    # upsert, not append (round-8 review fix): a re-run of run_all after a
+    # mid-pipeline failure must replace the month partitions it carries,
+    # not silently double every raw row under the layer's byte-identical-
+    # rerun contract — the exact hazard upsert_partitions was written for
+    upsert_partitions(li, _p(base, "raw", "lineitem_box"), partition_by=("ship_ym",))
     orders = load_table(spark, sf_dir, "orders").withColumns(
         {
             "created_at": F.lit(as_of).cast("timestamp_ntz"),
             "order_ym": F.date_format(F.col("o_orderdate"), "yyyy-MM"),
         }
     )
-    append_table(orders, _p(base, "raw", "orders_box"), partition_by=("order_ym",))
+    upsert_partitions(orders, _p(base, "raw", "orders_box"), partition_by=("order_ym",))
 
 
 def run_analytics_layer(spark: SparkSession, base: str, as_of: str = DEFAULT_AS_OF) -> None:
@@ -138,7 +142,13 @@ def run_dashboard_layer(spark: SparkSession, base: str, as_of: str = DEFAULT_AS_
     kpi = stats.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("qty_sum").alias("q"),
-        F.max_by("l_suppkey", "qty_sum").alias("leader"),
+        # struct tie-break (round-8 review fix): bare max_by on a tied
+        # qty_sum picks a partition-order-dependent leader, breaking the
+        # G5 byte-identical-rerun contract; the (qty_sum, -l_suppkey)
+        # struct makes ties deterministic (lowest suppkey wins)
+        F.max_by(
+            "l_suppkey", F.struct(F.col("qty_sum"), (-F.col("l_suppkey")).alias("_nk"))
+        ).alias("leader"),
     ).select(
         F.concat(
             F.lit('{"n_suppliers":'),

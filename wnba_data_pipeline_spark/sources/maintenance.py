@@ -57,6 +57,15 @@ _TRASH = "__compact_trash"
 _MARKERS = (_OLD, _TMP, _TRASH)
 
 
+def _norm(path: str) -> str:
+    """Strip trailing slashes (never to empty): sibling marker paths are
+    built by concatenation (``path + "__compact_old"``), so ``tbl/`` would
+    probe a CHILD ``tbl/__compact_old`` instead of the sibling the swap
+    actually created (round-8 review fix)."""
+    stripped = path.rstrip("/")
+    return stripped or path
+
+
 def _fs(spark: SparkSession, path: str):
     """(FileSystem, Path-factory) for ``path``'s URI scheme."""
     jvm = spark.sparkContext._jvm
@@ -96,6 +105,7 @@ def recover_interrupted(spark: SparkSession, path: str) -> dict:
     root is then its own rewrite unit, ``d == path``, and after the
     aside rename the root itself may not exist — so the sibling probe
     must run even when ``path`` is missing)."""
+    path = _norm(path)
     fs, P = _fs(spark, path)
     dirs = []
     if fs.exists(P(path)):
@@ -128,6 +138,7 @@ def compaction_plan(
     count a compaction would rewrite it to. Partitions already at ≤ that
     shard count are reported with ``compact=False`` so the rewrite can
     skip them."""
+    path = _norm(path)
     fs, P = _fs(spark, path)
     _dirs, files = _walk(fs, P, path)
     by_dir: dict[str, list[int]] = {}
@@ -159,6 +170,7 @@ def compact_table(
     Rows and schema are preserved exactly (row-identity asserted in
     tests/test_maintenance.py); partition directories not over-sharded are
     left byte-identical. Any interrupted prior run is recovered first."""
+    path = _norm(path)
     recover_interrupted(spark, path)
     fs, P = _fs(spark, path)
     plan = compaction_plan(spark, path, target_bytes=target_bytes)

@@ -50,6 +50,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NTZ column with exact integer arithmetic (``div``, not float
     division: nanos ~1.7e18 exceeds double's 53-bit mantissa).
     """
+    # evict handles of stopped sessions first (round-8 review fix: a
+    # long-lived process recreating sessions would otherwise pin every
+    # dead session's JVM-side state forever through the cached plans; the
+    # check is a driver-local attribute read, no RPC)
+    for k in [k for k, df in _HANDLES.items() if df.sparkSession._sc._jsc is None]:
+        del _HANDLES[k]
     key = (id(spark), sf_dir, name)
     cached = _HANDLES.get(key)
     if cached is not None:
