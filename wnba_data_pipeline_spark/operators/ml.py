@@ -102,13 +102,28 @@ REG_TARGETS = {
 }
 
 
-def train_regressor(spark: SparkSession, sf_dir: str, target: str = REG_TARGET) -> dict:
+def train_regressor(
+    spark: SparkSession,
+    sf_dir: str,
+    target: str = REG_TARGET,
+    *,
+    features_frame: DataFrame | None = None,
+) -> dict:
     """I1/I2/I5/I6 + I4: RF regression of ``target`` from the remaining
-    features, with the fit-only StandardScaler the reference pickles."""
-    features = REG_TARGETS.get(target, REG_FEATURES)
-    feat = build_feature_frame(spark, sf_dir).withColumn(
-        "qty_per_game", F.col("qty_sum") / F.col("games")
-    )
+    features, with the fit-only StandardScaler the reference pickles.
+    ``features_frame``: pass a (cached) ``build_feature_frame`` result to
+    share the fact-table aggregation across trainings — ``q_ml_metrics``
+    trains five models and would otherwise re-shuffle lineitem per model
+    (round-8 review fix)."""
+    if target not in REG_TARGETS:
+        # fail fast: silently substituting the default feature set would
+        # train a nonsense model (e.g. features near-collinear with an
+        # unregistered-but-real column) and report plausible metrics
+        raise KeyError(f"unknown regression target {target!r}; valid: {sorted(REG_TARGETS)}")
+    features = REG_TARGETS[target]
+    feat = (
+        build_feature_frame(spark, sf_dir) if features_frame is None else features_frame
+    ).withColumn("qty_per_game", F.col("qty_sum") / F.col("games"))
     assembler = VectorAssembler(inputCols=features, outputCol="features")
     data = assembler.transform(feat).select("features", F.col(target).alias("target"))
     # cache both splits: each is consumed by several jobs (two fits + two
@@ -138,10 +153,18 @@ def train_regressor(spark: SparkSession, sf_dir: str, target: str = REG_TARGET) 
     return result
 
 
-def train_classifier(spark: SparkSession, sf_dir: str) -> dict:
-    """I3/I5/I6: RF classification of the median-split label (B10)."""
-    labeled = q_label_median_split(spark, sf_dir).select("l_suppkey", F.col("label").cast("double"))
-    feat = build_feature_frame(spark, sf_dir).join(labeled, "l_suppkey")
+def train_classifier(
+    spark: SparkSession, sf_dir: str, *, features_frame: DataFrame | None = None
+) -> dict:
+    """I3/I5/I6: RF classification of the median-split label (B10). The
+    label is the same (qty_sum > global median) as q_label_median_split,
+    computed as a window over the single feature frame — the earlier form
+    re-aggregated lineitem a second time and joined two supplier-grain
+    frames just to attach a column derivable in place (round-8 review
+    fix)."""
+    feat = build_feature_frame(spark, sf_dir) if features_frame is None else features_frame
+    med = F.median("qty_sum").over(Window.partitionBy())
+    feat = feat.withColumn("label", (F.col("qty_sum") > med).cast("double"))
     assembler = VectorAssembler(inputCols=CLF_FEATURES, outputCol="features")
     data = assembler.transform(feat).select("features", "label")
     # cached for the same reason as the regressor: the split feeds the fit,
@@ -214,7 +237,16 @@ def leakage_safe_split(
         .withColumn(
             "split",
             F.when(
-                F.pmod(md5_long(F.col("comp").cast("string")), F.lit(100)) < test_pct,
+                # "split:" domain prefix (round-8 review fix): a bare
+            # md5(comp) gate is perfectly correlated with any other
+            # unprefixed gate over the same id space — the correlation
+            # the sibling gates' prefixes (sample:, mix:, pack:, kms:)
+            # exist to prevent
+            F.pmod(
+                md5_long(F.concat(F.lit("split:"), F.col("comp").cast("string"))),
+                F.lit(100),
+            )
+            < test_pct,
                 F.lit("test"),
             ).otherwise(F.lit("train")),
         )
@@ -247,8 +279,11 @@ def q_ml_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole non-SQL-expressible ML family inside a single driver rows-only
     row, freeing registry slots for oracle-checkable queries."""
     rows: list[tuple[str, str, float]] = []
+    # ONE feature aggregation shared by all five trainings (the fact-table
+    # shuffle dominated the query's cost when rebuilt per model)
+    shared = build_feature_frame(spark, sf_dir).cache()
     for target in REG_TARGETS:
-        r = train_regressor(spark, sf_dir, target)
+        r = train_regressor(spark, sf_dir, target, features_frame=shared)
         model = f"rf_reg_{target}"
         rows.append((model, "mse", float(r["mse"])))
         rows.append((model, "r2", float(r["r2"])))
@@ -256,7 +291,8 @@ def q_ml_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((model, "n_test", float(r["n_test"])))
         if target == REG_TARGET:
             rows.extend((model, f"importance_{k}", float(v)) for k, v in sorted(r["importances"].items()))
-    c = train_classifier(spark, sf_dir)
+    c = train_classifier(spark, sf_dir, features_frame=shared)
+    shared.unpersist()
     rows.append(("rf_clf_injury", "accuracy", float(c["accuracy"])))
     rows.append(("rf_clf_injury", "n_train", float(c["n_train"])))
     rows.append(("rf_clf_injury", "n_test", float(c["n_test"])))

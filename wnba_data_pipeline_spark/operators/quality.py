@@ -17,7 +17,6 @@ plain SQL over the same tables.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,9 +39,6 @@ def _check(name, value, passed):
     )
 
 
-_FOOTER_SWITCH_SF = 0.5  # same threshold as relational._SCALE_SWITCH_SF
-
-
 def _use_footer_stats(sf_dir: str) -> bool:
     """Pick the completeness/freshness physical source by data scale
     (mirrors ``relational._use_split_distinct``'s switch mechanics): above
@@ -53,12 +49,9 @@ def _use_footer_stats(sf_dir: str) -> bool:
     answer (avg/stddev/distinct). ``SPARK_GRAFT_FOOTER_STATS=0/1``
     forces either shape; rows are identical by construction
     (differential-asserted in tests/test_stats_probe.py)."""
-    forced = os.environ.get("SPARK_GRAFT_FOOTER_STATS")
-    if forced is not None:
-        return forced == "1"
-    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
-    return sf >= _FOOTER_SWITCH_SF
+    from ..functions.scale import use_scale_shape
+
+    return use_scale_shape(sf_dir, "SPARK_GRAFT_FOOTER_STATS")
 
 
 def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +81,12 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             o_path = os.path.join(sf_dir, "orders.parquet")
             vals = footer_stats_row(spark, li_path)
             o_rows = footer_rowcount_value(spark, o_path)
-            if vals is not None and o_rows is not None:
+            # each table picks its driver-literal vs distributed path
+            # INDEPENDENTLY (round-8 review fix: a mixed threshold case —
+            # small lineitem, over-threshold orders — used to discard the
+            # already-computed lineitem footer aggregate and re-read every
+            # lineitem footer through the distributed probe)
+            if vals is not None:
                 # driver-path probe: the footer stats become plan LITERALS on
                 # the single narrowed scan — no extra stage at all (the
                 # crossJoin-of-1-row shape costs two broadcast rounds per
@@ -101,7 +99,6 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "price_avg",
                     "price_std",
                     "n_flags",
-                    F.lit(o_rows).alias("o_rows"),
                 )
             else:
                 # the distributed probe is lazy — sample one footer NOW so a
@@ -111,8 +108,13 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 meta = parquet_stats_probe(spark, li_path).select(
                     "n_rows", "null_qty", "price_max", F.col("last_ship_date").alias("last_ship")
                 )
-                o_agg = parquet_rowcount_probe(spark, o_path).select(F.col("n_rows").alias("o_rows"))
-                row = meta.crossJoin(li_agg).crossJoin(o_agg)
+                row = meta.crossJoin(li_agg)
+            if o_rows is not None:
+                row = row.withColumn("o_rows", F.lit(o_rows))
+            else:
+                row = row.crossJoin(
+                    parquet_rowcount_probe(spark, o_path).select(F.col("n_rows").alias("o_rows"))
+                )
         except ValueError:
             row = None
     if row is None:
@@ -345,7 +347,14 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
         F.sum("null_flag").alias("null_flag"),
         F.max("price_max").alias("price_max"),
         F.min("price_min").alias("price_min"),
-        F.expr("cast(timestamp_micros(max(ship_us)) as date)").alias("last_ship_date"),
+        # date_from_unix_date over integer day arithmetic, NOT
+        # cast(timestamp_micros(...) as date): the latter routes through an
+        # LTZ timestamp and shifts a day on non-UTC sessions, while the
+        # driver path (footer_stats_row) and the scan shape are both
+        # timezone-independent (round-8 review fix)
+        F.expr("date_from_unix_date(cast(max(ship_us) div 86400000000 as int))").alias(
+            "last_ship_date"
+        ),
     )
 
 

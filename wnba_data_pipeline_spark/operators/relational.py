@@ -24,7 +24,6 @@ top-k. See tests/test_plans.py for the plan-shape assertions.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -87,15 +86,9 @@ def _use_split_distinct(sf_dir: str) -> bool:
     (the measurement override). For extreme scale where even the distinct
     subtree's shuffle hurts, ``operators/sketches.py`` is the documented
     approximate (HLL, mergeable-state) variant of the same probes."""
-    forced = os.environ.get("SPARK_GRAFT_SPLIT_DISTINCT")
-    if forced is not None:
-        return forced == "1"
-    # digit-required token: a degenerate 'sf.' segment or an sf-less path
-    # falls back to the small-scale shape instead of raising (plan
-    # selection only — never semantics)
-    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
-    return sf >= _SCALE_SWITCH_SF
+    from ..functions.scale import use_scale_shape
+
+    return use_scale_shape(sf_dir, "SPARK_GRAFT_SPLIT_DISTINCT", threshold=_SCALE_SWITCH_SF)
 
 
 def _layout_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -599,8 +599,9 @@ def _sf_of(sf_dir: str) -> float:
     token, or a degenerate 'sf.' segment — fall back to 0.0 (the
     smallest-scale physical shape) instead of raising (round-5 ADVICE).
     Callers that know better pass the explicit ``mode=``/env override."""
-    m = _re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
-    return float(m.group(1)) if m else 0.0
+    from ..functions.scale import sf_of_path
+
+    return sf_of_path(sf_dir)
 
 
 def _top_eig(C) -> float:

@@ -139,7 +139,11 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(
             F.col("doc_id") % BOILERPLATE_MOD == 0,
-            F.concat_ws(" ", F.col("text"), F.lit(BOILERPLATE)),
+            # F.concat, not concat_ws: the oracle's `text || ' ' || lit`
+            # NULL-propagates, while concat_ws silently skips NULLs — a
+            # NULL-text doc would plant bare boilerplate on the Spark side
+            # only and diverge (round-8 review fix; latent, data NULL-free)
+            F.concat(F.col("text"), F.lit(" "), F.lit(BOILERPLATE)),
         )
         .otherwise(F.col("text"))
         .alias("text"),
