@@ -454,3 +454,27 @@ def test_chunk_docs_coverage_and_overlap(spark):
         ).count()
         == 0
     )
+
+
+def test_quality_score_col_matches_doc_stats(spark):
+    """The curation gate's inline quality expression (quality_score_col)
+    and doc_stats's inlined copy are the SAME 6-decimal value per doc —
+    the gate's zero-shuffle shortcut must never drift from the stats
+    frame's column (round-8 review: the formula now exists in two inlined
+    copies for plan-shape reasons)."""
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators.text import doc_stats, quality_score_col
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    via_stats = {
+        r["doc_id"]: r["quality_score"] for r in doc_stats(docs).collect()
+    }
+    via_col = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", quality_score_col("text").alias("q")).collect()
+    }
+    assert via_stats == via_col

@@ -499,8 +499,12 @@ def _oracle_rolling(ns: tuple[int, ...]) -> str:
         )
 
     cols = ",\n       ".join(
+        # count(l_quantity), not count(*): SQL avg semantics skip NULLs in
+        # BOTH numerator and denominator, matching rolling_avg_exact's
+        # round-8 fix (latent on NULL-free data, but the oracle pair must
+        # compute the identical expression by construction)
         f"round((CAST(sum(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) {frame(n)} AS DOUBLE) / 1000000)"
-        f"\n             / count(*) {frame(n)}, 6) AS qty_roll{n}"
+        f"\n             / count(l_quantity) {frame(n)}, 6) AS qty_roll{n}"
         for n in ns
     )
     return f"""
@@ -1594,9 +1598,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZE_EVENTS = f"""
 WITH flagged AS (
   SELECT user_id, ts, value, event_id,
-         CASE WHEN date_diff('second',
-                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                             ts) > {SESSION_GAP_S}
+         -- exact microsecond gap (round-8 review fix): date_diff('second')
+         -- truncates sub-second fractions, so a 1800.4 s gap could merge
+         -- here while Spark's exact comparison splits
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                > {SESSION_GAP_S} * 1000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events

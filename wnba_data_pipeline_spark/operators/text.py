@@ -103,7 +103,20 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         F.round(sum_len / n, 6).alias("avg_token_len"),
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        quality_score_col("text").alias("quality_score"),
+        # same formula as quality_score_col, inlined from the locals above
+        # (calling the helper would rebuild the split/distinct/stopword
+        # fold a second time in the same projection — higher-order-
+        # function expressions are poorly covered by subexpression
+        # elimination; identity pinned in tests/test_contamination.py)
+        F.round(
+            F.least(
+                F.lit(1.0),
+                ttr * 0.5
+                + (F.lit(1.0) - stop_ratio) * 0.3
+                + F.least(n / F.lit(100.0), F.lit(1.0)) * 0.2,
+            ),
+            6,
+        ).alias("quality_score"),
     )
 
 
@@ -230,7 +243,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + the minimum shingle hash (the winnowing primitive — at 100 TB
     the per-window min selection extends this same expression). Zero-shuffle
     map stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    # length guard on BOTH sides (round-8 review fix): below SHINGLE_CHARS
+    # Spark's sequence(1, len-7) runs DESCENDING (default step -1) and
+    # fabricates garbage shingles while DuckDB's range() is empty — the
+    # same guard the sibling winnow_fingerprints always had
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SHINGLE_CHARS
+    )
     grams = F.expr(f"transform(sequence(1, length(text) - {SHINGLE_CHARS - 1}), i -> substring(text, i, {SHINGLE_CHARS}))")
     shingles = F.array_distinct(grams)
     hashes = F.transform(shingles, md5_long)
@@ -246,7 +265,7 @@ WITH g AS (
   SELECT doc_id,
          list_distinct(list_transform(range(length(text) - {SHINGLE_CHARS - 1}),
                                       i -> substr(text, i + 1, {SHINGLE_CHARS}))) AS sh
-  FROM documents
+  FROM documents WHERE length(text) >= {SHINGLE_CHARS}
 )
 SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
        list_min(list_transform(sh, s -> {md5_long_sql("s")})) AS min_shingle_hash
@@ -354,8 +373,7 @@ def sample_gate(docs: DataFrame) -> DataFrame:
     gate = md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % F.lit(100)
     rate = None
     for lang, r in SAMPLE_RATES.items():
-        cond = F.when(F.col("lang") == lang, F.lit(r))
-        rate = cond if rate is None else rate.when(F.col("lang") == lang, F.lit(r))
+        rate = (F if rate is None else rate).when(F.col("lang") == lang, F.lit(r))
     rate = rate.otherwise(F.lit(0))
     return docs.filter(gate < rate)
 
@@ -1100,7 +1118,19 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("nll")).alias("_sum_nll"),
+            # fixed-point 1e-9-quantized terms summed as int64 (round-8
+            # review fix): a plain double sum is partial-aggregation-
+            # order-dependent, and a doc's avg_nll landing within ~1 ulp
+            # of a 6-dp rounding boundary could flip in one engine only —
+            # the exact failure mode _dsum exists for, at nll scale
+            (
+                F.sum(
+                    F.floor(F.col("cnt") * F.col("nll") * 1_000_000_000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 1_000_000_000
+            ).alias("_sum_nll"),
         )
         .select(
             "doc_id",
@@ -1128,7 +1158,7 @@ WITH words AS (
   SELECT doc_id, term, count(*) AS cnt FROM words GROUP BY doc_id, term
 ), scored AS (
   SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
-         sum(d.cnt * n.nll) AS sum_nll
+         sum(CAST(floor(d.cnt * n.nll * 1000000000 + 0.5) AS BIGINT)) / 1000000000 AS sum_nll
   FROM doc_terms d JOIN nll n USING (term) GROUP BY d.doc_id
 )
 SELECT doc_id, n_tokens, round(sum_nll / n_tokens, 6) AS avg_nll,
