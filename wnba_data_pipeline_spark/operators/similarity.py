@@ -1044,30 +1044,31 @@ def hard_negatives_bucketed(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
     only corpus×corpus contact), exact cosine + per-anchor top-k on the
     survivors. Same output schema as :func:`hard_negatives_exact`;
     measured top-1 recall against it is asserted in
-    tests/test_contamination.py. Each anchor emits ND_BANDS band rows, so
-    the shuffle is bands × N keys of ≤DIM+2 columns; per-bucket candidate
-    volume is bounded by the 4-bit split per band."""
+    tests/test_contamination.py. Band rows carry only (id, label, key) —
+    the bands × N band shuffle and the candidate-pair distinct never move
+    a vector (round-8 sixth review pass: the earlier shape shipped both
+    64-dim embeddings through both shuffles); the exact-cosine verify
+    fetches the two vectors by id afterwards, candidates only — the same
+    id-then-fetch plan as ``q_emb_near_dup_bucketed`` and this operator's
+    own DuckDB twin. Per-bucket candidate volume stays bounded by the
+    4-bit split per band."""
     bands = F.array(*[_hn_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
-    keyed = emb.select(
-        "vec_id", "embedding", "label", F.explode(bands).alias("_bk")
-    )
-    a = keyed.select(
-        F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("_ae"),
-        F.col("label").alias("_al"), "_bk",
-    )
-    b = keyed.select(
-        F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("_ne"),
-        F.col("label").alias("_nl"), "_bk",
-    )
+    keyed = emb.select("vec_id", "label", F.explode(bands).alias("_bk"))
+    a = keyed.select(F.col("vec_id").alias("a_vec_id"), F.col("label").alias("_al"), "_bk")
+    b = keyed.select(F.col("vec_id").alias("n_vec_id"), F.col("label").alias("_nl"), "_bk")
     cand = (
         a.join(b, ["_bk"])
         .filter((F.col("a_vec_id") != F.col("n_vec_id")) & (F.col("_al") != F.col("_nl")))
-        .select("a_vec_id", "_ae", "n_vec_id", "_ne")
+        .select("a_vec_id", "n_vec_id")
         .distinct()  # a pair can collide in several bands
     )
+    ea = emb.select(F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("_ae"))
+    eb = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("_ne"))
     w = Window.partitionBy("a_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
     return (
-        cand.withColumn("_cos", _cosine(F.col("_ae"), F.col("_ne")))
+        cand.join(ea, "a_vec_id")
+        .join(eb, "n_vec_id")
+        .withColumn("_cos", _cosine(F.col("_ae"), F.col("_ne")))
         .withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= k)
         .select(
