@@ -65,3 +65,25 @@ def test_hard_negatives_bucketed_recall_and_subset(spark):
     got1 = {r.a_vec_id: r.n_vec_id for r in got if r.neg_rank == 1}
     recall = sum(1 for a, n in top1.items() if got1.get(a) == n) / len(top1)
     assert recall >= 0.9
+
+
+def test_hard_negatives_bucketed_shuffles_ids_only(spark):
+    # round-8 sixth review pass: the band join and candidate distinct once
+    # shipped both 64-dim embeddings through every shuffle (2.2x slower at
+    # sf0.1 and OOM-prone on a default heap). Pin the id-then-fetch shape:
+    # no shuffle Exchange may carry a vector column — embeddings reach the
+    # verify stage only through id-keyed Broadcast fetches — and the
+    # distinct must aggregate over the two id longs alone.
+    df = similarity.q_hard_negatives_bucketed(spark, SF_ORACLE)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    vec_cols = ("_ae#", "_ne#", "embedding#")
+    saw_shuffle = saw_distinct = False
+    for block in plan.split("\n\n"):
+        header = block.strip().split("\n", 1)[0]
+        if ") Exchange" in header:  # shuffle, not BroadcastExchange
+            saw_shuffle = True
+            assert not any(c in block for c in vec_cols), block
+        if ") HashAggregate" in header and "Functions: []" in block:
+            saw_distinct = True
+            assert not any(c in block for c in vec_cols), block
+    assert saw_shuffle and saw_distinct  # the probes actually matched
