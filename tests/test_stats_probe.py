@@ -59,6 +59,23 @@ def test_meta_probe_counts_planted_nulls(spark, tmp_path):
     assert got["null_qty"] > 0
 
 
+def test_meta_probe_pre_epoch_ship_date_floors(spark, tmp_path):
+    # round-9 advice fix: last_ship_date used `div` (truncates toward zero),
+    # so a pre-1970 (negative-microsecond) max timestamp rounded UP a day
+    # relative to the driver footer path's datetime floor; the pmod floor
+    # must agree with the scan's timestamp->date cast on both sides of epoch
+    out = str(tmp_path / "li_preepoch")
+    li = load_table(spark, SF_ORACLE, "lineitem").withColumn(
+        "l_shipdate",
+        (F.col("l_shipdate").cast("timestamp_ntz") - F.expr("INTERVAL 40 YEARS")),
+    )
+    li.repartition(3).write.parquet(out)
+    got = quality.parquet_stats_probe(spark, out).collect()[0].asDict()
+    want = _scan_subset(spark.read.parquet(out)).collect()[0].asDict()
+    assert got == want
+    assert str(want["last_ship_date"]) < "1970-01-01"
+
+
 def test_meta_probe_refuses_statless_files(spark, tmp_path, monkeypatch):
     # a file whose row groups lack stats must raise, not silently return
     # wrong numbers (no fallback inside the metadata path)

@@ -1,0 +1,346 @@
+"""Round-9 scale probes — produces the raw sections of BENCH_SCALE_r09.json.
+
+Subcommands (argv[1]):
+
+  rangebins    per-stage attribution of the range_join_bins difference-of-
+               cumulatives shape on the bucketed layout (VERDICT r8 item 2:
+               the 1.41x @ sf10 -> 2.06x @ sf30 drift): scan -> one
+               cumulative count frame -> both count frames -> full fused
+               (2 counts + 2 fixed-point sums) -> registry query; plus the
+               per-stage DuckDB twin so the drift attributes to a stage,
+               not a total.
+  minhash_probe candidate-generation anatomy for the MinHash funnel at
+               $SPARK_GRAFT_SF_DIR (VERDICT r8 item 3): band-bucket size
+               distribution, candidate count, estimated-Jaccard histogram
+               of candidates (signature agreement), and survivor count —
+               the measurement that picks geometry-tuning vs DF-pruning.
+  hardneg_recall hard_negatives_bucketed recall vs the exact twin at
+               $SPARK_GRAFT_SF_DIR (VERDICT r8 item 5).
+
+Methodology matches bench.py: plans built once, warm best-of-N, noop sink,
+min/median/max published.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _spread(df) -> dict[str, float]:
+    _force(df)
+    for _ in range(WARMUPS):
+        _force(df)
+    runs = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        _force(df)
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return {
+        "min": round(runs[0], 4),
+        "median": round(runs[len(runs) // 2], 4),
+        "max": round(runs[-1], 4),
+    }
+
+
+def _spread_duck(con, sql: str) -> dict[str, float]:
+    def run() -> None:
+        con.execute(f"CREATE TEMP TABLE _bench_out AS {sql}")
+        con.execute("DROP TABLE _bench_out")
+
+    for _ in range(WARMUPS):
+        run()
+    runs = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    return {
+        "min": round(runs[0], 4),
+        "median": round(runs[len(runs) // 2], 4),
+        "max": round(runs[-1], 4),
+    }
+
+
+def _session(sf: float | None):
+    from wnba_data_pipeline_spark.session import ensure_confs, get_spark
+
+    big = sf is not None and sf >= 0.5
+    spark = get_spark(
+        "wnba-r09-probes",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32" if big else "8")),
+        extra_confs={
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": "48m" if (sf or 0) >= 5 else "4m",
+            "spark.sql.files.openCostInBytes": "256k",
+            "spark.local.dir": "/dev/shm/spark-bench-local",
+        },
+    )
+    ensure_confs(spark)
+    return spark
+
+
+def _sf(sf_dir: str) -> float | None:
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    return float(m.group(1)) if m else None
+
+
+def cmd_rangebins() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf30")
+    sf = _sf(sf_dir)
+    spark = _session(sf)
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import relational, temporal
+    from wnba_data_pipeline_spark.plans.catalog import ensure_bucketed_layout
+
+    out: dict = {"sf_dir": sf_dir, "sf": sf}
+    ensure_bucketed_layout(spark, sf_dir, n_buckets=32 if (sf or 0) >= 0.5 else 8)
+    os.environ["SPARK_GRAFT_LAYOUT"] = "bucketed"
+    try:
+        ev = relational._layout_table(spark, sf_dir, "events")
+        fp = "cast(floor(value * 1000000 + 0.5d) as long)"
+        lt_now = (
+            "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED "
+            "PRECEDING AND INTERVAL '0.000001' SECOND PRECEDING"
+        )
+        lt_cut = (
+            "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED "
+            "PRECEDING AND INTERVAL '86400.000001' SECOND PRECEDING"
+        )
+        scan = ev.select("event_id", "user_id", "ts", "event_type", "value")
+        one_count = ev.select(
+            "event_id", F.expr(f"count(1) OVER ({lt_now})").alias("_n")
+        )
+        two_counts = ev.select(
+            "event_id",
+            (F.expr(f"count(1) OVER ({lt_now})") - F.expr(f"count(1) OVER ({lt_cut})")).alias("_n"),
+        )
+        one_sum = ev.select(
+            "event_id", F.expr(f"sum({fp}) OVER ({lt_now})").alias("_s")
+        )
+        full = temporal.q_range_join_bins(spark, sf_dir)
+        out["bucketed_stages"] = {
+            "scan_5col": _spread(scan),
+            "one_cumulative_count": _spread(one_count),
+            "two_count_frames": _spread(two_counts),
+            "one_cumulative_sum_fp": _spread(one_sum),
+            "full_query": _spread(full),
+        }
+        ep = full._jdf.queryExecution().executedPlan().toString()
+        out["full_plan"] = {
+            "n_parquet_scans": ep.count("Scan parquet"),
+            "exchange": "Exchange" in ep,
+            "sort": "Sort [" in ep,
+        }
+    finally:
+        del os.environ["SPARK_GRAFT_LAYOUT"]
+
+    # DuckDB per-stage twins (same cumulative-frame shapes) so the drift
+    # attributes stage-by-stage, not total-vs-total
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    d_now = "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 1 MICROSECOND PRECEDING"
+    d_cut = "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 86400000001 MICROSECOND PRECEDING"
+    out["duckdb_stages"] = {
+        "one_cumulative_count": _spread_duck(
+            con, f"SELECT event_id, count(1) OVER ({d_now}) AS _n FROM events"
+        ),
+        "two_count_frames": _spread_duck(
+            con,
+            f"SELECT event_id, count(1) OVER ({d_now}) - count(1) OVER ({d_cut}) AS _n FROM events",
+        ),
+        "full_query": _spread_duck(con, temporal.ORACLES["range_join_bins"]),
+    }
+    return out
+
+
+def cmd_minhash_probe() -> dict:
+    """Anatomy of the funnel's near-dedup candidates on the post-exact-dedup
+    corpus (the frame minhash_pairs actually sees inside run_curation)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf30")
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import dedup
+    from wnba_data_pipeline_spark.operators.text import quality_score_col, sample_gate
+    from wnba_data_pipeline_spark.plans.curation import QUALITY_MIN
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.withColumn("quality_score", quality_score_col("text")).filter(
+        F.col("quality_score") >= QUALITY_MIN
+    )
+    sampled = sample_gate(kept)
+    corpus = dedup.exact_survivors(sampled).select("doc_id").join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    shingled = dedup.shingle_docs(corpus).persist()
+    n_docs = shingled.count()
+
+    banded = shingled.select(
+        "doc_id",
+        F.explode(F.array(*dedup._minhash_band_keys(F.col("sh")))).alias("band_key"),
+    )
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("n")).persist()
+    bucket_hist = {
+        str(r["bucket"]): int(r["cnt"])
+        for r in sizes.select(
+            F.floor(F.log2("n")).alias("bucket")
+        ).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    top = [
+        {"band_key": r["band_key"][:40], "n": int(r["n"])}
+        for r in sizes.orderBy(F.col("n").desc()).limit(10).collect()
+    ]
+    n_cand_pairs = int(
+        sizes.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).collect()[0][0]
+    )
+    sizes.unpersist()
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    n_cand = cand.count()
+
+    # exact-Jaccard histogram of the candidates: how much verification work
+    # lands below the 0.5 threshold (the S-curve's false-candidate mass)
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("j")
+        )
+    )
+    hist = {
+        str(r["bin"]): int(r["cnt"])
+        for r in jac.select(F.floor(F.col("j") * 10).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    cand.unpersist()
+    shingled.unpersist()
+    return {
+        "sf_dir": sf_dir,
+        "n_docs_into_near_dedup": n_docs,
+        "n_candidate_pairs_distinct": n_cand,
+        "n_candidate_pairs_from_buckets": n_cand_pairs,
+        "band_bucket_log2_size_hist": bucket_hist,
+        "top_buckets": top,
+        "candidate_exact_jaccard_decile_hist": hist,
+    }
+
+
+def cmd_hardneg_recall() -> dict:
+    """Top-k recall of hard_negatives_bucketed vs EXACT mining, estimated
+    over a deterministic anchor sample (full all-pairs at sf1 is 2.25e9
+    cosines — the exact side here is anchors x corpus, the statistically
+    equivalent estimate over ~1/mod of the anchors)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf1")
+    mod = int(os.environ.get("SPARK_GRAFT_HN_ANCHOR_MOD", "100"))
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.functions.hashing import md5_long
+    from wnba_data_pipeline_spark.operators import similarity
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic hash sample of anchors (reshuffle-proof, like sample_gate)
+    anchor_gate = F.pmod(md5_long(F.concat(F.lit("hnr:"), F.col("vec_id").cast("string"))), F.lit(mod)) == 0
+    anchors = emb.filter(anchor_gate).select(
+        F.col("vec_id").alias("a_vec_id"),
+        F.col("embedding").alias("_ae"),
+        F.col("label").alias("_al"),
+    )
+    n_anchors = anchors.count()
+    corp = emb.select(
+        F.col("vec_id").alias("n_vec_id"),
+        F.col("embedding").alias("_ne"),
+        F.col("label").alias("_nl"),
+    )
+    w = Window.partitionBy("a_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
+    t0 = time.perf_counter()
+    exact = {
+        (r["a_vec_id"], r["n_vec_id"])
+        for r in (
+            F.broadcast(anchors)
+            .join(corp, (F.col("a_vec_id") != F.col("n_vec_id")) & (F.col("_al") != F.col("_nl")))
+            .withColumn("_cos", similarity._cosine(F.col("_ae"), F.col("_ne")))
+            .withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= similarity.HN_TOP_K)
+            .select("a_vec_id", "n_vec_id")
+            .collect()
+        )
+    }
+    t_exact = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    approx_all = similarity.q_hard_negatives_bucketed(spark, sf_dir)
+    approx = {
+        (r["a_vec_id"], r["n_vec_id"])
+        for r in approx_all.join(
+            anchors.select("a_vec_id"), "a_vec_id"
+        ).select("a_vec_id", "n_vec_id").collect()
+    }
+    t_approx_full = round(time.perf_counter() - t0, 2)
+    inter = len(approx & exact)
+    return {
+        "sf_dir": sf_dir,
+        "anchor_mod": mod,
+        "n_anchors": n_anchors,
+        "n_exact_pairs": len(exact),
+        "n_approx_pairs_at_anchors": len(approx),
+        "recall_vs_exact": round(inter / len(exact), 4) if exact else None,
+        "exact_anchors_sec": t_exact,
+        "approx_full_corpus_sec": t_approx_full,
+    }
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "rangebins"
+    fn = {
+        "rangebins": cmd_rangebins,
+        "minhash_probe": cmd_minhash_probe,
+        "hardneg_recall": cmd_hardneg_recall,
+    }[cmd]
+    print(json.dumps({cmd: fn()}))
+
+
+if __name__ == "__main__":
+    main()

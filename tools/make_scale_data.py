@@ -77,7 +77,18 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    for t in TABLES + tuple(SPECIAL_SEL):
+    # sf100-size COPYs (600M rows) must stream, not materialize: with
+    # insertion-order preservation DuckDB buffers the whole cross-join
+    # output (~30+ GB observed) before writing; row order inside the file
+    # carries no semantics for any consumer, so trade it for streaming
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='24GB'")
+    # SPARK_GRAFT_SCALE_TABLES narrows the build (e.g. the sf100 ladder rung
+    # needs only the engine-bound tables; documents/embeddings evidence lives
+    # at sf30 where the funnel runs)
+    only = os.environ.get("SPARK_GRAFT_SCALE_TABLES")
+    wanted = TABLES + tuple(SPECIAL_SEL) if not only else tuple(only.split(","))
+    for t in wanted:
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
         sel = SPECIAL_SEL.get(t) or ", ".join(
             f"{c} + i * {SPANS[c]} AS {c}" if c in SPANS else c for c in cols

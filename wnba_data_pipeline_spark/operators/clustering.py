@@ -489,7 +489,12 @@ def _gram_cell_pairs(asg: DataFrame, *, threshold: float) -> DataFrame:
             keep = (g >= threshold) & (cols[None, :] > np.arange(i0, i1)[:, None])
             bi, bj = np.nonzero(keep)
             if len(bi):
-                cos = np.floor(g[bi, bj] * 1e6 + 0.5) / 1e6
+                # sign-aware HALF_UP (round-9 advice fix): floor(x*1e6+0.5)
+                # matches Spark's HALF_UP round only for x >= 0; a negative
+                # threshold would let negative midpoint cosines through and
+                # diverge from the join path's F.round
+                v = g[bi, bj]
+                cos = np.copysign(np.floor(np.abs(v) * 1e6 + 0.5), v) / 1e6
                 parts.append(
                     pd.DataFrame(
                         {"vec_a": ids[bi + i0], "vec_b": ids[bj], "cosine": cos}

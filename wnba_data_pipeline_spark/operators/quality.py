@@ -351,10 +351,15 @@ def parquet_stats_probe(spark: SparkSession, path: str) -> DataFrame:
         # cast(timestamp_micros(...) as date): the latter routes through an
         # LTZ timestamp and shifts a day on non-UTC sessions, while the
         # driver path (footer_stats_row) and the scan shape are both
-        # timezone-independent (round-8 review fix)
-        F.expr("date_from_unix_date(cast(max(ship_us) div 86400000000 as int))").alias(
-            "last_ship_date"
-        ),
+        # timezone-independent (round-8 review fix). FLOOR division via
+        # pmod (not bare `div`, which truncates toward zero): pre-epoch
+        # (negative-microsecond) max timestamps must floor to the previous
+        # day exactly like the driver path's datetime arithmetic
+        # (round-9 advice fix).
+        F.expr(
+            "date_from_unix_date(cast((max(ship_us) - pmod(max(ship_us), 86400000000))"
+            " div 86400000000 as int))"
+        ).alias("last_ship_date"),
     )
 
 

@@ -53,8 +53,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # evict handles of stopped sessions first (round-8 review fix: a
     # long-lived process recreating sessions would otherwise pin every
     # dead session's JVM-side state forever through the cached plans; the
-    # check is a driver-local attribute read, no RPC)
-    for k in [k for k, df in _HANDLES.items() if df.sparkSession._sc._jsc is None]:
+    # check is a driver-local attribute read, no RPC). getattr-guarded so
+    # Spark Connect / future PySpark without these internals degrades to
+    # no eviction instead of raising in the hottest loader path
+    # (round-9 advice fix).
+    for k in [
+        k
+        for k, df in _HANDLES.items()
+        if getattr(getattr(df.sparkSession, "_sc", None), "_jsc", True) is None
+    ]:
         del _HANDLES[k]
     key = (id(spark), sf_dir, name)
     cached = _HANDLES.get(key)

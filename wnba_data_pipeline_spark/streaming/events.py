@@ -35,6 +35,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP ``ts`` (event-time watermarks require it; the session
     timezone is pinned to UTC so values match the NTZ batch twin).
 
+    SESSION MUTATION: building this plan sets
+    ``spark.sql.session.timeZone=UTC`` (and ``nanosAsLong``) on the SHARED
+    session — required for watermark correctness vs the NTZ batch twin. A
+    caller who deliberately set a different timezone gets a warning (not a
+    silent override) so other queries on the session aren't surprised
+    (round-9 advice fix).
+
     The file source needs an explicit schema, and the physical ``ts`` type
     varies by data generation (TIMESTAMP(NANOS) → bigint under
     ``nanosAsLong``; TIMESTAMP(MICROS) → timestamp_ntz) — so probe the
@@ -46,6 +53,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run session.ensure_confs: on a non-UTC session the nanos rebuild and
     # the window/day casts below would shift buckets relative to the NTZ
     # batch twin (round-8 review fix — set defensively like nanosAsLong)
+    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if prior_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+        import warnings
+
+        warnings.warn(
+            f"read_events_stream overrides spark.sql.session.timeZone "
+            f"({prior_tz!r} -> 'UTC') for stream/batch window parity; other "
+            f"queries on this session now run under UTC",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if sf_dir not in _PROBES:
         probe = spark.read.parquet(f"{sf_dir}/events.parquet")
