@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pytest
 
-from wnba_data_pipeline_spark.operators import dedup, multimodal, relational, similarity, text
+from wnba_data_pipeline_spark.operators import dedup, pq, relational, similarity, text
 
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
@@ -43,9 +43,8 @@ ROTATED = {
     # behavior is additionally differential-tested in tests/test_dedup*.py.
     "simhash_fingerprint": (dedup.q_simhash_fingerprint, dedup.ORACLE_SIMHASH),
     # sixth rotation (round 7): slot freed for pq_rerank's hard driver row
-    # (static fitted-codebook oracle, operators/pq.py); multimodal_features
-    # keeps the family's driver row over the same mapInPandas plumbing.
-    "frame_sample": (multimodal.q_frame_sample, multimodal.ORACLE_FRAME_SAMPLE),
+    # (static fitted-codebook oracle, operators/pq.py). frame_sample was
+    # parked here until the round-9 eighth rotation put it BACK in-registry.
     # seventh rotation (round 8): slots freed for chunk_docs and
     # hard_negatives_bucketed's hard driver rows. Both rotated-out queries
     # are single-shuffle aggregation shapes whose §2-row coverage is
@@ -53,6 +52,15 @@ ROTATED = {
     # (identical posexplode-and-agg physics) — see text.py registry comment.
     "lang_id_agreement": (text.q_lang_id_agreement, text._oracle_lang_id()),
     "bigram_topk": (text.q_bigram_topk, text.ORACLE_BIGRAM_TOPK),
+    # eighth rotation (round 9, VERDICT r8 item 6): slots freed for
+    # url_domains, frame_sample (returning), and ivfpq_search's hard driver
+    # rows. dedup_incremental's band-join physics is dedup_minhash's (which
+    # keeps its row); corpus_sample's hash-gate sampling is
+    # mixture_sample's; pq_rerank's ADC+rerank runs INSIDE ivfpq_search's
+    # probed-cell path.
+    "dedup_incremental": (dedup.q_dedup_incremental, dedup.ORACLE_DEDUP_INCREMENTAL),
+    "corpus_sample": (text.q_corpus_sample, text._oracle_corpus_sample()),
+    "pq_rerank": (pq.q_pq_rerank, pq.ORACLE_PQ_RERANK),
 }
 
 
@@ -78,10 +86,12 @@ def test_rotated_queries_stay_off_registry():
         "mixture_sample",
         "substring_spans",
         "unigram_ppl",
-        "dedup_incremental",
         "asof_attribution",
         "range_join_bins",
         "semantic_dedup",
-        "pq_rerank",
+        # eighth rotation (round 9)
+        "ivfpq_search",
+        "url_domains",
+        "frame_sample",
     ):
         assert newcomer in qs

@@ -45,3 +45,69 @@ def test_salt_spreads_hot_key(spark):
     assert len(dist) == 8  # every salt bucket hit
     counts = [r["count"] for r in dist]
     assert max(counts) < 2 * min(counts)  # roughly uniform
+
+
+# ---------------------------------------------------------------------------
+# Dedup hot-bucket gate (round 9, VERDICT r8 item 7): a boilerplate corpus
+# collapsing onto one LSH band bucket must (a) produce IDENTICAL pairs
+# through the salted path and (b) actually split the hot bucket's pair
+# build across salt groups.
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_corpus(spark, n_docs=220):
+    """n_docs sharing one 60-word template + a tiny unique suffix — most
+    land in ONE band bucket per band (the adversarial shape: pairwise
+    jaccard ~0.9, so candidates AND verified pairs are quadratic)."""
+    template = " ".join(f"tmpl{i}" for i in range(60))
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(template + " unique"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def test_dedup_hot_bucket_salted_pairs_identical(spark):
+    from wnba_data_pipeline_spark.operators.dedup import minhash_pairs
+
+    docs = _boilerplate_corpus(spark)
+    plain = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_pairs(docs, hot_bucket_min=0).collect()
+    }
+    # hot_bucket_min=32 engages the salted path on this small corpus
+    salted = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_pairs(docs, hot_bucket_min=32).collect()
+    }
+    assert plain == salted
+    assert len(plain) > 1000  # the quadratic shape is real
+
+
+def test_dedup_hot_bucket_actually_splits(spark):
+    from wnba_data_pipeline_spark.functions.skew import SALT_COL as SC
+    from wnba_data_pipeline_spark.functions.skew import HOT_SALTS, with_salt
+    from wnba_data_pipeline_spark.operators.dedup import (
+        _minhash_band_keys,
+        shingle_docs,
+    )
+
+    docs = _boilerplate_corpus(spark)
+    shingled = shingle_docs(docs)
+    banded = shingled.select(
+        "doc_id",
+        F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key"),
+    )
+    sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
+    hot_max = sizes.agg(F.max("_n")).collect()[0][0]
+    assert hot_max > 32  # the planted bucket exists
+    # the salted probe side splits that bucket ~evenly across HOT_SALTS
+    # groups, so no single task builds the whole |B|^2 pair block
+    hot = banded.join(sizes.filter(F.col("_n") > 32), "band_key").select("doc_id", "band_key")
+    dist = [
+        r["c"]
+        for r in with_salt(hot, HOT_SALTS)
+        .groupBy("band_key", SC)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert max(dist) <= 4 * (hot_max // HOT_SALTS + 1)

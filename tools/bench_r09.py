@@ -265,6 +265,73 @@ def cmd_minhash_probe() -> dict:
     }
 
 
+def cmd_minhash_ab() -> dict:
+    """A/B of the round-9 band geometry change (12 hashes / 4 bands x 3 rows
+    -> 16 hashes / 4 bands x 4 rows) on the funnel's post-exact-dedup
+    corpus: candidate volume, near-dedup stage wall, and the survivor-set
+    delta (the quantified recall cost the sharper S-curve pays)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf30")
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.functions.hashing import minhash_coeffs
+    from wnba_data_pipeline_spark.operators import dedup
+    from wnba_data_pipeline_spark.operators.graph import cluster_survivors
+    from wnba_data_pipeline_spark.operators.text import quality_score_col, sample_gate
+    from wnba_data_pipeline_spark.plans.curation import QUALITY_MIN
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.withColumn("quality_score", quality_score_col("text")).filter(
+        F.col("quality_score") >= QUALITY_MIN
+    )
+    corpus = (
+        dedup.exact_survivors(sample_gate(kept))
+        .select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .persist()
+    )
+    n_docs = corpus.count()
+    shingled = dedup.shingle_docs(corpus).persist()
+    shingled.count()
+
+    out: dict = {"sf_dir": sf_dir, "n_docs_into_near_dedup": n_docs}
+    losers: dict[str, set] = {}
+    pairs_sets: dict[str, set] = {}
+    for name, kw in (
+        ("old_12x3", {"coeffs": minhash_coeffs(12), "band_rows": 3}),
+        ("new_16x4", {}),
+    ):
+        t0 = time.perf_counter()
+        pairs = dedup.minhash_pairs(corpus, shingled=shingled, **kw)
+        surv = cluster_survivors(pairs)
+        lose = {
+            r["id"] for r in surv.filter(~F.col("is_survivor")).select("id").collect()
+        }
+        wall = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pair_rows = {(r["doc_a"], r["doc_b"]) for r in pairs.select("doc_a", "doc_b").collect()}
+        pairs_wall = round(time.perf_counter() - t0, 2)
+        losers[name] = lose
+        pairs_sets[name] = pair_rows
+        out[name] = {
+            "pairs_to_survivors_sec": wall,
+            "pairs_only_sec": pairs_wall,
+            "n_verified_pairs": len(pair_rows),
+            "n_losers": len(lose),
+        }
+    out["survivor_delta"] = {
+        "losers_only_old": len(losers["old_12x3"] - losers["new_16x4"]),
+        "losers_only_new": len(losers["new_16x4"] - losers["old_12x3"]),
+        "verified_pairs_only_old": len(pairs_sets["old_12x3"] - pairs_sets["new_16x4"]),
+        "verified_pairs_only_new": len(pairs_sets["new_16x4"] - pairs_sets["old_12x3"]),
+    }
+    shingled.unpersist()
+    corpus.unpersist()
+    return out
+
+
 def cmd_hardneg_recall() -> dict:
     """Top-k recall of hard_negatives_bucketed vs EXACT mining, estimated
     over a deterministic anchor sample (full all-pairs at sf1 is 2.25e9
@@ -332,12 +399,169 @@ def cmd_hardneg_recall() -> dict:
     }
 
 
+def cmd_ivfpq_recall() -> dict:
+    """IVF-PQ retrieval quality/cost at scale (VERDICT r8 item 4): recall@3
+    and recall@10 vs exact-L2 ground truth over 100 anchor queries, the
+    probed-candidate fraction (the no-full-scan evidence), and walls."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_queries = int(os.environ.get("SPARK_GRAFT_IVFPQ_QUERIES", "100"))
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+    from wnba_data_pipeline_spark.operators.clustering import probe_assignments
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    t0 = time.perf_counter()
+    index = pq.ivfpq_fit(emb)
+    fit_sec = round(time.perf_counter() - t0, 2)
+    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+    t0 = time.perf_counter()
+    corpus.count()
+    encode_sec = round(time.perf_counter() - t0, 2)
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    # probed-candidate fraction: how much of the corpus the ADC pass touches
+    cell_sizes = {
+        r["cell"]: r["n"]
+        for r in corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = probe_assignments(q, index.coarse, vec_col="q_emb", nprobe=pq.IVFPQ_NPROBE)
+    probed = sum(cell_sizes.get(r["cell"], 0) for r in probes.collect())
+    out: dict = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "n_queries": n_queries,
+        "fit_sec": fit_sec,
+        "encode_sec": encode_sec,
+        "probed_fraction": round(probed / (n_queries * n_corpus), 4),
+        "cell_sizes": sorted(cell_sizes.values(), reverse=True),
+    }
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    exact = (
+        F.broadcast(q)
+        .join(emb.select("vec_id", "embedding"), F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("_d2", pq._sqdist_vec(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"), "rk")
+    )
+    t0 = time.perf_counter()
+    truth3, truth10 = {}, {}
+    for r in exact.collect():
+        truth10.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        if r["rk"] <= 3:
+            truth3.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    out["exact_scan_sec"] = round(time.perf_counter() - t0, 2)
+
+    for k, truth in ((3, truth3), (10, truth10)):
+        t0 = time.perf_counter()
+        got = {}
+        for r in pq.ivfpq_search(corpus, q, index, k=k).collect():
+            got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        wall = round(time.perf_counter() - t0, 2)
+        hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+        out[f"recall_at_{k}"] = round(hits / sum(len(v) for v in truth.values()), 4)
+        out[f"search_at_{k}_sec"] = wall
+    corpus.unpersist()
+    return out
+
+
+def cmd_band_skew() -> dict:
+    """Adversarial boilerplate corpus (VERDICT r8 item 7): n docs sharing
+    one template collapse onto one band bucket per band; measure the pair
+    stage with the hot-bucket salted gate off vs on (identical outputs)."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "3000"))
+    spark = _session(0.1)
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators.dedup import HOT_BUCKET_MIN, minhash_pairs
+
+    template = " ".join(f"tmpl{i}" for i in range(60))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(template + " unique"), F.col("id").cast("string")).alias("text"),
+    ).persist()
+    docs.count()
+    out: dict = {"n_docs": n_docs, "hot_bucket_min": HOT_BUCKET_MIN}
+    for name, kw in (("unsalted", {"hot_bucket_min": 0}), ("salted_default", {})):
+        runs = []
+        n_pairs = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n_pairs = minhash_pairs(docs, **kw).count()
+            runs.append(round(time.perf_counter() - t0, 2))
+        out[name] = {"n_pairs": n_pairs, "walls": sorted(runs)}
+    docs.unpersist()
+    out["pairs_match"] = out["unsalted"]["n_pairs"] == out["salted_default"]["n_pairs"]
+    return out
+
+
+def cmd_incremental() -> dict:
+    """Incremental-funnel walls (VERDICT r8 item 8): N doc_id-ordered
+    batches through run_curation_incremental vs the one-shot batch funnel
+    on the same corpus; survivor-set equality + per-batch walls."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf1")
+    n_batches = int(os.environ.get("SPARK_GRAFT_INC_BATCHES", "5"))
+    spark = _session(_sf(sf_dir))
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from wnba_data_pipeline_spark.plans import curation
+    from wnba_data_pipeline_spark.sources.sinks import read_table
+
+    out: dict = {"sf_dir": sf_dir, "n_batches": n_batches}
+    base = tempfile.mkdtemp(prefix="curation-inc-", dir="/dev/shm")
+    try:
+        t0 = time.perf_counter()
+        stage_seconds: dict = {}
+        curation.run_curation(spark, sf_dir, base, stage_seconds=stage_seconds)
+        out["batch_total_sec"] = round(time.perf_counter() - t0, 2)
+        out["batch_stage_sec"] = stage_seconds
+        walls: list = []
+        t0 = time.perf_counter()
+        curation.run_curation_incremental(
+            spark, sf_dir, base, n_batches=n_batches, batch_walls=walls
+        )
+        out["incremental_total_sec"] = round(time.perf_counter() - t0, 2)
+        out["incremental_batch_sec"] = walls
+        b = {
+            r["doc_id"]
+            for r in read_table(spark, f"{base}/curation/near_deduped").select("doc_id").collect()
+        }
+        i = {
+            r["doc_id"]
+            for r in read_table(spark, f"{base}/curation_inc/near_deduped").select("doc_id").collect()
+        }
+        out["survivors_batch"] = len(b)
+        out["survivors_incremental"] = len(i)
+        out["survivor_sets_equal"] = b == i
+        out["survivor_sym_diff"] = len(b ^ i)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "rangebins"
     fn = {
         "rangebins": cmd_rangebins,
         "minhash_probe": cmd_minhash_probe,
+        "minhash_ab": cmd_minhash_ab,
         "hardneg_recall": cmd_hardneg_recall,
+        "ivfpq_recall": cmd_ivfpq_recall,
+        "band_skew": cmd_band_skew,
+        "incremental": cmd_incremental,
     }[cmd]
     print(json.dumps({cmd: fn()}))
 

@@ -327,15 +327,15 @@ FROM r
 
 QUERIES = {
     "multimodal_features": q_multimodal_features,
-    # frame_sample rotated OFF the registry (round-7 sixth rotation,
-    # VERDICT r6 named it the candidate): its deterministic byte-level
-    # behavior keeps the identical hash-differential parity check in
-    # tests/test_offregistry_parity.py, and multimodal_features covers the
-    # same mapInPandas plumbing with a hard driver row. The freed slot
-    # registers pq_rerank (operators/pq.py) via the static fitted-codebook
-    # oracle — the last major LLM family without a driver row.
+    # frame_sample rotated back IN (round-9 eighth rotation, VERDICT r8
+    # item 6): round 7 parked it off-registry while pq_rerank took the
+    # slot; the video-frame family now re-holds a hard driver row (the
+    # 1→N in-executor frame expansion is distinct plumbing from
+    # multimodal_features' 1→1 decode).
+    "frame_sample": q_frame_sample,
 }
 
 ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "frame_sample": ORACLE_FRAME_SAMPLE,
 }

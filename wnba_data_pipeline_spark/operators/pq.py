@@ -486,5 +486,266 @@ def oracle_pq_rerank(sf_name: str = "sf0.01") -> str:
     return pq_rerank_sql(PQModel(CODEBOOKS_BY_SF[sf_name], []))
 
 
-QUERIES = {"pq_rerank": q_pq_rerank}
-ORACLES = {"pq_rerank": oracle_pq_rerank("sf0.01")}
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse cells + within-cell ADC + exact rerank (the composed stack)
+# ---------------------------------------------------------------------------
+
+IVFPQ_COARSE_K = 8  # coarse-quantizer cells (trained, vs q_sim_ivf's sampled seeds)
+IVFPQ_NPROBE = 2  # cells searched per query
+IVFPQ_RERANK = 50  # ADC shortlist per query feeding the exact re-rank
+
+
+@dataclass
+class IVFPQIndex:
+    """A trained IVF-PQ index: coarse k-means centroids (the inverted-list
+    partitioner) + the PQ sub-codebooks (the in-list compressor)."""
+
+    coarse: list[list[float]]  # coarse_k × DIM
+    pq: PQModel
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = IVFPQ_COARSE_K,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    max_iter: int = PQ_ITERS,
+    sample_mod: int = 1,
+) -> IVFPQIndex:
+    """Train both quantizers (VERDICT r8 item 4 — the composed 100 TB ANN
+    stack FAISS spells IVFx,PQy): the coarse Lloyd fit partitions the
+    corpus into inverted lists; the PQ fit compresses vectors inside
+    them. PQ encodes RAW vectors, not residuals (FAISS's
+    ``by_residual=false`` variant): residual encoding couples every code
+    to its cell's centroid, so a centroid refresh forces a corpus
+    re-encode — raw-vector codes survive coarse re-training, the right
+    trade at 100 TB where re-encoding is the expensive pass. Both fits
+    inherit ``kmeans_fit``'s bit-determinism; ``sample_mod`` is the scale
+    knob for both (train on a hash sample, encode everything)."""
+    coarse = kmeans_fit(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=coarse_k,
+        max_iter=max_iter,
+        sample_mod=sample_mod,
+        seed_tag="ivfc",
+    )
+    model = pq_fit(
+        df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, max_iter=max_iter, sample_mod=sample_mod
+    )
+    return IVFPQIndex(coarse.centroids, model)
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    index: IVFPQIndex,
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """cell id + PQ codes in ONE zero-shuffle map pass — the build side of
+    the index. At 100 TB this output is written partitioned/bucketed by
+    ``cell`` (the physical inverted lists) so the probe join prunes to
+    nprobe/coarse_k of the files; locally the cell equi-join plays that
+    role."""
+    from .clustering import assign_clusters
+
+    assigned = assign_clusters(df, index.coarse, vec_col=vec_col, out_col=cell_col)
+    return pq_encode(assigned, index.pq, vec_col=vec_col, out_col=codes_col)
+
+
+def ivfpq_search(
+    corpus_enc: DataFrame,
+    queries: DataFrame,
+    index: IVFPQIndex,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_vec_id",
+    q_vec_col: str = "q_emb",
+    cell_col: str = "cell",
+    codes_col: str = "codes",
+    k: int = PQ_TOP_K,
+    nprobe: int = IVFPQ_NPROBE,
+    rerank: int = IVFPQ_RERANK,
+) -> DataFrame:
+    """The composed search: each query probes its ``nprobe`` nearest coarse
+    cells (tiny query-side expansion), ADC runs ONLY on corpus rows inside
+    probed cells (the equi-join on ``cell`` — never a full-corpus ADC
+    scan; plan-asserted in tests/test_pq.py), the per-query shortlist of
+    ``rerank`` ids fetches raw vectors by id, and exact L2 re-ranks to
+    top-k. A corpus vector lives in exactly one cell, so (query, vector)
+    pairs are join-unique — no distinct needed. ``corpus_enc`` must carry
+    id, raw vector (for the re-rank fetch), cell, and codes."""
+    from .clustering import probe_assignments
+
+    model, dsub = index.pq, index.pq.dsub
+    qp = probe_assignments(
+        queries.select(q_id_col, q_vec_col), index.coarse, vec_col=q_vec_col, nprobe=nprobe
+    )
+    lut = F.array(
+        *[
+            F.array(*[_sqdist(F.slice(F.col(q_vec_col), j * dsub + 1, dsub), w) for w in cb])
+            for j, cb in enumerate(model.codebooks)
+        ]
+    )
+    q = qp.select(F.col(q_id_col), F.col(cell_col), lut.alias("_lut"))
+    adist = None
+    for j in range(model.m):
+        term = F.element_at(
+            F.element_at("_lut", j + 1), F.element_at(codes_col, j + 1) + F.lit(1)
+        )
+        adist = term if adist is None else adist + term
+    pairs = (
+        F.broadcast(q)
+        .join(corpus_enc.select(id_col, cell_col, codes_col), [cell_col])
+        .filter(F.col(q_id_col) != F.col(id_col))
+        .withColumn("_adist", adist)
+    )
+    w_sl = Window.partitionBy(q_id_col).orderBy(F.col("_adist").asc(), F.col(id_col).asc())
+    shortlist = (
+        pairs.withColumn("_rk", F.row_number().over(w_sl))
+        .filter(F.col("_rk") <= rerank)
+        .select(q_id_col, F.col(id_col).alias("n_vec_id"))
+    )
+    cand = shortlist.join(
+        corpus_enc.select(F.col(id_col).alias("n_vec_id"), F.col(vec_col).alias("_n_emb")),
+        "n_vec_id",
+    ).join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("_d2").asc(), F.col("n_vec_id").asc())
+    return (
+        cand.withColumn("_d2", _sqdist_vec(F.col(q_vec_col), F.col("_n_emb")))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select(
+            q_id_col,
+            "n_vec_id",
+            F.round(F.col("_d2"), 6).alias("d2"),
+            F.col("nn_rank").cast("long").alias("nn_rank"),
+        )
+    )
+
+
+def q_ivfpq_search(spark, sf_dir: str, *, index: IVFPQIndex | None = None) -> DataFrame:
+    """End-to-end IVF-PQ search over the embeddings table: fit both
+    quantizers (if no index is passed), encode the corpus once, probe +
+    ADC + exact-rerank top-3 for the first PQ_N_QUERIES vectors — the
+    composed production twin of ``q_pq_rerank`` (which ADC-scans the WHOLE
+    corpus) and ``q_sim_ivf`` (which probes cells but stores raw
+    vectors)."""
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if index is None:
+        index = ivfpq_fit(emb)
+    corpus = ivfpq_encode(emb.select("vec_id", "embedding"), index)
+    q = emb.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivfpq_search(corpus, q, index)
+
+
+def ivfpq_search_sql(
+    index: IVFPQIndex,
+    *,
+    k: int = PQ_TOP_K,
+    nprobe: int = IVFPQ_NPROBE,
+    rerank: int = IVFPQ_RERANK,
+    n_queries: int = PQ_N_QUERIES,
+) -> str:
+    """Post-fit DuckDB twin of ``q_ivfpq_search``: coarse centroids AND
+    sub-codebooks as literals; cell assignment via the same first-min
+    argmin, probes via the same sorted (distance, index) structs as
+    ``clustering.semantic_dedup_pairs_sql``, then in-cell ADC, shortlist,
+    exact re-rank. Same association/tie-break contracts throughout, so
+    cells, codes, shortlists, and ranks cannot diverge."""
+    from .clustering import _sqdist_sql
+
+    model = index.pq
+    dsub = model.dsub
+    cdists = ", ".join(_sqdist_sql("embedding", c) for c in index.coarse)
+    qcdists = ", ".join(_sqdist_sql("q_emb", c) for c in index.coarse)
+    dls = ", ".join(
+        "list_value("
+        + ", ".join(_sqdist_sql_slice("embedding", w, j * dsub) for w in cb)
+        + f") AS dl{j}"
+        for j, cb in enumerate(model.codebooks)
+    )
+    luts = ", ".join(
+        "list_value("
+        + ", ".join(_sqdist_sql_slice("q_emb", w, j * dsub) for w in cb)
+        + f") AS lut{j}"
+        for j, cb in enumerate(model.codebooks)
+    )
+    adist = " + ".join(f"q.lut{j}[c.codes[{j + 1}] + 1]" for j in range(model.m))
+    d2 = _sqdist_vec_sql("q.q_emb", "e.embedding")
+    return f"""
+WITH cells AS (
+  SELECT vec_id, (list_position(cd, list_min(cd)) - 1) AS cell
+  FROM (SELECT vec_id, list_value({cdists}) AS cd FROM embeddings)
+), dists AS (
+  SELECT vec_id, {dls} FROM embeddings
+), corpus AS (
+  SELECT d.vec_id, cl.cell,
+         [{", ".join(f"(list_position(dl{j}, list_min(dl{j})) - 1)" for j in range(model.m))}] AS codes
+  FROM dists d JOIN cells cl ON d.vec_id = cl.vec_id
+), qraw AS (
+  SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}
+), qprobe AS (
+  SELECT q_vec_id, unnest(list_transform(rk[1:{nprobe}], s -> s.i)) AS cell
+  FROM (
+    SELECT q_vec_id,
+           list_sort(list_transform(range({len(index.coarse)}),
+                                    j -> {{'d': cd[j + 1], 'i': j}})) AS rk
+    FROM (SELECT q_vec_id, list_value({qcdists}) AS cd FROM qraw)
+  )
+), q AS (
+  SELECT q_vec_id, {luts} FROM qraw
+), shortlist AS (
+  SELECT q_vec_id, n_vec_id FROM (
+    SELECT p.q_vec_id, c.vec_id AS n_vec_id,
+           row_number() OVER (PARTITION BY p.q_vec_id
+                              ORDER BY {adist} ASC, c.vec_id ASC) AS rk
+    FROM qprobe p
+    JOIN corpus c ON p.cell = c.cell AND p.q_vec_id <> c.vec_id
+    JOIN q ON q.q_vec_id = p.q_vec_id
+  ) WHERE rk <= {rerank}
+)
+SELECT q_vec_id, n_vec_id, round(d2, 6) AS d2, CAST(nn_rank AS BIGINT) AS nn_rank
+FROM (
+  SELECT s.q_vec_id, s.n_vec_id, {d2} AS d2,
+         row_number() OVER (PARTITION BY s.q_vec_id ORDER BY {d2} ASC, s.n_vec_id ASC) AS nn_rank
+  FROM shortlist s
+  JOIN embeddings e ON s.n_vec_id = e.vec_id
+  JOIN qraw q ON s.q_vec_id = q.q_vec_id
+) WHERE nn_rank <= {k}
+"""
+
+
+def oracle_ivfpq(sf_name: str = "sf0.01") -> str:
+    """Static driver oracle for ``ivfpq_search``: the post-fit twin rendered
+    from the checked-in coarse centroids (``_ivfpq_coarse.py``) and PQ
+    sub-codebooks (``_pq_codebooks.py``), both generated by
+    tools/gen_pq_oracle.py. Valid on the same bit-determinism argument as
+    ``oracle_pq_rerank`` — fit == literals is exact-equality-guarded in
+    tests/test_pq.py."""
+    from ._ivfpq_coarse import COARSE_BY_SF
+    from ._pq_codebooks import CODEBOOKS_BY_SF
+
+    return ivfpq_search_sql(IVFPQIndex(COARSE_BY_SF[sf_name], PQModel(CODEBOOKS_BY_SF[sf_name], [])))
+
+
+# pq_rerank rotated OFF / ivfpq_search IN (round-9 eighth rotation,
+# VERDICT r8 items 4+6): the composed IVF-PQ stack subsumes pq_rerank's
+# ADC-shortlist + exact-rerank inside the probed-cell path (the actual
+# 100 TB shape), so the PQ family's hard driver row moves to the more
+# complete operator; pq_rerank keeps the identical hash-differential
+# parity row in tests/test_offregistry_parity.py.
+QUERIES = {"ivfpq_search": q_ivfpq_search}
+ORACLES = {"ivfpq_search": oracle_ivfpq("sf0.01")}
+ORACLE_PQ_RERANK = oracle_pq_rerank("sf0.01")  # off-registry parity twin

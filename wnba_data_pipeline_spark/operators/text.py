@@ -1360,7 +1360,13 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_corpus_rollup": q_text_corpus_rollup,
     "doc_winnow": q_doc_winnow,
-    "corpus_sample": q_corpus_sample,
+    # corpus_sample rotated OFF (round-9 eighth rotation): its hash-gate
+    # stratified-sampling physics is exactly mixture_sample's (which keeps a
+    # hard driver row and adds per-source rate logic on top), and the gate
+    # itself runs in every funnel test; parity moves to
+    # tests/test_offregistry_parity.py. The freed slot registers
+    # frame_sample back in (operators/multimodal.py, a round-7 rotation
+    # whose family VERDICT r8 item 6 asked to re-cover with a driver row).
     "mixture_sample": q_mixture_sample,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination_check": q_contamination_check,
@@ -1368,13 +1374,16 @@ QUERIES = {
     "pii_stats": q_pii_stats,
     "unigram_ppl": q_unigram_ppl,
     "chunk_docs": q_chunk_docs,
+    # url_domains registered (round-9 eighth rotation): the crawl-provenance
+    # family (URL extraction + per-domain rollup + blocklist gate) had only
+    # pytest differentials; it now holds a hard driver row.
+    "url_domains": q_url_domains,
 }
 
 ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
     "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
     "doc_winnow": ORACLE_DOC_WINNOW,
-    "corpus_sample": _oracle_corpus_sample(),
     "mixture_sample": _oracle_mixture_sample(),
     "tfidf_top_terms": _oracle_tfidf(),
     "contamination_check": ORACLE_CONTAMINATION_CHECK,
@@ -1382,4 +1391,5 @@ ORACLES = {
     "pii_stats": ORACLE_PII_STATS,
     "unigram_ppl": ORACLE_UNIGRAM_PPL,
     "chunk_docs": ORACLE_CHUNK_DOCS,
+    "url_domains": ORACLE_URL_DOMAINS,
 }
