@@ -55,7 +55,7 @@ def test_salt_spreads_hot_key(spark):
 # ---------------------------------------------------------------------------
 
 
-def _boilerplate_corpus(spark, n_docs=220):
+def _boilerplate_corpus(spark, n_docs=600):
     """n_docs sharing one 60-word template + a tiny unique suffix — most
     land in ONE band bucket per band (the adversarial shape: pairwise
     jaccard ~0.9, so candidates AND verified pairs are quadratic)."""
@@ -67,17 +67,41 @@ def _boilerplate_corpus(spark, n_docs=220):
 
 
 def test_dedup_hot_bucket_salted_pairs_identical(spark):
-    from wnba_data_pipeline_spark.operators.dedup import minhash_pairs
+    from wnba_data_pipeline_spark.functions.hashing import md5_long
+    from wnba_data_pipeline_spark.operators.dedup import (
+        HB_SAMPLE_MOD,
+        _minhash_band_keys,
+        minhash_pairs,
+        shingle_docs,
+    )
 
     docs = _boilerplate_corpus(spark)
+    # the sampled detector must actually fire on this corpus (otherwise the
+    # equality below only exercises the cold branch): recompute the
+    # estimate with the operator's own constants
+    est = (
+        shingle_docs(docs)
+        .filter(
+            F.pmod(
+                md5_long(F.concat(F.lit("hb:"), F.col("doc_id").cast("string"))),
+                F.lit(HB_SAMPLE_MOD),
+            )
+            == 0
+        )
+        .select(F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key"))
+        .groupBy("band_key")
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    assert est > 0, "sampled hot-bucket detection did not fire; grow the corpus"
     plain = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
-        for r in minhash_pairs(docs, hot_bucket_min=0).collect()
+        for r in minhash_pairs(docs, hot_bucket_min=32).collect()
     }
-    # hot_bucket_min=32 engages the salted path on this small corpus
     salted = {
         (r["doc_a"], r["doc_b"], r["jaccard"])
-        for r in minhash_pairs(docs, hot_bucket_min=32).collect()
+        for r in minhash_pairs(docs, hot_bucket_min=0).collect()
     }
     assert plain == salted
     assert len(plain) > 1000  # the quadratic shape is real

@@ -1,0 +1,69 @@
+"""Assemble BENCH_SCALE_r09.json from the individual probe outputs
+(tools/bench_r09.py and tools/bench_r08.py subcommand runs saved under
+/tmp). One-shot round-9 artifact builder; re-run after re-running any
+probe."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+SECTIONS = {
+    # VERDICT r8 item 1: the third decade of the ladder
+    "sf100_matrix": "/tmp/sf100_scale.json",
+    # item 2: range_join_bins drift attribution
+    "rangebins_attribution_sf30": "/tmp/r09_rangebins_sf30.json",
+    "rangebins_attribution_sf100": "/tmp/r09_rangebins_sf100.json",
+    # item 3: MinHash candidate anatomy + geometry A/B + post-change funnel
+    "minhash_probe_sf30": "/tmp/minhash_probe_sf30.json",
+    "minhash_geometry_ab_sf30": "/tmp/r09_minhash_ab_sf30.json",
+    "curation_sf30_post_geometry": "/tmp/r09_curation_sf30.json",
+    # item 4: composed IVF-PQ recall/cost
+    "ivfpq_recall_sf01": "/tmp/r09_ivfpq_sf01.json",
+    "ivfpq_recall_sf1": "/tmp/r09_ivfpq_sf1.json",
+    # item 5: hard-negative recall on the ladder
+    "hardneg_recall_sf1": "/tmp/r09_hardneg_sf1.json",
+    # item 7: adversarial band-skew gate
+    "band_skew": "/tmp/r09_band_skew.json",
+    # item 8: incremental curation
+    "incremental_curation_sf1": "/tmp/r09_incremental_sf1.json",
+}
+
+out: dict = {
+    "round": 9,
+    "methodology": (
+        "Same bench.py methodology as round 8: plans built once, warm "
+        "best-of-N to the noop sink; DuckDB engine-only via CREATE TEMP "
+        "TABLE AS of the exact oracle SQL, same session, same machine; "
+        "bucketed layout via plans.catalog.ensure_bucketed_layout (write "
+        "cost separate). sf100 rows use best-of-3 after 1 warm-up (the "
+        "queries are 10-100x the per-run cost of the sf10 rows). The "
+        "minhash A/B and curation sections run AFTER the round-9 geometry "
+        "change (16 hashes / 4x4 bands) and hot-bucket salting; survivor "
+        "deltas vs the old 12/3x4 geometry are quantified in "
+        "minhash_geometry_ab_sf30."
+    ),
+}
+def _load(p: Path):
+    """Parse the LAST JSON-object line — JVM GC warnings occasionally leak
+    onto stdout ahead of the probe's single json.dumps line."""
+    for line in reversed(p.read_text().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+for key, path in SECTIONS.items():
+    p = Path(path)
+    data = _load(p) if p.exists() and p.stat().st_size > 0 else None
+    if data is None:
+        out[key] = None
+    else:
+        out[key] = next(iter(data.values())) if len(data) == 1 else data
+
+Path("BENCH_SCALE_r09.json").write_text(json.dumps(out, indent=1) + "\n")
+print("wrote BENCH_SCALE_r09.json:", {k: ("ok" if v else "MISSING") for k, v in out.items() if k not in ("round", "methodology")})

@@ -94,7 +94,7 @@ def _session(sf: float | None):
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.files.maxPartitionBytes": "48m" if (sf or 0) >= 5 else "4m",
             "spark.sql.files.openCostInBytes": "256k",
-            "spark.local.dir": "/dev/shm/spark-bench-local",
+            "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-bench-local"),
         },
     )
     ensure_confs(spark)
@@ -117,6 +117,9 @@ def cmd_scale() -> dict:
     from wnba_data_pipeline_spark.plans.catalog import ensure_bucketed_layout
 
     con = duckdb.connect()
+    # cap DuckDB so the sf100 window/quantile spills instead of competing
+    # with the resident JVM heap for the whole box (the round-9 OOM lesson)
+    con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '40GB')}'")
     for t in ("lineitem", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -92,7 +92,7 @@ def _session(sf: float | None):
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.files.maxPartitionBytes": "48m" if (sf or 0) >= 5 else "4m",
             "spark.sql.files.openCostInBytes": "256k",
-            "spark.local.dir": "/dev/shm/spark-bench-local",
+            "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-bench-local"),
         },
     )
     ensure_confs(spark)
@@ -116,7 +116,12 @@ def cmd_rangebins() -> dict:
     from wnba_data_pipeline_spark.plans.catalog import ensure_bucketed_layout
 
     out: dict = {"sf_dir": sf_dir, "sf": sf}
-    ensure_bucketed_layout(spark, sf_dir, n_buckets=32 if (sf or 0) >= 0.5 else 8)
+    # events only: this probe never touches the lineitem family, and the
+    # sf100 lineitem clustered write is a 14 GB sort this box pays for
+    # nothing (the full-matrix OOM lesson)
+    ensure_bucketed_layout(
+        spark, sf_dir, n_buckets=32 if (sf or 0) >= 0.5 else 8, tables=("events",)
+    )
     os.environ["SPARK_GRAFT_LAYOUT"] = "bucketed"
     try:
         ev = relational._layout_table(spark, sf_dir, "events")
@@ -164,7 +169,7 @@ def cmd_rangebins() -> dict:
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
     )
     d_now = "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 1 MICROSECOND PRECEDING"
-    d_cut = "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL 86400000001 MICROSECOND PRECEDING"
+    d_cut = "PARTITION BY user_id ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND INTERVAL (86400000001) MICROSECOND PRECEDING"
     out["duckdb_stages"] = {
         "one_cumulative_count": _spread_duck(
             con, f"SELECT event_id, count(1) OVER ({d_now}) AS _n FROM events"
@@ -332,6 +337,86 @@ def cmd_minhash_ab() -> dict:
     return out
 
 
+def cmd_minhash_stages() -> dict:
+    """Stage-level decomposition of the pair pipeline per geometry x gate:
+    signature/band map wall, candidate count + wall (gate on/off), full
+    verified-pairs wall — the measurement that explains (or convicts) the
+    round-9 geometry change and the hot-bucket gate's overhead."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf30")
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.functions.hashing import minhash_coeffs
+    from wnba_data_pipeline_spark.operators import dedup
+    from wnba_data_pipeline_spark.operators.text import quality_score_col, sample_gate
+    from wnba_data_pipeline_spark.plans.curation import QUALITY_MIN
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.withColumn("quality_score", quality_score_col("text")).filter(
+        F.col("quality_score") >= QUALITY_MIN
+    )
+    corpus = (
+        dedup.exact_survivors(sample_gate(kept))
+        .select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .persist()
+    )
+    n_docs = corpus.count()
+    shingled = dedup.shingle_docs(corpus).persist()
+    shingled.count()
+
+    out: dict = {"sf_dir": sf_dir, "n_docs": n_docs}
+    for name, kw in (
+        ("old_12x3", {"coeffs": minhash_coeffs(12), "band_rows": 3}),
+        ("new_16x4", {}),
+    ):
+        sec: dict = {}
+        banded = shingled.select(
+            "doc_id",
+            F.explode(
+                F.array(*dedup._minhash_band_keys(F.col("sh"), **kw))
+            ).alias("band_key"),
+        )
+        t0 = time.perf_counter()
+        n_banded = banded.count()
+        sec["sig_bands_map"] = round(time.perf_counter() - t0, 2)
+
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        t0 = time.perf_counter()
+        n_cand = cand.count()
+        sec["candidates_nogate"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        n_pairs_off = dedup.minhash_pairs(
+            corpus, shingled=shingled, hot_bucket_min=0, **kw
+        ).count()
+        sec["full_pairs_gate_off"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_pairs_on = dedup.minhash_pairs(corpus, shingled=shingled, **kw).count()
+        sec["full_pairs_gate_on"] = round(time.perf_counter() - t0, 2)
+        out[name] = {
+            "n_banded_rows": n_banded,
+            "n_candidates": n_cand,
+            "n_verified_pairs_gate_off": n_pairs_off,
+            "n_verified_pairs_gate_on": n_pairs_on,
+            "sec": sec,
+        }
+    shingled.unpersist()
+    corpus.unpersist()
+    return out
+
+
 def cmd_hardneg_recall() -> dict:
     """Top-k recall of hard_negatives_bucketed vs EXACT mining, estimated
     over a deterministic anchor sample (full all-pairs at sf1 is 2.25e9
@@ -473,6 +558,66 @@ def cmd_ivfpq_recall() -> dict:
     return out
 
 
+def cmd_ivfpq_clustered() -> dict:
+    """IVF-PQ on a CLUSTERED corpus (8 gaussian clusters, 64-dim): the
+    recall the index delivers when the data has the neighborhood structure
+    IVF exploits — the counterpoint to the near-uniform driver embeddings,
+    where probing 2/8 cells can only ever see ~25% of the corpus and
+    recall measures chance level by construction."""
+    n = int(os.environ.get("SPARK_GRAFT_IVFPQ_N", "20000"))
+    n_queries = 100
+    spark = _session(0.1)
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0.0, 5.0, (8, 64))
+    x = centers[np.arange(n) % 8] + rng.normal(0.0, 1.0, (n, 64))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x.astype(np.float64))})
+    emb = spark.createDataFrame(pdf).persist()
+    emb.count()
+
+    index = pq.ivfpq_fit(emb)
+    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+    corpus.count()
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    exact = (
+        F.broadcast(q)
+        .join(emb.select("vec_id", "embedding"), F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("_d2", pq._sqdist_vec(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"), "rk")
+    )
+    truth3, truth10 = {}, {}
+    for r in exact.collect():
+        truth10.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        if r["rk"] <= 3:
+            truth3.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    out: dict = {"n_corpus": n, "n_queries": n_queries, "n_true_clusters": 8}
+    for k, truth in ((3, truth3), (10, truth10)):
+        got = {}
+        for r in pq.ivfpq_search(corpus, q, index, k=k).collect():
+            got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+        out[f"recall_at_{k}"] = round(hits / sum(len(v) for v in truth.values()), 4)
+    cell_sizes = [
+        r["n"] for r in corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    out["cell_sizes"] = sorted(cell_sizes, reverse=True)
+    emb.unpersist()
+    corpus.unpersist()
+    return out
+
+
 def cmd_band_skew() -> dict:
     """Adversarial boilerplate corpus (VERDICT r8 item 7): n docs sharing
     one template collapse onto one band bucket per band; measure the pair
@@ -558,8 +703,10 @@ def main() -> None:
         "rangebins": cmd_rangebins,
         "minhash_probe": cmd_minhash_probe,
         "minhash_ab": cmd_minhash_ab,
+        "minhash_stages": cmd_minhash_stages,
         "hardneg_recall": cmd_hardneg_recall,
         "ivfpq_recall": cmd_ivfpq_recall,
+        "ivfpq_clustered": cmd_ivfpq_clustered,
         "band_skew": cmd_band_skew,
         "incremental": cmd_incremental,
     }[cmd]

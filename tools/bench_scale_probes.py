@@ -94,7 +94,7 @@ def main() -> None:
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.files.maxPartitionBytes": "48m" if (sf or 0) >= 5 else "4m",
             "spark.sql.files.openCostInBytes": "256k",
-            "spark.local.dir": "/dev/shm/spark-bench-local",
+            "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-bench-local"),
         },
     )
     ensure_confs(spark)

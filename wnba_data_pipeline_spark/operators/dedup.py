@@ -61,8 +61,10 @@ SIMHASH_BITS = 16
 # LSH band buckets above this size pair through the salted self-join (see
 # minhash_pairs docstring). The sf30 organic maximum bucket was 359 rows
 # (BENCH_SCALE_r09 minhash_probe), so only adversarial boilerplate
-# corpora cross this line.
+# corpora cross this line. Detection runs on a 1/HB_SAMPLE_MOD doc sample
+# (cost, not correctness — both plan branches emit identical pairs).
 HOT_BUCKET_MIN = 1024
+HB_SAMPLE_MOD = 64
 
 
 # ---------------------------------------------------------------------------
@@ -235,9 +237,11 @@ def minhash_pairs(
     builds |B|²/HOT_SALTS pairs. Output-identical to the plain join (every
     (a<b) pair matches exactly once, at a's salt — equality-asserted in
     tests/test_skew.py), so the ORACLE and survivor semantics are
-    untouched; the bucket-size aggregation rides the same band_key
-    exchange the self-join needs (ReusedExchange). Pass ``None`` to
-    disable (the measured-off baseline).
+    untouched. Hot buckets are detected from a 1/HB_SAMPLE_MOD doc sample
+    split off via broadcast hash joins — see the inline comment for why
+    (an exact full count via window measured +38-52 s at sf30; the sample
+    costs ~nothing and misdetection only changes the physical branch,
+    never the pairs). Pass ``0`` to disable (the measured-off baseline).
 
     ``shingled``: optionally pass a (persisted) ``shingle_docs`` frame to
     share the shingle computation across this plan's three consumers —
@@ -268,10 +272,35 @@ def minhash_pairs(
     else:
         from ..functions.skew import HOT_SALTS, explode_salts, with_salt
 
-        sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("_n"))
-        keyed = banded.join(sizes, "band_key")
-        cold = keyed.filter(F.col("_n") <= hot_bucket_min).select("doc_id", "band_key")
-        hot = keyed.filter(F.col("_n") > hot_bucket_min).select("doc_id", "band_key")
+        # Hot buckets are DETECTED ON A SAMPLE, not by counting the full
+        # band table (the round-9 first cut counted via a band_key window
+        # and measured +38-52 s at sf30 — the Sort+Window re-ran per join
+        # consumer). A deterministic 1/HB_SAMPLE_MOD doc sample bands
+        # ~1/64 of the corpus; a true bucket of B rows appears ~B/64
+        # times, so `>= max(2, min/128)` engages the salted branch with
+        # ~certainty for the B >> 10k buckets where single-task pair
+        # builds actually hurt. Detection nondeterminism is IRRELEVANT to
+        # output: both branches emit exactly the same pairs — the sample
+        # only picks the physical join shape per bucket. Cost when no
+        # bucket is hot (every organic corpus measured): the tiny
+        # sampled agg + two broadcast hash joins streaming over banded —
+        # no extra sort, no extra shuffle, no second signature pass.
+        sample_gate_col = (
+            F.pmod(
+                md5_long(F.concat(F.lit("hb:"), F.col("doc_id").cast("string"))),
+                F.lit(HB_SAMPLE_MOD),
+            )
+            == 0
+        )
+        hot_keys = (
+            banded.filter(sample_gate_col)
+            .groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= max(2, hot_bucket_min // (2 * HB_SAMPLE_MOD)))
+            .select("band_key")
+        )
+        cold = banded.join(F.broadcast(hot_keys), "band_key", "left_anti")
+        hot = banded.join(F.broadcast(hot_keys), "band_key", "left_semi")
         hot_a = with_salt(hot, HOT_SALTS)
         hot_b = explode_salts(hot, HOT_SALTS)
         hot_pairs = (
