@@ -14,17 +14,28 @@ SECTIONS = {
     # item 2: range_join_bins drift attribution
     "rangebins_attribution_sf30": "/tmp/r09_rangebins_sf30.json",
     "rangebins_attribution_sf100": "/tmp/r09_rangebins_sf100.json",
-    # item 3: MinHash candidate anatomy + geometry A/B + post-change funnel
+    # item 3: MinHash candidate anatomy + geometry A/B + post-change funnel.
+    # stage decompositions: _window_gate ran with the first-cut window
+    # hot-bucket counter (+38-52 s measured regression), _sampled_gate with
+    # the shipped 1/64-sample detector; curation_sf30 sections mirror that
+    # (window-gate funnel kept as the measured negative).
     "minhash_probe_sf30": "/tmp/minhash_probe_sf30.json",
     "minhash_geometry_ab_sf30": "/tmp/r09_minhash_ab_sf30.json",
-    "curation_sf30_post_geometry": "/tmp/r09_curation_sf30.json",
-    # item 4: composed IVF-PQ recall/cost
+    "minhash_stages_window_gate": "/tmp/r09_minhash_stages.json",
+    "minhash_stages_sampled_gate": "/tmp/r09_minhash_stages2.json",
+    "curation_sf30_window_gate": "/tmp/r09_curation_sf30.json",
+    "curation_sf30_sampled_gate": "/tmp/r09_curation_sf30_v2.json",
+    # item 4: composed IVF-PQ recall/cost (uniform synthetic embeddings),
+    # plus the clustered-corpus probe (the honest recall counterpoint —
+    # uniform random vectors bound IVF recall near the probed fraction)
     "ivfpq_recall_sf01": "/tmp/r09_ivfpq_sf01.json",
     "ivfpq_recall_sf1": "/tmp/r09_ivfpq_sf1.json",
+    "ivfpq_clustered": "/tmp/r09_ivfpq_clustered.json",
     # item 5: hard-negative recall on the ladder
     "hardneg_recall_sf1": "/tmp/r09_hardneg_sf1.json",
-    # item 7: adversarial band-skew gate
-    "band_skew": "/tmp/r09_band_skew.json",
+    # item 7: adversarial band-skew gate (planted one-template corpus)
+    "band_skew_3000": "/tmp/r09_band_skew_3000.json",
+    "band_skew_10000": "/tmp/r09_band_skew_10000.json",
     # item 8: incremental curation
     "incremental_curation_sf1": "/tmp/r09_incremental_sf1.json",
 }
