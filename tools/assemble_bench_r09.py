@@ -31,6 +31,9 @@ SECTIONS = {
     "ivfpq_recall_sf01": "/tmp/r09_ivfpq_sf01.json",
     "ivfpq_recall_sf1": "/tmp/r09_ivfpq_sf1.json",
     "ivfpq_clustered": "/tmp/r09_ivfpq_clustered.json",
+    # nprobe sweep: falsifiable check that uniform-data recall tracks the
+    # probed fraction, and nprobe=8 isolates the PQ-shortlist loss term
+    "ivfpq_nprobe_sweep_sf01": "/tmp/r09_ivfpq_sweep.json",
     # item 5: hard-negative recall on the ladder
     "hardneg_recall_sf1": "/tmp/r09_hardneg_sf1.json",
     # item 7: adversarial band-skew gate (planted one-template corpus)

@@ -618,6 +618,65 @@ def cmd_ivfpq_clustered() -> dict:
     return out
 
 
+def cmd_ivfpq_sweep() -> dict:
+    """nprobe sweep on the driver embeddings: if the low sf0.1/sf1 recall
+    really is the uniform-data ceiling (recall ~= probed fraction, not an
+    implementation defect), recall@10 must track nprobe/coarse_k as nprobe
+    sweeps 1..8 and reach ~1.0 at nprobe=8 with a wide rerank (the full
+    corpus probed; remaining loss isolates the PQ-shortlist term). Recall
+    numbers are CPU-contention-immune; walls here are not reported."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_queries = int(os.environ.get("SPARK_GRAFT_IVFPQ_QUERIES", "100"))
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    index = pq.ivfpq_fit(emb)
+    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+    corpus.count()
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    exact = (
+        F.broadcast(q)
+        .join(emb.select("vec_id", "embedding"), F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("_d2", pq._sqdist_vec(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"))
+    )
+    truth10: dict = {}
+    for r in exact.collect():
+        truth10.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    denom = sum(len(v) for v in truth10.values())
+
+    out: dict = {"sf_dir": sf_dir, "n_corpus": n_corpus, "n_queries": n_queries, "sweep": []}
+    configs = [(1, pq.IVFPQ_RERANK), (2, pq.IVFPQ_RERANK), (4, pq.IVFPQ_RERANK),
+               (8, pq.IVFPQ_RERANK), (8, 500)]
+    for nprobe, rerank in configs:
+        got: dict = {}
+        for r in pq.ivfpq_search(corpus, q, index, k=10, nprobe=nprobe, rerank=rerank).collect():
+            got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        hits = sum(len(truth10[qid] & got.get(qid, set())) for qid in truth10)
+        out["sweep"].append(
+            {
+                "nprobe": nprobe,
+                "rerank": rerank,
+                "probed_fraction_nominal": round(nprobe / len(index.coarse), 4),
+                "recall_at_10": round(hits / denom, 4),
+            }
+        )
+    corpus.unpersist()
+    return out
+
+
 def cmd_band_skew() -> dict:
     """Adversarial boilerplate corpus (VERDICT r8 item 7): n docs sharing
     one template collapse onto one band bucket per band; measure the pair
@@ -707,6 +766,7 @@ def main() -> None:
         "hardneg_recall": cmd_hardneg_recall,
         "ivfpq_recall": cmd_ivfpq_recall,
         "ivfpq_clustered": cmd_ivfpq_clustered,
+        "ivfpq_sweep": cmd_ivfpq_sweep,
         "band_skew": cmd_band_skew,
         "incremental": cmd_incremental,
     }[cmd]
