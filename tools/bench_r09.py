@@ -582,9 +582,6 @@ def cmd_ivfpq_clustered() -> dict:
     emb = spark.createDataFrame(pdf).persist()
     emb.count()
 
-    index = pq.ivfpq_fit(emb)
-    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
-    corpus.count()
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
     )
@@ -603,18 +600,31 @@ def cmd_ivfpq_clustered() -> dict:
         if r["rk"] <= 3:
             truth3.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
     out: dict = {"n_corpus": n, "n_queries": n_queries, "n_true_clusters": 8}
-    for k, truth in ((3, truth3), (10, truth10)):
+    for variant, by_residual in (("raw", False), ("residual", True)):
+        index = pq.ivfpq_fit(emb, by_residual=by_residual)
+        corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+        corpus.count()
+        vout: dict = {}
+        for k, truth in ((3, truth3), (10, truth10)):
+            got = {}
+            for r in pq.ivfpq_search(corpus, q, index, k=k).collect():
+                got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+            hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+            vout[f"recall_at_{k}"] = round(hits / sum(len(v) for v in truth.values()), 4)
         got = {}
-        for r in pq.ivfpq_search(corpus, q, index, k=k).collect():
+        for r in pq.ivfpq_search(corpus, q, index, k=10, rerank=500).collect():
             got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
-        hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
-        out[f"recall_at_{k}"] = round(hits / sum(len(v) for v in truth.values()), 4)
-    cell_sizes = [
-        r["n"] for r in corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
-    ]
-    out["cell_sizes"] = sorted(cell_sizes, reverse=True)
+        hits = sum(len(truth10[qid] & got.get(qid, set())) for qid in truth10)
+        vout["recall_at_10_rerank500"] = round(
+            hits / sum(len(v) for v in truth10.values()), 4
+        )
+        vout["cell_sizes"] = sorted(
+            (r["n"] for r in corpus.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()),
+            reverse=True,
+        )
+        corpus.unpersist()
+        out[variant] = vout
     emb.unpersist()
-    corpus.unpersist()
     return out
 
 

@@ -498,10 +498,24 @@ IVFPQ_RERANK = 50  # ADC shortlist per query feeding the exact re-rank
 @dataclass
 class IVFPQIndex:
     """A trained IVF-PQ index: coarse k-means centroids (the inverted-list
-    partitioner) + the PQ sub-codebooks (the in-list compressor)."""
+    partitioner) + the PQ sub-codebooks (the in-list compressor).
+    ``by_residual`` records which variant the codebooks were TRAINED for —
+    encode and search must agree with it, so it travels with the index."""
 
     coarse: list[list[float]]  # coarse_k × DIM
     pq: PQModel
+    by_residual: bool = False
+
+
+def _residual_col(vec: Column, centroids: list[list[float]], cell: Column) -> Column:
+    """``vec - centroids[cell]`` as an in-plan expression (centroid table as
+    a literal array-of-arrays, one element_at lookup, one zip_with). IEEE
+    double subtraction — bit-identical between the JVM and the numpy
+    reference, so the residual variant keeps the fit/encode determinism
+    contract."""
+    table = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent = F.element_at(table, cell + F.lit(1))
+    return F.zip_with(vec, cent, lambda a, b: a.cast("double") - b)
 
 
 def ivfpq_fit(
@@ -514,17 +528,27 @@ def ivfpq_fit(
     ksub: int = PQ_KSUB,
     max_iter: int = PQ_ITERS,
     sample_mod: int = 1,
+    by_residual: bool = False,
 ) -> IVFPQIndex:
     """Train both quantizers (VERDICT r8 item 4 — the composed 100 TB ANN
     stack FAISS spells IVFx,PQy): the coarse Lloyd fit partitions the
     corpus into inverted lists; the PQ fit compresses vectors inside
-    them. PQ encodes RAW vectors, not residuals (FAISS's
-    ``by_residual=false`` variant): residual encoding couples every code
-    to its cell's centroid, so a centroid refresh forces a corpus
-    re-encode — raw-vector codes survive coarse re-training, the right
-    trade at 100 TB where re-encoding is the expensive pass. Both fits
-    inherit ``kmeans_fit``'s bit-determinism; ``sample_mod`` is the scale
-    knob for both (train on a hash sample, encode everything)."""
+    them. The default encodes RAW vectors (FAISS's ``by_residual=false``
+    variant): residual encoding couples every code to its cell's
+    centroid, so a centroid refresh forces a corpus re-encode —
+    raw-vector codes survive coarse re-training, the right trade when
+    re-encoding 100 TB is the expensive pass. ``by_residual=True`` is
+    FAISS's default and the right trade when the corpus is CLUSTERED at a
+    scale the sub-codebooks can't span: raw codebooks spend their ksub
+    codewords encoding cluster identity, leaving within-cell margins
+    below quantization error (measured chance-level recall on the planted
+    clustered corpus, BENCH_SCALE_r09 ``ivfpq_clustered``); training and
+    encoding on ``x - centroid[cell]`` removes the macro scale so the
+    codes resolve the within-cell offsets search actually ranks. Both
+    fits inherit ``kmeans_fit``'s bit-determinism; ``sample_mod`` is the
+    scale knob for both (train on a hash sample, encode everything)."""
+    from .clustering import assign_clusters
+
     coarse = kmeans_fit(
         df,
         id_col=id_col,
@@ -534,10 +558,23 @@ def ivfpq_fit(
         sample_mod=sample_mod,
         seed_tag="ivfc",
     )
+    pq_train, pq_vec_col = df, vec_col
+    if by_residual:
+        asg = assign_clusters(df, coarse.centroids, vec_col=vec_col, out_col="_ivfc")
+        pq_train = asg.withColumn(
+            "_res", _residual_col(F.col(vec_col), coarse.centroids, F.col("_ivfc"))
+        )
+        pq_vec_col = "_res"
     model = pq_fit(
-        df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, max_iter=max_iter, sample_mod=sample_mod
+        pq_train,
+        id_col=id_col,
+        vec_col=pq_vec_col,
+        m=m,
+        ksub=ksub,
+        max_iter=max_iter,
+        sample_mod=sample_mod,
     )
-    return IVFPQIndex(coarse.centroids, model)
+    return IVFPQIndex(coarse.centroids, model, by_residual)
 
 
 def ivfpq_encode(
@@ -552,11 +589,18 @@ def ivfpq_encode(
     the index. At 100 TB this output is written partitioned/bucketed by
     ``cell`` (the physical inverted lists) so the probe join prunes to
     nprobe/coarse_k of the files; locally the cell equi-join plays that
-    role."""
+    role. A residual index encodes ``vec - centroid[cell]`` — still the
+    same single map pass (the assignment provides the cell the residual
+    needs)."""
     from .clustering import assign_clusters
 
     assigned = assign_clusters(df, index.coarse, vec_col=vec_col, out_col=cell_col)
-    return pq_encode(assigned, index.pq, vec_col=vec_col, out_col=codes_col)
+    if not index.by_residual:
+        return pq_encode(assigned, index.pq, vec_col=vec_col, out_col=codes_col)
+    res = assigned.withColumn(
+        "_res", _residual_col(F.col(vec_col), index.coarse, F.col(cell_col))
+    )
+    return pq_encode(res, index.pq, vec_col="_res", out_col=codes_col).drop("_res")
 
 
 def ivfpq_search(
@@ -588,9 +632,17 @@ def ivfpq_search(
     qp = probe_assignments(
         queries.select(q_id_col, q_vec_col), index.coarse, vec_col=q_vec_col, nprobe=nprobe
     )
+    # A residual index ranks ||(q - c) - code||² — the LUT is built from the
+    # query's residual AGAINST EACH PROBED CELL, which is exactly one
+    # expression here because qp is already one row per (query, cell).
+    q_eff = (
+        _residual_col(F.col(q_vec_col), index.coarse, F.col(cell_col))
+        if index.by_residual
+        else F.col(q_vec_col)
+    )
     lut = F.array(
         *[
-            F.array(*[_sqdist(F.slice(F.col(q_vec_col), j * dsub + 1, dsub), w) for w in cb])
+            F.array(*[_sqdist(F.slice(q_eff, j * dsub + 1, dsub), w) for w in cb])
             for j, cb in enumerate(model.codebooks)
         ]
     )
@@ -663,7 +715,11 @@ def ivfpq_search_sql(
     argmin, probes via the same sorted (distance, index) structs as
     ``clustering.semantic_dedup_pairs_sql``, then in-cell ADC, shortlist,
     exact re-rank. Same association/tie-break contracts throughout, so
-    cells, codes, shortlists, and ranks cannot diverge."""
+    cells, codes, shortlists, and ranks cannot diverge. Raw-encoding
+    only — the registry row runs the raw default; the residual variant is
+    covered by the numpy differential in tests/test_pq.py instead."""
+    if index.by_residual:
+        raise ValueError("ivfpq_search_sql renders the raw-encoding twin only")
     from .clustering import _sqdist_sql
 
     model = index.pq
