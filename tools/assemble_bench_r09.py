@@ -39,6 +39,11 @@ SECTIONS = {
     # item 7: adversarial band-skew gate (planted one-template corpus)
     "band_skew_3000": "/tmp/r09_band_skew_3000.json",
     "band_skew_10000": "/tmp/r09_band_skew_10000.json",
+    # the join-regime decomposition: broadcast hash joins never serialize a
+    # hot key (salting there is the measured ~2x overhead above); the gate
+    # earns its keep only in the at-scale shuffle-join regime, emulated by
+    # disabling auto-broadcast
+    "band_skew_shuffle_regime": "/tmp/r09_band_skew_regimes.json",
     # item 8: incremental curation
     "incremental_curation_sf1": "/tmp/r09_incremental_sf1.json",
 }

@@ -718,6 +718,146 @@ def cmd_band_skew() -> dict:
     return out
 
 
+def cmd_scale_bucketed() -> dict:
+    """The sf100 rung (VERDICT r8 item 1), sized to the sandbox: BUCKETED
+    layout + DuckDB only. The full r08 matrix died twice at sf100 — first
+    with the tmpfs bucket/spill dirs racing the JVM heap for RAM, then on
+    disk exhaustion from the PLAIN-layout queries (a 600 M-row global sort
+    spills tens of GB per query) stacked on lingering shuffle files and an
+    uncapped DuckDB CTAS. So: only lineitem+events get the clustered
+    write (the five engine-bound queries plus both temporal joins touch
+    nothing else), the plain layout is skipped at this rung (its trend is
+    established at sf10/sf30 and its sort spill alone breaks the disk
+    budget), and the SparkSession is STOPPED before the DuckDB side runs
+    (shuffle/local dirs are deleted at stop, and the two engines never
+    hold peak memory together — same-machine, back-to-back instead of
+    same-session; both engines still run warm best-of-N)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf100")
+    sf = _sf(sf_dir)
+    spark = _session(sf)
+
+    from wnba_data_pipeline_spark.operators import relational, temporal
+    from wnba_data_pipeline_spark.plans.catalog import ensure_bucketed_layout
+
+    names = (
+        "tumbling_daily",
+        "asof_attribution",
+        "range_join_bins",
+        "rolling_5",
+        "rolling_5_10",
+        "dispersion_stats",
+        "agg_multi",
+        "sessionize_events",
+    )
+    subset = os.environ.get("SPARK_GRAFT_R09_QUERIES")
+    if subset:
+        names = tuple(n for n in names if n in subset.split(","))
+    oracles = {
+        "tumbling_daily": relational.ORACLE_TUMBLING_DAILY,
+        "asof_attribution": temporal.ORACLES["asof_attribution"],
+        "range_join_bins": temporal.ORACLES["range_join_bins"],
+        "rolling_5_10": relational.ORACLES["rolling_5_10"],
+        "dispersion_stats": relational.ORACLES["dispersion_stats"],
+        "agg_multi": relational.ORACLES["agg_multi"],
+        "sessionize_events": relational.ORACLES["sessionize_events"],
+    }
+
+    def _q(name):
+        qs = {**relational.QUERIES, **temporal.QUERIES}
+        fn = qs.get(name) or getattr(relational, f"q_{name}")
+        return fn(spark, sf_dir)
+
+    out: dict = {"sf_dir": sf_dir, "sf": sf, "plain": "skipped (disk budget; see docstring)"}
+    t0 = time.perf_counter()
+    ensure_bucketed_layout(
+        spark, sf_dir, n_buckets=32 if (sf or 0) >= 0.5 else 8, tables=("lineitem", "events")
+    )
+    out["bucketed_write_sec"] = round(time.perf_counter() - t0, 2)
+    os.environ["SPARK_GRAFT_LAYOUT"] = "bucketed"
+    try:
+        buck = {}
+        for n in names:
+            df = _q(n)
+            spread = _spread(df)
+            ep = df._jdf.queryExecution().executedPlan().toString()
+            spread["keyed_exchange"] = any(
+                k in seg.split(")")[0]
+                for seg in ep.split("Exchange hashpartitioning(")[1:]
+                for k in ("l_suppkey", "user_id")
+            )
+            spread["sort_in_plan"] = "Sort [" in ep
+            spread["n_parquet_scans"] = ep.count("Scan parquet")
+            buck[n] = spread
+        out["bucketed"] = buck
+    finally:
+        del os.environ["SPARK_GRAFT_LAYOUT"]
+    spark.stop()
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '40GB')}'")
+    tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP", "/root/repo/.benchdata/duck-tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    for t in ("lineitem", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    out["duckdb_engine"] = {
+        n: _spread_duck(con, sql) for n, sql in oracles.items() if n in names
+    }
+    out["ratio_bucketed_vs_duckdb_min"] = {
+        n: round(out["bucketed"][n]["min"] / out["duckdb_engine"][n]["min"], 2)
+        for n in out["duckdb_engine"]
+    }
+    return out
+
+
+def cmd_band_skew_regimes() -> dict:
+    """The join-regime decomposition the plain band_skew probe missed: at
+    probe scale the band table BROADCASTS, and a broadcast hash join never
+    serializes a hot key (pair work spreads over probe-side input
+    partitions) — salting there is pure overhead (measured ~2x). The
+    at-scale regime is the SHUFFLE join (the sf30 organic band table is
+    ~3.5M rows ≈ 150 MB, far past the broadcast threshold), where all |B|
+    rows of a hot bucket land in ONE partition. Emulate it by disabling
+    auto-broadcast on the planted corpus and measure unsalted vs salted,
+    AQE on and off."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "10000"))
+    spark = _session(0.1)
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators.dedup import HOT_BUCKET_MIN, minhash_pairs
+
+    template = " ".join(f"tmpl{i}" for i in range(60))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(template + " unique"), F.col("id").cast("string")).alias("text"),
+    ).persist()
+    docs.count()
+    out: dict = {"n_docs": n_docs, "hot_bucket_min": HOT_BUCKET_MIN}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, kw, aqe in (
+            ("shuffle_unsalted_aqe_off", {"hot_bucket_min": 0}, "false"),
+            ("shuffle_unsalted_aqe_on", {"hot_bucket_min": 0}, "true"),
+            ("shuffle_salted_aqe_on", {}, "true"),
+        ):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            runs, n_pairs = [], None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n_pairs = minhash_pairs(docs, **kw).count()
+                runs.append(round(time.perf_counter() - t0, 2))
+            out[name] = {"n_pairs": n_pairs, "walls": sorted(runs)}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    docs.unpersist()
+    out["pairs_match"] = len({v["n_pairs"] for k, v in out.items() if isinstance(v, dict)}) == 1
+    return out
+
+
 def cmd_incremental() -> dict:
     """Incremental-funnel walls (VERDICT r8 item 8): N doc_id-ordered
     batches through run_curation_incremental vs the one-shot batch funnel
@@ -770,6 +910,7 @@ def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "rangebins"
     fn = {
         "rangebins": cmd_rangebins,
+        "scale_bucketed": cmd_scale_bucketed,
         "minhash_probe": cmd_minhash_probe,
         "minhash_ab": cmd_minhash_ab,
         "minhash_stages": cmd_minhash_stages,
@@ -778,6 +919,7 @@ def main() -> None:
         "ivfpq_clustered": cmd_ivfpq_clustered,
         "ivfpq_sweep": cmd_ivfpq_sweep,
         "band_skew": cmd_band_skew,
+        "band_skew_regimes": cmd_band_skew_regimes,
         "incremental": cmd_incremental,
     }[cmd]
     print(json.dumps({cmd: fn()}))
