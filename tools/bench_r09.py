@@ -850,11 +850,54 @@ def cmd_band_skew_regimes() -> dict:
                 n_pairs = minhash_pairs(docs, **kw).count()
                 runs.append(round(time.perf_counter() - t0, 2))
             out[name] = {"n_pairs": n_pairs, "walls": sorted(runs)}
+        # emission isolation: minhash_pairs' wall is dominated by the
+        # PARALLEL verification stage (candidates redistribute at the
+        # distinct), which masks the serialized term the gate targets —
+        # the |B|² candidate EMISSION inside the hot key's single SMJ
+        # partition. Measure that term alone, at a |B| where it dominates.
+        from wnba_data_pipeline_spark.functions.skew import HOT_SALTS, explode_salts, with_salt
+        from wnba_data_pipeline_spark.operators.dedup import _minhash_band_keys, shingle_docs
+
+        n_big = int(os.environ.get("SPARK_GRAFT_SKEW_EMIT_DOCS", "20000"))
+        big = spark.range(n_big).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(template + " unique"), F.col("id").cast("string")).alias("text"),
+        )
+        banded = shingle_docs(big).select(
+            "doc_id", F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key")
+        ).persist()
+        banded.count()
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        a, b = banded.alias("a"), banded.alias("b")
+        t0 = time.perf_counter()
+        n_unsalted = a.join(
+            b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).count()
+        unsalted_sec = round(time.perf_counter() - t0, 2)
+        sa, sb = with_salt(banded, HOT_SALTS).alias("a"), explode_salts(banded, HOT_SALTS).alias("b")
+        t0 = time.perf_counter()
+        n_salted = sa.join(
+            sb,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+        salted_sec = round(time.perf_counter() - t0, 2)
+        banded.unpersist()
+        out["emission_only"] = {
+            "n_docs": n_big,
+            "n_pairs_unsalted": n_unsalted,
+            "n_pairs_salted": n_salted,
+            "unsalted_sec": unsalted_sec,
+            "salted_sec": salted_sec,
+        }
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     docs.unpersist()
-    out["pairs_match"] = len({v["n_pairs"] for k, v in out.items() if isinstance(v, dict)}) == 1
+    out["pairs_match"] = (
+        len({v["n_pairs"] for v in out.values() if isinstance(v, dict) and "n_pairs" in v}) == 1
+    )
     return out
 
 
