@@ -792,6 +792,24 @@ def cmd_scale_bucketed() -> dict:
     finally:
         del os.environ["SPARK_GRAFT_LAYOUT"]
     spark.stop()
+    # spark.stop() only stops the context — the py4j gateway JVM stays up
+    # holding its whole unreclaimed heap (measured 44 GB RES at sf100)
+    # while DuckDB runs next, which is exactly the both-engines-resident
+    # OOM this probe exists to avoid. Kill the gateway outright; nothing
+    # below touches Spark.
+    try:
+        from pyspark import SparkContext
+
+        gw = SparkContext._gateway
+        if gw is not None:
+            gw.shutdown()
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                proc.kill()
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+    except Exception:
+        pass
 
     import duckdb
 
