@@ -830,6 +830,54 @@ def cmd_scale_bucketed() -> dict:
     return out
 
 
+def cmd_tumbling100() -> dict:
+    """Attribution for the one red sf100 row: exact tumbling_daily went
+    superlinear (0.53 s at sf10 → 11.9 s at sf100 = 8.6x DuckDB) while
+    every other bucketed row scaled linearly or better. Suspect: the
+    bucket-local (day,type,user) hash agg — 8 M groups at sf10 fit the
+    agg map, ~80 M at sf100 spill. Measure the fused exact shape, the
+    (day,type,user) stage alone, and the HLL opt-in
+    (SPARK_GRAFT_APPROX_DISTINCT=1) on the same events-only bucketed
+    layout."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf100")
+    sf = _sf(sf_dir)
+    spark = _session(sf)
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import relational
+    from wnba_data_pipeline_spark.operators.relational import _DSCALE
+    from wnba_data_pipeline_spark.plans.catalog import ensure_bucketed_layout
+
+    out: dict = {"sf_dir": sf_dir, "sf": sf}
+    ensure_bucketed_layout(
+        spark, sf_dir, n_buckets=32 if (sf or 0) >= 0.5 else 8, tables=("events",)
+    )
+    os.environ["SPARK_GRAFT_LAYOUT"] = "bucketed"
+    try:
+        ev = relational._layout_table(spark, sf_dir, "events")
+        day = F.col("ts").cast("date").alias("day")
+        lvl1 = ev.groupBy(day, "event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.floor(F.col("value") * _DSCALE + F.lit(0.5)).cast("long")).alias("_s"),
+        )
+        out["n_lvl1_groups"] = lvl1.count()
+        out["bucketed_stages"] = {
+            "day_type_user_agg": _spread(lvl1),
+            "full_fused_exact": _spread(relational.q_tumbling_daily(spark, sf_dir)),
+        }
+        os.environ["SPARK_GRAFT_APPROX_DISTINCT"] = "1"
+        try:
+            out["bucketed_stages"]["hll_opt_in"] = _spread(
+                relational.q_tumbling_daily(spark, sf_dir)
+            )
+        finally:
+            del os.environ["SPARK_GRAFT_APPROX_DISTINCT"]
+    finally:
+        del os.environ["SPARK_GRAFT_LAYOUT"]
+    return out
+
+
 def cmd_band_skew_regimes() -> dict:
     """The join-regime decomposition the plain band_skew probe missed: at
     probe scale the band table BROADCASTS, and a broadcast hash join never
@@ -981,6 +1029,7 @@ def main() -> None:
         "ivfpq_sweep": cmd_ivfpq_sweep,
         "band_skew": cmd_band_skew,
         "band_skew_regimes": cmd_band_skew_regimes,
+        "tumbling100": cmd_tumbling100,
         "incremental": cmd_incremental,
     }[cmd]
     print(json.dumps({cmd: fn()}))
