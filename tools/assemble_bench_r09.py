@@ -9,8 +9,15 @@ import json
 from pathlib import Path
 
 SECTIONS = {
-    # VERDICT r8 item 1: the third decade of the ladder
-    "sf100_matrix": "/tmp/sf100_scale.json",
+    # VERDICT r8 item 1: the third decade of the ladder (bucketed-only —
+    # the full-matrix probe died twice at sf100, see cmd_scale_bucketed)
+    "sf100_matrix": "/tmp/r09_sf100_bucketed_v2.json",
+    # the first completed sf100 matrix — kept as the measured negative: its
+    # entire Spark phase ran with ~0 MB available RAM (21 GB of stale tmpfs
+    # bucketed layouts from an earlier probe), inflating exact tumbling 3x;
+    # v2 is the clean re-run after the leak fix + gateway-kill
+    "sf100_matrix_rampressure_run": "/tmp/r09_sf100_bucketed.json",
+    "tumbling_attribution_sf100": "/tmp/r09_tumbling100.json",
     # item 2: range_join_bins drift attribution
     "rangebins_attribution_sf30": "/tmp/r09_rangebins_sf30.json",
     "rangebins_attribution_sf100": "/tmp/r09_rangebins_sf100.json",
