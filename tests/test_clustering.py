@@ -326,3 +326,30 @@ def test_sd_fit_mod_keeps_points_per_cell():
         assert sample >= k  # k-means needs k seeds
         # points per cell stays in a stable band around the dial
         assert SD_FIT_PER_CELL / 2 <= sample / k <= SD_FIT_PER_CELL * 2
+
+
+def test_kmeans_farthest_init_unmerges_what_hash_init_merges(spark):
+    """Round 9: the measured failure mode of uniform hash seeding on
+    macro-clustered data — two seeds in one cluster never un-merge under
+    Lloyd's (BENCH_SCALE_r09 ivfpq_clustered cells [5000, 5000, 2500...]).
+    The deterministic farthest-point init must place one seed per planted
+    cluster and recover the pure partition; the default stays "hash"
+    (every checked-in fitted fixture pins it)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0.0, 5.0, (8, DIM))
+    n = 800
+    rows = [
+        (int(i), [float(x) for x in centers[i % 8] + rng.normal(0.0, 0.3, DIM)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    model = kmeans_fit(df, k=8, max_iter=5, init="farthest")
+    assigned = assign_clusters(df, model.centroids).select("vec_id", "cluster").collect()
+    by_true = {}
+    for r in assigned:
+        by_true.setdefault(r["vec_id"] % 8, set()).add(r["cluster"])
+    assert all(len(cells) == 1 for cells in by_true.values()), by_true  # pure
+    assert len(set().union(*by_true.values())) == 8  # one cell per cluster
+    # determinism: the traversal is TakeOrdered-based, so a refit is exact
+    refit = kmeans_fit(df, k=8, max_iter=5, init="farthest")
+    assert refit.centroids == model.centroids

@@ -600,8 +600,12 @@ def cmd_ivfpq_clustered() -> dict:
         if r["rk"] <= 3:
             truth3.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
     out: dict = {"n_corpus": n, "n_queries": n_queries, "n_true_clusters": 8}
-    for variant, by_residual in (("raw", False), ("residual", True)):
-        index = pq.ivfpq_fit(emb, by_residual=by_residual)
+    for variant, by_residual, coarse_init in (
+        ("raw", False, "hash"),
+        ("residual", True, "hash"),
+        ("residual_farthest", True, "farthest"),
+    ):
+        index = pq.ivfpq_fit(emb, by_residual=by_residual, coarse_init=coarse_init)
         corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
         corpus.count()
         vout: dict = {}

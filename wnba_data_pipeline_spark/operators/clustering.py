@@ -256,17 +256,36 @@ def kmeans_fit(
     max_iter: int = SD_ITERS,
     sample_mod: int = 1,
     seed_tag: str = "km",
+    init: str = "hash",
 ) -> KMeansModel:
     """Lloyd's k-means on an ``array<float|double>`` column of ANY length
     (dimension is derived from the seed rows — the PQ sub-quantizers reuse
     this fit on 8-dim slices; ``seed_tag`` de-correlates their seed picks).
 
-    Seeds: the k rows with the smallest md5(seed_tag || ':' || id) — deterministic,
-    data-independent, no corpus shuffle (TakeOrdered). Each iteration
-    assigns every row to its nearest centroid (zero-shuffle map) and
-    rebuilds centroids with one hash aggregate (fixed-point decimal sums;
-    see module docstring). Empty clusters keep their previous centroid.
-    Stops early when the quantized centroids reach an exact fixed point."""
+    Seeds (``init="hash"``, the default every checked-in fixture pins):
+    the k rows with the smallest md5(seed_tag || ':' || id) —
+    deterministic, data-independent, no corpus shuffle (TakeOrdered).
+    That is a uniform pick, and on a corpus with well-separated macro
+    clusters it fails the classic way: two seeds land in one cluster and
+    Lloyd's never un-merges them (measured on the planted 8-cluster
+    probe: cell sizes [5000, 5000, 2500, ...] — two true clusters per
+    merged cell, BENCH_SCALE_r09 ``ivfpq_clustered``). ``init="farthest"``
+    is the deterministic fix: Gonzalez farthest-point traversal (the
+    k-center heuristic; the derandomized cousin of k-means++'s D²
+    sampling) — first seed is the hash-smallest row, each next seed is
+    the row MAXIMIZING distance to its nearest chosen seed (ties: lowest
+    id). Cost is k-1 extra TakeOrdered passes over the (sampled) fit
+    frame — the right trade for coarse quantizers (small k); leave the
+    default for the k≈n/512 semantic-cell fits where k passes would not
+    amortize and uniform seeding is fine (cells there are a partition
+    dial, not a structure claim). Opt-in only: every fitted-literal
+    oracle stays on "hash".
+
+    Each iteration assigns every row to its nearest centroid (zero-shuffle
+    map) and rebuilds centroids with one hash aggregate (fixed-point
+    decimal sums; see module docstring). Empty clusters keep their
+    previous centroid. Stops early when the quantized centroids reach an
+    exact fixed point."""
     # sample gate is md5-HASHED, not a raw `id % mod` (round-8 review fix):
     # id spaces with modular structure (all-odd ids, strided generators)
     # would leave a raw-modulo sample empty or biased, crashing the seed
@@ -299,6 +318,24 @@ def kmeans_fit(
     centroids = [[float(x) for x in r["_semb"]] for r in seed_rows]
     if len(centroids) < k:
         raise ValueError(f"corpus has only {len(centroids)} rows; need k={k} seeds")
+    if init == "farthest":
+        # Gonzalez farthest-point traversal from the hash-smallest row:
+        # k-1 TakeOrdered passes, each picking argmax_x min_c d²(x, c)
+        # (deterministic tie-break on the lower id). Same fold-distance
+        # contract as assignment, so the traversal is bit-reproducible.
+        centroids = [centroids[0]]
+        cast_vec = vec.cast("array<double>")
+        for _ in range(k - 1):
+            d2 = F.least(*[_sqdist(cast_vec, c) for c in centroids]) if len(centroids) > 1 else _sqdist(cast_vec, centroids[0])
+            far = (
+                base.select(F.col(id_col).alias("_sid"), cast_vec.alias("_semb"), d2.alias("_d2"))
+                .orderBy(F.col("_d2").desc(), F.col("_sid").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            centroids.append([float(x) for x in far["_semb"]])
+    elif init != "hash":
+        raise ValueError(f"unknown init: {init!r}")
     dim = len(centroids[0])
 
     inertia_hist: list[float] = []

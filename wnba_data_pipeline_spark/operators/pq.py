@@ -529,6 +529,7 @@ def ivfpq_fit(
     max_iter: int = PQ_ITERS,
     sample_mod: int = 1,
     by_residual: bool = False,
+    coarse_init: str = "hash",
 ) -> IVFPQIndex:
     """Train both quantizers (VERDICT r8 item 4 — the composed 100 TB ANN
     stack FAISS spells IVFx,PQy): the coarse Lloyd fit partitions the
@@ -557,6 +558,7 @@ def ivfpq_fit(
         max_iter=max_iter,
         sample_mod=sample_mod,
         seed_tag="ivfc",
+        init=coarse_init,
     )
     pq_train, pq_vec_col = df, vec_col
     if by_residual:
