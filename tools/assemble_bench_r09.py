@@ -41,8 +41,10 @@ SECTIONS = {
     # nprobe sweep: falsifiable check that uniform-data recall tracks the
     # probed fraction, and nprobe=8 isolates the PQ-shortlist loss term
     "ivfpq_nprobe_sweep_sf01": "/tmp/r09_ivfpq_sweep.json",
-    # item 5: hard-negative recall on the ladder
+    # item 5: hard-negative recall on the ladder (sf30 is the bonus decade
+    # past the verdict ask)
     "hardneg_recall_sf1": "/tmp/r09_hardneg_sf1.json",
+    "hardneg_recall_sf30": "/tmp/r09_hardneg_sf30.json",
     # item 7: adversarial band-skew gate (planted one-template corpus)
     "band_skew_3000": "/tmp/r09_band_skew_3000.json",
     "band_skew_10000": "/tmp/r09_band_skew_10000.json",
