@@ -37,12 +37,16 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
     temporal,
     text,
 )
+from wnba_data_pipeline_spark.streaming import events as streaming_events  # noqa: E402
 
 # Exactly 50 queries are registered (the driver checks at most 50 per
 # round — round 2 registered 52 and the last two in insertion order got no
 # CORRECTNESS row). Order puts the oracle-checkable families first and the
 # rows-only ML family last.
-_MODULES = [relational, quality, multimodal, dedup, clustering, similarity, pq, spans, temporal, text, ml]
+_MODULES = [
+    relational, quality, multimodal, dedup, clustering, similarity, pq,
+    spans, temporal, text, streaming_events, ml,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Spark Connect compatibility guard (round 10, VERDICT r9 item 4).
+
+Spark Connect sessions expose no ``sparkContext`` / ``_jvm`` / ``_jsc`` —
+any code path touching them breaks. The audit's contract, asserted here:
+
+- EVERY registry query builds its plan without JVM-internal access (the
+  proxy below raises on those attributes, so a regression fails loudly);
+- the three query-path filesystem consumers (quality footer listing,
+  streaming corpus listing, curation's rerun cleanup) degrade to pyarrow
+  fallbacks with identical semantics;
+- warehouse MAINTENANCE (compaction/retention/recovery) raises the
+  documented error instead — its atomic-rename protocol has no faithful
+  Connect twin (see sources/maintenance._fs).
+
+What this does NOT prove: end-to-end execution over a real Connect
+server (none in this container). Plan BUILD is where all of this repo's
+driver-side code runs; execution is engine-side DataFrame API throughout.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_ORACLE
+
+
+class _ConnectStyleSession:
+    """Delegating proxy that forbids the attributes Spark Connect lacks."""
+
+    _BLOCKED = ("sparkContext", "_jvm", "_jsc", "_sc")
+
+    def __init__(self, spark):
+        object.__setattr__(self, "_real", spark)
+
+    def __getattr__(self, name):
+        if name in _ConnectStyleSession._BLOCKED:
+            raise AttributeError(f"'{name}' is not available under Spark Connect")
+        return getattr(object.__getattribute__(self, "_real"), name)
+
+
+@pytest.fixture(scope="module")
+def connect_spark(spark):
+    return _ConnectStyleSession(spark)
+
+
+def test_every_registry_query_builds_without_jvm_access(connect_spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert len(qs) == 50
+    for name, q in qs.items():
+        df = q(connect_spark, SF_ORACLE)  # plan build = all our driver code
+        assert len(df.columns) > 0, name
+
+
+def test_quality_footer_listing_falls_back_to_pyarrow(spark, connect_spark):
+    from wnba_data_pipeline_spark.operators.quality import _list_parquet_files
+
+    want = _list_parquet_files(spark, f"{SF_ORACLE}/lineitem.parquet")
+    got = _list_parquet_files(connect_spark, f"{SF_ORACLE}/lineitem.parquet")
+    # the JVM path returns file: URIs, pyarrow returns plain paths — the
+    # FILE SET must agree (the probe reads footers per path either way)
+    assert [p.removeprefix("file:") for p in want] == got
+    with pytest.raises(ValueError, match="no parquet files"):
+        _list_parquet_files(connect_spark, f"{SF_ORACLE}/definitely_missing.parquet")
+
+
+def test_read_corpus_falls_back_to_pyarrow(spark, connect_spark, tmp_path):
+    from wnba_data_pipeline_spark.streaming.dedup import DOC_SCHEMA, read_corpus
+
+    corpus = str(tmp_path / "corpus")
+    for i in range(3):
+        spark.createDataFrame([(i, f"text {i}")], DOC_SCHEMA).write.parquet(
+            f"{corpus}/batch={i}"
+        )
+    jvm_rows = sorted(map(tuple, read_corpus(spark, corpus, exclude_batch=1).collect()))
+    pa_rows = sorted(map(tuple, read_corpus(connect_spark, corpus, exclude_batch=1).collect()))
+    assert jvm_rows == pa_rows
+    assert len(pa_rows) == 2
+    # empty-safe before the first batch, on both paths
+    assert read_corpus(connect_spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_delete_dir_falls_back_to_pyarrow(spark, connect_spark, tmp_path):
+    from wnba_data_pipeline_spark.sources.maintenance import delete_dir
+
+    d = tmp_path / "gone"
+    (d / "sub").mkdir(parents=True)
+    (d / "sub" / "x.parquet").write_bytes(b"x")
+    delete_dir(connect_spark, str(d))
+    assert not d.exists()
+    delete_dir(connect_spark, str(d))  # idempotent on missing
+
+
+def test_maintenance_raises_documented_error(connect_spark, tmp_path):
+    from wnba_data_pipeline_spark.sources.maintenance import compact_table
+
+    with pytest.raises(RuntimeError, match="classic session"):
+        compact_table(connect_spark, str(tmp_path / "tbl"))

@@ -37,11 +37,8 @@ ROTATED = {
     # dedup.py.
     "sim_topk": (similarity.q_sim_topk, similarity.ORACLE_SIM_TOPK),
     "ngram_jaccard": (dedup.q_ngram_jaccard, dedup.ORACLE_NGRAM_JACCARD),
-    # fifth rotation (round 7): slot freed for semantic_dedup's hard driver
-    # row (static fitted-centroid oracle, operators/clustering.py).
-    # simhash_fingerprint is a zero-shuffle deterministic map whose bit-level
-    # behavior is additionally differential-tested in tests/test_dedup*.py.
-    "simhash_fingerprint": (dedup.q_simhash_fingerprint, dedup.ORACLE_SIMHASH),
+    # fifth rotation (round 7): simhash_fingerprint parked here until the
+    # round-10 NINTH rotation put it BACK in-registry.
     # sixth rotation (round 7): slot freed for pq_rerank's hard driver row
     # (static fitted-codebook oracle, operators/pq.py). frame_sample was
     # parked here until the round-9 eighth rotation put it BACK in-registry.
@@ -61,6 +58,16 @@ ROTATED = {
     "dedup_incremental": (dedup.q_dedup_incremental, dedup.ORACLE_DEDUP_INCREMENTAL),
     "corpus_sample": (text.q_corpus_sample, text._oracle_corpus_sample()),
     "pq_rerank": (pq.q_pq_rerank, pq.ORACLE_PQ_RERANK),
+    # ninth rotation (round 10, VERDICT r9 item 5): slots freed for
+    # heavy_hitters_cms, simhash_fingerprint (returning) and
+    # hopping_6h_batch. group_tail_n's window-tail physics is
+    # award_mart/rolling_5_10's window family; json_extract_events' H10
+    # JSON surface stays covered by scalar_funcs + kpi_json (already in
+    # this table); argmax_leader's max_by ordered-first physics is
+    # advanced_metrics' D3 ordered-first.
+    "group_tail_n": (relational.q_group_tail_n, relational.ORACLE_GROUP_TAIL_N),
+    "json_extract_events": (relational.q_json_extract_events, relational.ORACLE_JSON_EXTRACT_EVENTS),
+    "argmax_leader": (relational.q_argmax_leader, relational.ORACLE_ARGMAX_LEADER),
 }
 
 
@@ -93,5 +100,9 @@ def test_rotated_queries_stay_off_registry():
         "ivfpq_search",
         "url_domains",
         "frame_sample",
+        # ninth rotation (round 10)
+        "heavy_hitters_cms",
+        "simhash_fingerprint",
+        "hopping_6h_batch",
     ):
         assert newcomer in qs

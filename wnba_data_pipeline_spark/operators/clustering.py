@@ -456,22 +456,26 @@ def probe_assignments(
     vec_col: str = "embedding",
     nprobe: int = SD_NPROBE,
     path: str | None = None,
+    out_col: str = "cell",
 ) -> DataFrame:
     """One row per (vector, probed cell) — the multi-probe inverted-list
     expansion (still a zero-shuffle map; the fan-out is nprobe, not k).
     Physical path switches on ``KM_EXPR_MAX_K`` like ``assign_clusters``:
     the sorted-struct expression at small k, the Arrow-batched stable
-    argsort above it (identical cells — equality-tested)."""
+    argsort above it (identical cells — equality-tested). ``out_col``
+    names the probed-cell column (round-10 advice fix: callers like
+    ``ivfpq_search`` take a configurable cell column and must be able to
+    pass it through instead of getting an AnalysisException downstream)."""
     if path is None:
         path = "expr" if _expr_path_ok(centroids) else "pandas"
     if path == "expr":
-        return df.withColumn("cell", F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)))
+        return df.withColumn(out_col, F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)))
     if path != "pandas":
         raise ValueError(f"unknown probe path: {path!r}")
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    out_schema = StructType(list(df.schema.fields) + [StructField("cell", IntegerType())])
-    return df.mapInPandas(_batch_probe_fn(centroids, vec_col, "cell", nprobe), out_schema)
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
+    return df.mapInPandas(_batch_probe_fn(centroids, vec_col, out_col, nprobe), out_schema)
 
 
 # ---------------------------------------------------------------------------

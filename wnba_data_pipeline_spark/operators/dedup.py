@@ -49,6 +49,22 @@ from ..sources.tables import load_table
 # The extra 4 hashes are map-side per-row cost — the right place to spend
 # at 100 TB, vs shuffling 4x the candidate pairs. Survivor delta vs the
 # old 12/3x4 geometry is measured in BENCH_SCALE_r09 minhash_ab.
+#
+# What the sharper curve costs NEAR THE 0.5 VERIFICATION THRESHOLD
+# (round-10 advice fix — the j>=0.9 detection numbers above are not the
+# whole story; P(candidate) = 1-(1-j^BAND_ROWS)^N_BANDS, exact):
+#
+#   true j : 0.50   0.60   0.70   0.80   0.90
+#   4x4    : 0.23   0.43   0.67   0.88   0.986   (this geometry)
+#   4x3    : 0.41   0.65   0.86   0.97   0.998   (old geometry)
+#
+# P=0.5 midpoint: ~0.63 (4x4) vs ~0.54 (4x3). So a pair at exactly the
+# j=0.5 verification bar has a 23% candidate probability here (41% under
+# the old geometry) — acceptable because the measured corpus is BIMODAL
+# (nothing organic in [0.4, 0.8); see the sf30 anatomy above), and ANY
+# banded geometry is probabilistic at its midpoint. A corpus with real
+# mass near j~0.5-0.7 should widen to 8 bands (K=32) rather than revert
+# to 4x3, which buys its recall with 4x the false-candidate volume.
 K_MINHASH = 16  # signature length
 BAND_ROWS = 4  # rows per band → 4 bands; P(candidate) = 1-(1-j⁴)⁴
 N_BANDS = K_MINHASH // BAND_ROWS
@@ -695,13 +711,12 @@ QUERIES = {
     # all hold hard driver rows, and it keeps full oracle parity in
     # tests/test_offregistry_parity.py. The freed slot registers
     # range_join_bins (operators/temporal.py).
-    # simhash_fingerprint rotated OFF the registry (round-7 fifth rotation):
-    # a zero-shuffle deterministic map fully covered by the identical
-    # hash-differential parity check in tests/test_offregistry_parity.py
-    # plus the bit-level differentials in tests (VERDICT r6 item 5 named it
-    # the rotation candidate). The freed slot registers semantic_dedup
-    # (operators/clustering.py) — the one major LLM family that had no hard
-    # driver row — via the static fitted-centroid oracle.
+    # simhash_fingerprint rotated OFF in round 7 (freed the slot for
+    # semantic_dedup's static fitted-centroid oracle) and BACK IN in the
+    # round-10 ninth rotation (VERDICT r9 item 5 — same return path as
+    # frame_sample's in round 9): the SimHash family re-takes a hard
+    # driver row while its bit-level differentials stay in tests.
+    "simhash_fingerprint": q_simhash_fingerprint,
     # dedup_incremental rotated OFF (round-9 eighth rotation, VERDICT r8
     # item 6): its §2 coverage — band-key candidate join + exact verify —
     # is the same physics dedup_minhash holds a hard row for, and the
@@ -714,6 +729,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "simhash_fingerprint": _oracle_simhash(),
 }
 
-ORACLE_SIMHASH = _oracle_simhash()  # off-registry parity twin
+ORACLE_SIMHASH = ORACLES["simhash_fingerprint"]  # alias kept for tests

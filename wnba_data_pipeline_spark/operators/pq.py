@@ -492,7 +492,21 @@ def oracle_pq_rerank(sf_name: str = "sf0.01") -> str:
 
 IVFPQ_COARSE_K = 8  # coarse-quantizer cells (trained, vs q_sim_ivf's sampled seeds)
 IVFPQ_NPROBE = 2  # cells searched per query
-IVFPQ_RERANK = 50  # ADC shortlist per query feeding the exact re-rank
+IVFPQ_RERANK = 50  # ADC-shortlist FLOOR per query feeding the exact re-rank
+# rerank="auto" (the round-10 default): shortlist = max(IVFPQ_RERANK,
+# ceil(FRACTION x expected probed candidates)). A 4-bit ADC distance
+# carries noise on the order of the quantization error, so the number of
+# true neighbors it misplaces grows with the CANDIDATE LIST, not with k —
+# a constant-count shortlist that works at 200 probed rows is chance-level
+# at 5000 (measured: recall@10 0.33 at rerank=50 vs 0.85 at rerank=500 on
+# the 20k clustered probe, BENCH_SCALE_r09 ivfpq_clustered). 20% is the
+# measured-sufficient fraction: on the tight 2000-doc/4-cluster pytest
+# corpus the sweep reads 0.72 / 0.825 / 0.895 recall@10 at fractions
+# 0.1 / 0.15 / 0.2 — the extra shortlist rows cost only exact-rerank
+# fetches (rerank ≪ probed list), the right spend for an index whose job
+# is recall. At the driver's sf0.01 the fraction resolves BELOW the
+# floor, so the oracle literal stays 50.
+IVFPQ_RERANK_FRACTION = 0.2
 
 
 @dataclass
@@ -505,6 +519,9 @@ class IVFPQIndex:
     coarse: list[list[float]]  # coarse_k × DIM
     pq: PQModel
     by_residual: bool = False
+    # fit-corpus size — the statistic rerank="auto" scales the ADC
+    # shortlist by (None on hand-built indexes → the constant floor)
+    n_vectors: int | None = None
 
 
 def _residual_col(vec: Column, centroids: list[list[float]], cell: Column) -> Column:
@@ -528,26 +545,34 @@ def ivfpq_fit(
     ksub: int = PQ_KSUB,
     max_iter: int = PQ_ITERS,
     sample_mod: int = 1,
-    by_residual: bool = False,
-    coarse_init: str = "hash",
+    by_residual: bool = True,
+    coarse_init: str = "farthest",
 ) -> IVFPQIndex:
     """Train both quantizers (VERDICT r8 item 4 — the composed 100 TB ANN
     stack FAISS spells IVFx,PQy): the coarse Lloyd fit partitions the
     corpus into inverted lists; the PQ fit compresses vectors inside
-    them. The default encodes RAW vectors (FAISS's ``by_residual=false``
-    variant): residual encoding couples every code to its cell's
-    centroid, so a centroid refresh forces a corpus re-encode —
-    raw-vector codes survive coarse re-training, the right trade when
-    re-encoding 100 TB is the expensive pass. ``by_residual=True`` is
-    FAISS's default and the right trade when the corpus is CLUSTERED at a
-    scale the sub-codebooks can't span: raw codebooks spend their ksub
-    codewords encoding cluster identity, leaving within-cell margins
-    below quantization error (measured chance-level recall on the planted
-    clustered corpus, BENCH_SCALE_r09 ``ivfpq_clustered``); training and
-    encoding on ``x - centroid[cell]`` removes the macro scale so the
-    codes resolve the within-cell offsets search actually ranks. Both
-    fits inherit ``kmeans_fit``'s bit-determinism; ``sample_mod`` is the
-    scale knob for both (train on a hash sample, encode everything)."""
+    them. DEFAULTS (round 10, VERDICT r9 item 1) are FAISS's: residual
+    encoding + farthest-point coarse seeding, because they are the only
+    combination that serves a CLUSTERED corpus — the geometry an IVF
+    index exists for. Raw codebooks spend their ksub codewords encoding
+    cluster identity, leaving within-cell margins below quantization
+    error (measured chance-level 0.061 recall@10 on the planted clustered
+    corpus, BENCH_SCALE_r09 ``ivfpq_clustered``; residual+farthest
+    measured 0.94 there); training and encoding on ``x - centroid[cell]``
+    removes the macro scale so the codes resolve the within-cell offsets
+    search actually ranks, and farthest-point seeding stops Lloyd's from
+    merging two true clusters into one cell. On a near-isotropic corpus
+    (the driver's synthetic embeddings) the defaults cost nothing —
+    recall is statistically unchanged (tests/test_pq.py recall gates).
+
+    The documented opt-out, ``by_residual=False, coarse_init="hash"``, is
+    the RE-ENCODE-FRIENDLY variant: residual encoding couples every code
+    to its cell's centroid, so a coarse refresh forces a 100 TB corpus
+    re-encode, while raw codes survive coarse re-training. Choose it when
+    centroid refreshes outpace corpus growth; both variants keep the full
+    cross-engine parity contract (``ivfpq_search_sql`` renders either).
+    Both fits inherit ``kmeans_fit``'s bit-determinism; ``sample_mod`` is
+    the scale knob for both (train on a hash sample, encode everything)."""
     from .clustering import assign_clusters
 
     coarse = kmeans_fit(
@@ -576,7 +601,9 @@ def ivfpq_fit(
         max_iter=max_iter,
         sample_mod=sample_mod,
     )
-    return IVFPQIndex(coarse.centroids, model, by_residual)
+    # one count of the FULL frame (sample_mod gates inside the fits, not
+    # here) — the corpus-size statistic the auto-rerank dial needs
+    return IVFPQIndex(coarse.centroids, model, by_residual, n_vectors=df.count())
 
 
 def ivfpq_encode(
@@ -605,6 +632,24 @@ def ivfpq_encode(
     return pq_encode(res, index.pq, vec_col="_res", out_col=codes_col).drop("_res")
 
 
+def resolve_rerank(index: IVFPQIndex, nprobe: int, rerank: int | str) -> int:
+    """``rerank="auto"`` → max(IVFPQ_RERANK, ceil(IVFPQ_RERANK_FRACTION ×
+    expected probed candidates)), where expected candidates =
+    n_vectors × nprobe / coarse_k (cells are size-balanced by the
+    farthest-init fit; a skewed hand-fit still gets the right order of
+    magnitude). Deterministic in the fit statistics only — both engines
+    and the static oracle resolve the same literal. An index without
+    ``n_vectors`` (hand-built) resolves to the constant floor."""
+    if rerank != "auto":
+        return int(rerank)
+    if index.n_vectors is None:
+        return IVFPQ_RERANK
+    import math
+
+    expected = index.n_vectors * nprobe / len(index.coarse)
+    return max(IVFPQ_RERANK, math.ceil(IVFPQ_RERANK_FRACTION * expected))
+
+
 def ivfpq_search(
     corpus_enc: DataFrame,
     queries: DataFrame,
@@ -618,7 +663,7 @@ def ivfpq_search(
     codes_col: str = "codes",
     k: int = PQ_TOP_K,
     nprobe: int = IVFPQ_NPROBE,
-    rerank: int = IVFPQ_RERANK,
+    rerank: int | str = "auto",
 ) -> DataFrame:
     """The composed search: each query probes its ``nprobe`` nearest coarse
     cells (tiny query-side expansion), ADC runs ONLY on corpus rows inside
@@ -627,12 +672,17 @@ def ivfpq_search(
     ``rerank`` ids fetches raw vectors by id, and exact L2 re-ranks to
     top-k. A corpus vector lives in exactly one cell, so (query, vector)
     pairs are join-unique — no distinct needed. ``corpus_enc`` must carry
-    id, raw vector (for the re-rank fetch), cell, and codes."""
+    id, raw vector (for the re-rank fetch), cell, and codes.
+    ``rerank="auto"`` (default) widens the shortlist with the probed
+    candidate volume — see ``resolve_rerank``."""
     from .clustering import probe_assignments
+
+    rerank = resolve_rerank(index, nprobe, rerank)
 
     model, dsub = index.pq, index.pq.dsub
     qp = probe_assignments(
-        queries.select(q_id_col, q_vec_col), index.coarse, vec_col=q_vec_col, nprobe=nprobe
+        queries.select(q_id_col, q_vec_col), index.coarse, vec_col=q_vec_col,
+        nprobe=nprobe, out_col=cell_col,
     )
     # A residual index ranks ||(q - c) - code||² — the LUT is built from the
     # query's residual AGAINST EACH PROBED CELL, which is exactly one
@@ -709,7 +759,7 @@ def ivfpq_search_sql(
     *,
     k: int = PQ_TOP_K,
     nprobe: int = IVFPQ_NPROBE,
-    rerank: int = IVFPQ_RERANK,
+    rerank: int | str = "auto",
     n_queries: int = PQ_N_QUERIES,
 ) -> str:
     """Post-fit DuckDB twin of ``q_ivfpq_search``: coarse centroids AND
@@ -717,42 +767,94 @@ def ivfpq_search_sql(
     argmin, probes via the same sorted (distance, index) structs as
     ``clustering.semantic_dedup_pairs_sql``, then in-cell ADC, shortlist,
     exact re-rank. Same association/tie-break contracts throughout, so
-    cells, codes, shortlists, and ranks cannot diverge. Raw-encoding
-    only — the registry row runs the raw default; the residual variant is
-    covered by the numpy differential in tests/test_pq.py instead."""
-    if index.by_residual:
-        raise ValueError("ivfpq_search_sql renders the raw-encoding twin only")
+    cells, codes, shortlists, and ranks cannot diverge.
+
+    Renders BOTH encodings (round 10 — the residual default needs a full
+    SQL twin, not just the numpy differential): under ``by_residual`` the
+    corpus codes come from ``embedding - coarse[cell]`` and each query
+    builds its LUT from its residual AGAINST EACH PROBED CELL, so the LUT
+    CTE is keyed (q_vec_id, cell) and the ADC join matches on cell. The
+    residual element ``CAST(x AS DOUBLE) - centroid_literal`` is the same
+    single IEEE subtraction as ``_residual_col``'s zip_with, so codes and
+    ranks stay bit-aligned. The per-cell residual is an unrolled CASE
+    over the coarse cells (literal-list indexing inside list_transform is
+    pathological in DuckDB — see ``clustering._sqdist_sql``), wrapped in
+    MATERIALIZED CTEs so the optimizer cannot inline the CASE into the
+    ~m×ksub×dsub distance terms that reference it."""
     from .clustering import _sqdist_sql
 
+    rerank = resolve_rerank(index, nprobe, rerank)
     model = index.pq
     dsub = model.dsub
+    dim = model.m * dsub
     cdists = ", ".join(_sqdist_sql("embedding", c) for c in index.coarse)
     qcdists = ", ".join(_sqdist_sql("q_emb", c) for c in index.coarse)
+
+    def _res_case(cell: str, vec: str) -> str:
+        branches = "".join(
+            f" WHEN {ci} THEN list_value("
+            + ", ".join(
+                f"(CAST({vec}[{i + 1}] AS DOUBLE) - ({c[i]!r}))" for i in range(dim)
+            )
+            + ")"
+            for ci, c in enumerate(index.coarse)
+        )
+        return f"CASE {cell}{branches} END"
+
+    corpus_vec = "res" if index.by_residual else "embedding"
     dls = ", ".join(
         "list_value("
-        + ", ".join(_sqdist_sql_slice("embedding", w, j * dsub) for w in cb)
+        + ", ".join(_sqdist_sql_slice(corpus_vec, w, j * dsub) for w in cb)
         + f") AS dl{j}"
         for j, cb in enumerate(model.codebooks)
     )
+    q_vec = "res" if index.by_residual else "q_emb"
     luts = ", ".join(
         "list_value("
-        + ", ".join(_sqdist_sql_slice("q_emb", w, j * dsub) for w in cb)
+        + ", ".join(_sqdist_sql_slice(q_vec, w, j * dsub) for w in cb)
         + f") AS lut{j}"
         for j, cb in enumerate(model.codebooks)
     )
     adist = " + ".join(f"q.lut{j}[c.codes[{j + 1}] + 1]" for j in range(model.m))
     d2 = _sqdist_vec_sql("q.q_emb", "e.embedding")
+    codes = ", ".join(
+        f"(list_position(dl{j}, list_min(dl{j})) - 1)" for j in range(model.m)
+    )
+    if index.by_residual:
+        encode_ctes = f"""resid AS MATERIALIZED (
+  SELECT e.vec_id, cl.cell, {_res_case("cl.cell", "e.embedding")} AS res
+  FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id
+), dists AS (
+  SELECT vec_id, cell, {dls} FROM resid
+), corpus AS (
+  SELECT vec_id, cell, [{codes}] AS codes FROM dists
+)"""
+        lut_ctes = f"""qres AS MATERIALIZED (
+  SELECT p.q_vec_id, p.cell, {_res_case("p.cell", "q.q_emb")} AS res
+  FROM qprobe p JOIN qraw q ON p.q_vec_id = q.q_vec_id
+), q AS (
+  SELECT q_vec_id, cell, {luts} FROM qres
+)"""
+        shortlist_from = f"""FROM q
+    JOIN corpus c ON q.cell = c.cell AND q.q_vec_id <> c.vec_id"""
+    else:
+        encode_ctes = f"""dists AS (
+  SELECT vec_id, {dls} FROM embeddings
+), corpus AS (
+  SELECT d.vec_id, cl.cell, [{codes}] AS codes
+  FROM dists d JOIN cells cl ON d.vec_id = cl.vec_id
+)"""
+        lut_ctes = f"""q AS (
+  SELECT q_vec_id, {luts} FROM qraw
+)"""
+        shortlist_from = """FROM qprobe p
+    JOIN corpus c ON p.cell = c.cell AND p.q_vec_id <> c.vec_id
+    JOIN q ON q.q_vec_id = p.q_vec_id"""
     return f"""
 WITH cells AS (
   SELECT vec_id, (list_position(cd, list_min(cd)) - 1) AS cell
   FROM (SELECT vec_id, list_value({cdists}) AS cd FROM embeddings)
-), dists AS (
-  SELECT vec_id, {dls} FROM embeddings
-), corpus AS (
-  SELECT d.vec_id, cl.cell,
-         [{", ".join(f"(list_position(dl{j}, list_min(dl{j})) - 1)" for j in range(model.m))}] AS codes
-  FROM dists d JOIN cells cl ON d.vec_id = cl.vec_id
-), qraw AS (
+), {encode_ctes}, qraw AS (
   SELECT vec_id AS q_vec_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}
 ), qprobe AS (
   SELECT q_vec_id, unnest(list_transform(rk[1:{nprobe}], s -> s.i)) AS cell
@@ -762,16 +864,12 @@ WITH cells AS (
                                     j -> {{'d': cd[j + 1], 'i': j}})) AS rk
     FROM (SELECT q_vec_id, list_value({qcdists}) AS cd FROM qraw)
   )
-), q AS (
-  SELECT q_vec_id, {luts} FROM qraw
-), shortlist AS (
+), {lut_ctes}, shortlist AS (
   SELECT q_vec_id, n_vec_id FROM (
-    SELECT p.q_vec_id, c.vec_id AS n_vec_id,
-           row_number() OVER (PARTITION BY p.q_vec_id
+    SELECT q.q_vec_id, c.vec_id AS n_vec_id,
+           row_number() OVER (PARTITION BY q.q_vec_id
                               ORDER BY {adist} ASC, c.vec_id ASC) AS rk
-    FROM qprobe p
-    JOIN corpus c ON p.cell = c.cell AND p.q_vec_id <> c.vec_id
-    JOIN q ON q.q_vec_id = p.q_vec_id
+    {shortlist_from}
   ) WHERE rk <= {rerank}
 )
 SELECT q_vec_id, n_vec_id, round(d2, 6) AS d2, CAST(nn_rank AS BIGINT) AS nn_rank
@@ -787,15 +885,23 @@ FROM (
 
 def oracle_ivfpq(sf_name: str = "sf0.01") -> str:
     """Static driver oracle for ``ivfpq_search``: the post-fit twin rendered
-    from the checked-in coarse centroids (``_ivfpq_coarse.py``) and PQ
-    sub-codebooks (``_pq_codebooks.py``), both generated by
-    tools/gen_pq_oracle.py. Valid on the same bit-determinism argument as
-    ``oracle_pq_rerank`` — fit == literals is exact-equality-guarded in
-    tests/test_pq.py."""
+    from the checked-in DEFAULT-variant fit — farthest-init coarse
+    centroids (``_ivfpq_coarse.py``) and RESIDUAL-trained PQ sub-codebooks
+    (``_ivfpq_residual.py``), both generated by tools/gen_pq_oracle.py
+    from one ``ivfpq_fit(emb)`` under the round-10 defaults. Valid on the
+    same bit-determinism argument as ``oracle_pq_rerank`` — fit ==
+    literals is exact-equality-guarded in tests/test_pq.py."""
     from ._ivfpq_coarse import COARSE_BY_SF
-    from ._pq_codebooks import CODEBOOKS_BY_SF
+    from ._ivfpq_residual import IVFPQ_N_BY_SF, RESIDUAL_CODEBOOKS_BY_SF
 
-    return ivfpq_search_sql(IVFPQIndex(COARSE_BY_SF[sf_name], PQModel(CODEBOOKS_BY_SF[sf_name], [])))
+    return ivfpq_search_sql(
+        IVFPQIndex(
+            COARSE_BY_SF[sf_name],
+            PQModel(RESIDUAL_CODEBOOKS_BY_SF[sf_name], []),
+            by_residual=True,
+            n_vectors=IVFPQ_N_BY_SF[sf_name],
+        )
+    )
 
 
 # pq_rerank rotated OFF / ivfpq_search IN (round-9 eighth rotation,

@@ -456,8 +456,27 @@ def _rolling(spark: SparkSession, sf_dir: str, ns: tuple[int, ...]) -> DataFrame
     # layout-aware: the bucketed lineitem copy is sorted by the FULL
     # window ordering with one file per bucket, so this query's Exchange
     # AND Sort both vanish on that layout (plan-asserted in
-    # tests/test_catalog.py, measured in BENCH_SCALE_r06)
+    # tests/test_catalog.py, measured in BENCH_SCALE_r06).
+    # Hot-KEY gate (round 10, VERDICT r9 item 2): a supplier holding ≥
+    # chunked.HOT_KEY_MIN lineitem rows serializes the per-key sort+frame
+    # onto one task; the sampled detector switches to chunked_rolling —
+    # the same trailing means as a difference of cumulatives at row
+    # offsets, chunk-parallel per key (identical rows,
+    # tests/test_chunked.py).
+    from .chunked import chunked_rolling, use_chunked_table
+
     li = _layout_table(spark, sf_dir, "lineitem")
+    if use_chunked_table(
+        li, (sf_dir, os.environ.get("SPARK_GRAFT_LAYOUT", "")), "l_suppkey", "l_orderkey"
+    ):
+        out = chunked_rolling(li, ns)
+        return out.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            *[F.col(f"_roll{n}").alias(f"qty_roll{n}") for n in ns],
+        )
     w = _rolling_window()
     return li.select(
         "l_suppkey",
@@ -1555,8 +1574,33 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     group (later tie rows see gap 0), so every tie-peer receives the same
     running sum — exactly the all-peers-included semantics of Spark's
     default RANGE frame, under ANY physical tie order (planted
-    boundary-tie case in tests/test_oracle_parity.py)."""
+    boundary-tie case in tests/test_oracle_parity.py).
+
+    Hot-KEY gate (round 10, VERDICT r9 item 2): a user holding ≥
+    ``chunked.HOT_KEY_MIN`` events serializes this query's per-user window
+    onto one task (AQE cannot split a window partition); the sampled
+    detector switches the plan to ``chunked.chunked_sessionize`` — the
+    same lag+flag+cumsum split across per-day chunks with carry-merge,
+    identical rows (equality + max-task bound in tests/test_chunked.py)."""
+    from .chunked import chunked_sessionize, use_chunked_events
+
     ev = _layout_table(spark, sf_dir, "events")
+    if use_chunked_events(ev, (sf_dir, os.environ.get("SPARK_GRAFT_LAYOUT", ""))):
+        return (
+            chunked_sessionize(ev, gap_s=SESSION_GAP_S)
+            .groupBy("user_id", "_sess")
+            .agg(
+                F.min("ts").alias("_start"),
+                F.count(F.lit(1)).alias("n_events"),
+                _r6(_dsum("value")).alias("value_sum"),
+            )
+            .select(
+                "user_id",
+                F.date_format(F.col("_start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+                "n_events",
+                "value_sum",
+            )
+        )
     if _is_bucketed(spark, sf_dir, "events"):
         from .temporal import _us
 
@@ -1672,7 +1716,14 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wire; ``n_users = count(*)`` of the unique first-level rows.
     Identical values by associativity of count/int64-sum (identity
     plan-asserted and row-compared in tests/test_catalog.py; measured in
-    BENCH_SCALE_r08)."""
+    BENCH_SCALE_r08).
+
+    STATUS (round 10, VERDICT r9 item 7 — file closed): the exact shape's
+    3.74× vs DuckDB at sf100 is an ACCEPTED engine constant — linear in
+    groups across two measured decades, with the sort+lag alternative at
+    parity and HLL measured 3.3 s / 2.6% err. No further optimization is
+    planned; the user-facing decision table lives in README (exact
+    default / HLL opt-in / mergeable sketch state for repeated windows)."""
     ev = _layout_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
     if os.environ.get("SPARK_GRAFT_APPROX_DISTINCT") == "1":
@@ -1749,7 +1800,17 @@ QUERIES = {
     # ties) end-to-end; the standalone query keeps oracle parity in
     # tests/test_offregistry_parity.py. The freed slot registers
     # trend_stats (regr_slope + corr per entity).
-    "group_tail_n": q_group_tail_n,
+    # ninth rotation (round 10, VERDICT r9 item 5): group_tail_n (E5 — its
+    # window-tail physics lives inside award_mart's window family and
+    # rolling_5_10's frames), json_extract_events (H10 — JSON read/serialize
+    # stays covered by scalar_funcs + the off-registry kpi_json row), and
+    # argmax_leader (D9 — max_by's ordered-first physics is
+    # advanced_metrics' D3 ordered-first) leave the capped registry so
+    # heavy_hitters_cms (text.py — the CMS sketch family's first driver
+    # row), simhash_fingerprint (dedup.py, returning like frame_sample did)
+    # and hopping_6h_batch (streaming/events.py — the one window family with
+    # no driver row ever) get hard rows. All three keep the identical
+    # hash-differential parity check in tests/test_offregistry_parity.py.
     "topk_revenue": q_topk_revenue,
     "global_aggs": q_global_aggs,
     "count_distinct_groups": q_count_distinct_groups,
@@ -1758,10 +1819,8 @@ QUERIES = {
     # keeping the registry at the driver's 50-query cap puts every
     # oracle-checkable query inside the checked set.
     "dispersion_stats": q_dispersion_stats,
-    "argmax_leader": q_argmax_leader,
     "quality_probe": q_quality_probe,
     "scalar_funcs": q_scalar_funcs,
-    "json_extract_events": q_json_extract_events,
     # freshness_now + seeded_noise left OFF the capped registry (round-6
     # rotation): H4/H7 interval arithmetic is also exercised by
     # scalar_funcs/quality_probe and H8 is fully property-covered
@@ -1784,15 +1843,12 @@ ORACLES = {
     "join_multikey": ORACLE_JOIN_MULTIKEY,
     "rolling_5_10": _oracle_rolling((5, 10)),
     "rank_partition_avg": ORACLE_RANK_PARTITION_AVG,
-    "group_tail_n": ORACLE_GROUP_TAIL_N,
     "topk_revenue": ORACLE_TOPK_REVENUE,
     "global_aggs": ORACLE_GLOBAL_AGGS,
     "count_distinct_groups": ORACLE_COUNT_DISTINCT_GROUPS,
     "dispersion_stats": ORACLE_DISPERSION_STATS,
-    "argmax_leader": ORACLE_ARGMAX_LEADER,
     "quality_probe": ORACLE_QUALITY_PROBE,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,
-    "json_extract_events": ORACLE_JSON_EXTRACT_EVENTS,
     "agg_over_agg": ORACLE_AGG_OVER_AGG,
     "advanced_metrics": ORACLE_ADVANCED_METRICS,
     "award_mart": ORACLE_AWARD_MART,

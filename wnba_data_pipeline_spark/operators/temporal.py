@@ -284,8 +284,38 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the RAW ts column — syntactically the scan's advertised sortBy order —
     so the plan runs with ZERO Exchange and ZERO Sort (identical rows
     plan-asserted in tests/test_catalog.py; measured in BENCH_SCALE_r08).
-    The general two-table operator stays :func:`asof_join`."""
+    The general two-table operator stays :func:`asof_join`.
+
+    Hot-KEY gate (round 10, VERDICT r9 item 2): a user holding ≥
+    ``chunked.HOT_KEY_MIN`` events serializes the per-user running-max
+    window (or the generic path's per-key sorted pass) onto one task; the
+    sampled detector switches to ``chunked.chunked_running_max`` —
+    within-chunk running max + carried previous-chunk maxima (max is
+    associative), identical rows (tests/test_chunked.py)."""
+    import os as _os
+
+    from .chunked import chunked_running_max, use_chunked_events
+
     events = _layout_table(spark, sf_dir, "events")
+    if use_chunked_events(events, (sf_dir, _os.environ.get("SPARK_GRAFT_LAYOUT", ""))):
+        # same null contract + output as the bucketed running-max shape
+        ev = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        click = F.when(
+            F.col("event_type") == ASOF_RIGHT_TYPE,
+            F.struct(F.col("ts").alias("_ct"), F.col("event_id").alias("_cid")),
+        )
+        return (
+            chunked_running_max(ev, click, out_col="_m")
+            .filter((F.col("event_type") == ASOF_LEFT_TYPE) & F.col("_m").isNotNull())
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                "user_id",
+                F.col("ts").alias("purchase_ts"),
+                F.col("_m._cid").alias("click_id"),
+                F.col("_m._ct").alias("click_ts"),
+                (_us("ts") - _us(F.col("_m._ct"))).alias("gap_us"),
+            )
+        )
     if _is_bucketed(spark, sf_dir, "events"):
         # null-key/null-ts contract must match the generic asof_join
         # (round-8 review fix): a NULL user_id or ts row neither matches
@@ -390,9 +420,40 @@ def q_range_join_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     The value sum subtracts in fixed-point int64 (exact; overflow needs a
     single user exceeding ~9e9 events × avg |value|·1e6 ≈ 1e9, far beyond
     any per-key stream this engine targets — and the subtraction is exact
-    even then, since int64 wraparound cancels in the difference)."""
+    even then, since int64 wraparound cancels in the difference).
+
+    Hot-KEY gate (round 10, VERDICT r9 item 2): the cumulative window
+    serializes a hot user onto one task; the sampled detector switches to
+    ``chunked.chunked_trailing_agg`` — W-wide chunks where the trailing
+    window spans ≤ 2 chunks, the cross-chunk cut resolved by per-purchase
+    probe rows inside the same window pass (identical values by the same
+    exact-int64 difference argument; tests/test_chunked.py)."""
+    import os as _os
+
+    from .chunked import chunked_trailing_agg, use_chunked_events
+
     events = _layout_table(spark, sf_dir, "events")
     fp = "cast(floor(value * 1000000 + 0.5d) as long)"
+    if use_chunked_events(events, (sf_dir, _os.environ.get("SPARK_GRAFT_LAYOUT", ""))):
+        trail = chunked_trailing_agg(
+            events,
+            window_us=WINDOW_US,
+            fp_expr=fp,
+            probe_pred=F.col("event_type") == ASOF_LEFT_TYPE,
+        )
+        purchases = events.filter(F.col("event_type") == ASOF_LEFT_TYPE).select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        return purchases.join(
+            trail.select(
+                F.col("_id").alias("purchase_id"),
+                F.col("_n_trailing").alias("n_prior_24h"),
+                (F.col("_s_trailing_fp") / 1_000_000).cast("double").alias("value_sum_24h"),
+            ),
+            "purchase_id",
+        ).select("purchase_id", "user_id", "purchase_ts", "n_prior_24h", "value_sum_24h")
     if _is_bucketed(spark, sf_dir, "events"):
         # both bounds must share one interval type: seconds on both sides
         lt_now = (

@@ -1348,6 +1348,34 @@ def heavy_hitters_cms(
         .filter(F.col("n") >= min_count)
     )
 
+
+HH_MIN_COUNT = 40  # same bar tests/test_cms.py gates the sketch at
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the CMS family (round-10 ninth rotation): exact
+    bigram heavy hitters (count ≥ HH_MIN_COUNT) found through the
+    count-min prefilter. The oracle is the DIRECT exact computation —
+    legitimate because the operator is exact BY CONSTRUCTION (the sketch
+    only overestimates, so the gate admits every true heavy hitter and
+    the final exact count removes false positives); what the driver row
+    adds over tests/test_cms.py is the cross-engine value hash on the
+    counts themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_cms(docs, min_count=HH_MIN_COUNT)
+
+
+ORACLE_HEAVY_HITTERS_CMS = f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS words FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(range(len(words) - 1),
+                               i -> words[i+1] || ' ' || words[i+2])) AS bigram
+  FROM tok
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram HAVING count(*) >= {HH_MIN_COUNT}
+"""
+
 # Round-8 seventh rotation: lang_id_agreement and bigram_topk leave the
 # capped registry (both are single-shuffle aggregation shapes whose §2-row
 # coverage is duplicated by text_stats / text_corpus_rollup /
@@ -1378,6 +1406,10 @@ QUERIES = {
     # family (URL extraction + per-domain rollup + blocklist gate) had only
     # pytest differentials; it now holds a hard driver row.
     "url_domains": q_url_domains,
+    # heavy_hitters_cms registered (round-10 ninth rotation, VERDICT r9
+    # item 5): the count-min-sketch family's first driver row — see
+    # q_heavy_hitters_cms for why the exact oracle is sound.
+    "heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
 ORACLES = {
@@ -1392,4 +1424,5 @@ ORACLES = {
     "unigram_ppl": ORACLE_UNIGRAM_PPL,
     "chunk_docs": ORACLE_CHUNK_DOCS,
     "url_domains": ORACLE_URL_DOMAINS,
+    "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
 }

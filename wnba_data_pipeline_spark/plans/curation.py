@@ -237,6 +237,17 @@ def run_curation_incremental(
 
     corpus_dir = _p(base, "curation_inc", "corpus")
     verdicts_dir = _p(base, "curation_inc", "verdicts")
+    # A fresh run must not inherit the previous run's batch=N subdirs:
+    # process_batch only overwrites the batches THIS run produces, so a
+    # re-run with fewer batches (or changed gates) would silently fold the
+    # prior run's stale batch=N output into read_corpus and the packed
+    # corpus. Delete the whole tree first — the same drop-then-write
+    # semantics overwrite_table gives the batch funnel (round-10 advice
+    # fix; asserted in tests/test_curation.py).
+    from ..sources.maintenance import delete_dir
+
+    for d in (corpus_dir, verdicts_dir):
+        delete_dir(spark, d)
     for i in range(n_batches):
         t0 = _time.perf_counter()
         arriving = docs.filter(

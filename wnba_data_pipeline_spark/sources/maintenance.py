@@ -67,11 +67,60 @@ def _norm(path: str) -> str:
 
 
 def _fs(spark: SparkSession, path: str):
-    """(FileSystem, Path-factory) for ``path``'s URI scheme."""
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    """(FileSystem, Path-factory) for ``path``'s URI scheme.
+
+    Requires the JVM Hadoop FileSystem API — absent under Spark Connect
+    (round-10 Connect audit, VERDICT r9 item 4). The atomic-rename
+    compaction/retention/recovery protocol in this module has no faithful
+    Connect-side twin (pyarrow's ``move`` is not atomic on object stores
+    and the markers' crash-safety argument rests on rename semantics), so
+    maintenance raises a DOCUMENTED error there: run maintenance from a
+    classic session. Query-path consumers (curation's rerun cleanup, the
+    streaming corpus listing, the quality footer probe) degrade through
+    pyarrow fallbacks instead — see ``delete_dir`` / ``pa_fs``."""
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+    except Exception as e:  # Spark Connect: no sparkContext/_jvm
+        raise RuntimeError(
+            "the JVM Hadoop FileSystem API is unavailable on this session "
+            "(Spark Connect?); warehouse maintenance must run from a "
+            "classic session — see sources/maintenance.py docstring"
+        ) from e
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path
+
+
+def pa_fs(path: str):
+    """(pyarrow FileSystem, fs-relative path) — the Connect-safe fallback
+    resolver: local paths go to LocalFileSystem, URIs through
+    ``FileSystem.from_uri`` (s3/gcs/hdfs included)."""
+    from urllib.parse import urlparse
+
+    from pyarrow import fs as pafs
+
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        return pafs.LocalFileSystem(), (u.path or path)
+    return pafs.FileSystem.from_uri(path)
+
+
+def delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` if it exists — Hadoop FS when the JVM
+    is reachable, pyarrow otherwise (Spark Connect). The drop-then-write
+    primitive rerun-deterministic pipelines need (plans/curation.py)."""
+    try:
+        fs, P = _fs(spark, path)
+    except RuntimeError:
+        from pyarrow import fs as pafs
+
+        fsys, rel = pa_fs(path)
+        if fsys.get_file_info(rel).type != pafs.FileType.NotFound:
+            fsys.delete_dir(rel)
+        return
+    if fs.exists(P(path)):
+        fs.delete(P(path), True)
 
 
 def _walk(fs, P, path: str):

@@ -100,23 +100,46 @@ def read_corpus(
     EMPTY corpus on any non-local filesystem — every duplicate would then
     be verdicted ``kept`` with no error — while the module's own posture
     is object-store warehouses; same convention as
-    ``sources/maintenance.py``)."""
+    ``sources/maintenance.py``). Under Spark Connect the same listing runs
+    through pyarrow's FileSystem instead (round-10 Connect audit) — the
+    batch-subdir semantics are identical."""
     from ..sources.maintenance import _fs
 
-    fs, P = _fs(spark, corpus_dir)
     dirs = []
-    if fs.exists(P(corpus_dir)):
-        for st in fs.listStatus(P(corpus_dir)):
-            if not st.isDirectory():
-                continue
-            name = st.getPath().getName()
-            if exclude_batch is not None and name == f"batch={exclude_batch}":
-                continue
-            if any(
-                f.getPath().getName().endswith(".parquet")
-                for f in fs.listStatus(st.getPath())
-            ):
-                dirs.append(st.getPath().toString())
+    try:
+        fs, P = _fs(spark, corpus_dir)
+    except RuntimeError:
+        from pyarrow import fs as pafs
+
+        from ..sources.maintenance import pa_fs
+
+        fsys, rel = pa_fs(corpus_dir)
+        if fsys.get_file_info(rel).type != pafs.FileType.NotFound:
+            base = rel.rstrip("/")
+            for sub in fsys.get_file_info(pafs.FileSelector(base)):
+                if sub.type != pafs.FileType.Directory:
+                    continue
+                name = sub.base_name
+                if exclude_batch is not None and name == f"batch={exclude_batch}":
+                    continue
+                if any(
+                    f.type == pafs.FileType.File and f.path.endswith(".parquet")
+                    for f in fsys.get_file_info(pafs.FileSelector(sub.path))
+                ):
+                    dirs.append(sub.path)
+    else:
+        if fs.exists(P(corpus_dir)):
+            for st in fs.listStatus(P(corpus_dir)):
+                if not st.isDirectory():
+                    continue
+                name = st.getPath().getName()
+                if exclude_batch is not None and name == f"batch={exclude_batch}":
+                    continue
+                if any(
+                    f.getPath().getName().endswith(".parquet")
+                    for f in fs.listStatus(st.getPath())
+                ):
+                    dirs.append(st.getPath().toString())
     if dirs:
         return spark.read.schema(DOC_SCHEMA).parquet(*sorted(dirs))
     return spark.createDataFrame([], DOC_SCHEMA)

@@ -53,16 +53,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run session.ensure_confs: on a non-UTC session the nanos rebuild and
     # the window/day casts below would shift buckets relative to the NTZ
     # batch twin (round-8 review fix — set defensively like nanosAsLong)
+    # "Deliberately set" is only detectable at session BUILD time: the
+    # runtime conf's get() falls back to the JVM default timezone for a key
+    # nobody ever set, so warning on every non-UTC machine is noise, not
+    # signal (round-10 advice fix). Warn only when the tz was explicitly
+    # pinned via .config() at build; otherwise note the pin at debug level.
     prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
     if prior_tz not in (None, "UTC", "Etc/UTC", "GMT"):
-        import warnings
-
-        warnings.warn(
+        built_tz = None
+        try:  # sparkContext is absent under Spark Connect — treat as unset
+            built_tz = spark.sparkContext.getConf().get("spark.sql.session.timeZone", None)
+        except Exception:
+            pass
+        msg = (
             f"read_events_stream overrides spark.sql.session.timeZone "
             f"({prior_tz!r} -> 'UTC') for stream/batch window parity; other "
-            f"queries on this session now run under UTC",
-            stacklevel=2,
+            f"queries on this session now run under UTC"
         )
+        if built_tz not in (None, "UTC", "Etc/UTC", "GMT"):
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+        else:
+            import logging
+
+            logging.getLogger(__name__).debug(msg)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if sf_dir not in _PROBES:
         probe = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -145,6 +160,34 @@ def hopping_6h_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# Driver row for the hopping-window family (round-10 ninth rotation,
+# VERDICT r9 item 5 — the one window family that never had a CORRECTNESS
+# row; tumbling and session windows both hold rows in
+# operators/relational.py). The batch twin is the oracle-checkable form;
+# stream≡batch equality is pinned separately in tests/test_streaming.py,
+# so the driver hash transitively covers the stream too. The DuckDB twin
+# expands each event into its 4 overlapping epoch-aligned windows
+# (win_start = floor_6h(ts) - k·6h, k ∈ 0..3 — exactly F.window's
+# assignment for windowDuration=1d, slideDuration=6h) via a range(4)
+# cross join; make_timestamp keeps the arithmetic timezone-naive like the
+# Spark session's UTC pin.
+from ..operators.relational import _dsum_sql as _rel_dsum_sql
+
+ORACLE_HOPPING_6H = f"""
+SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start, event_type,
+       count(*) AS n_events, round({_rel_dsum_sql("value")}, 6) AS value_sum
+FROM (
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 - k * 21600) * 1000000) AS win_start,
+         event_type, value
+  FROM events, range(4) t(k)
+)
+GROUP BY win_start, event_type
+"""
+
+QUERIES = {"hopping_6h_batch": hopping_6h_batch}
+ORACLES = {"hopping_6h_batch": ORACLE_HOPPING_6H}
 
 
 def run_to_memory(df: DataFrame, table_name: str) -> None:
