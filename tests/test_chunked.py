@@ -208,7 +208,6 @@ def test_chunked_bounds_per_partition_work(spark, skewed_events):
     key's densest day — an order of magnitude below HOT_N here. This is
     the deterministic proxy for the max-task-time assertion (task wall
     scales with partition rows for these O(n) window passes)."""
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
     per_chunk = (
         skewed_events.select("user_id", F.expr(f"unix_micros(cast(ts as timestamp)) div {chunked.CHUNK_US}").alias("ck"))
         .groupBy("user_id", "ck")

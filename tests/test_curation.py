@@ -132,6 +132,39 @@ def test_curation_funnel_semantic_path(spark, tmp_path):
     assert semantic_pairs(corpus, k=min(SD_K, n)).count() == 0
 
 
+def test_curation_funnel_sharp_geometry(spark, tmp_path):
+    """The large-n band geometry (dedup.GEOMETRY_LARGE_N — the explicit
+    dial for the sf100 candidate quadratic): the funnel must stay monotone,
+    collapse the planted EXACT copies regardless (exact dedup is
+    geometry-independent), still catch planted near-copies (their
+    j ≈ 0.95+ sits where the sharp S-curve detects at ≥0.98 over
+    6 bands), and leave no pair behind under its OWN detector."""
+    from wnba_data_pipeline_spark.functions.hashing import minhash_coeffs
+    from wnba_data_pipeline_spark.operators.dedup import GEOMETRY_LARGE_N
+
+    src = _plant_dups(spark, tmp_path)
+    base = str(tmp_path / "wh_sharp")
+    report = {
+        r["stage"]: r["n_docs"]
+        for r in curation.run_curation(
+            spark, src, base, band_geometry=GEOMETRY_LARGE_N
+        ).collect()
+    }
+    counts = [report[s] for s in curation.STAGES]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), report
+    assert report["near_deduped"] < report["deduped"]  # near-copies caught
+    out = read_table(spark, f"{base}/curation/near_deduped")
+    k, rows_per_band = GEOMETRY_LARGE_N
+    assert (
+        minhash_pairs(
+            out.select("doc_id", "text"),
+            coeffs=minhash_coeffs(k),
+            band_rows=rows_per_band,
+        ).count()
+        == 0
+    )
+
+
 def test_curation_rerun_is_deterministic(spark, tmp_path):
     src = _plant_dups(spark, tmp_path)
     base1, base2 = str(tmp_path / "wh1"), str(tmp_path / "wh2")

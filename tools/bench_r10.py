@@ -2,12 +2,15 @@
 
 Subcommands (argv[1]):
 
-  make_skew      build .benchdata/skew10/{events,lineitem}.parquet — the
-                 sf10 tables with a planted hot key (VERDICT r9 item 2:
-                 one user reassigned ~1% of events; one supplier ~1% of
-                 lineitem) via DuckDB rewrite.
-  skew_windows   sessionize / asof / range_join_bins on the planted-skew
-                 events: plain single-window vs chunked carry-merge
+  make_skew      build the planted-hot-key sf10 tables via DuckDB rewrite
+                 (VERDICT r9 item 2): .benchdata/skew10 (one user takes
+                 ~1% of events — the verdict's shape, measured as the
+                 regime where the plain window still WINS on local[32])
+                 and .benchdata/skew10_33 (one user/supplier takes ~33% —
+                 a genuinely dominant key).
+  skew_windows   sessionize / asof / range_join_bins on a planted-skew
+                 events dir ($SPARK_GRAFT_SF_DIR, default skew10_33):
+                 plain single-window vs chunked carry-merge
                  (SPARK_GRAFT_CHUNKED_WINDOWS=0/1), wall spreads +
                  value-hash equality + what the sampled detector decides.
   skew_rolling   rolling_5_10 on the planted-skew lineitem, same matrix.
@@ -44,39 +47,43 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
 from bench_r09 import _session, _sf, _spread  # noqa: E402
 
-SKEW_DIR = "/root/repo/.benchdata/skew10"
+SKEW_DIR = "/root/repo/.benchdata/skew10"          # ~1% hot user
+SKEW33_DIR = "/root/repo/.benchdata/skew10_33"     # ~33% hot user/supplier
 HOT_FRACTION = 100  # event_id % 100 == 0 → ~1% of rows onto the hot key
 
 
 def cmd_make_skew() -> dict:
     import duckdb
 
-    os.makedirs(SKEW_DIR, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET preserve_insertion_order=false")
     con.execute("SET memory_limit='24GB'")
     out: dict = {}
+    for label, d, mod in (("1pct", SKEW_DIR, HOT_FRACTION), ("33pct", SKEW33_DIR, 3)):
+        os.makedirs(d, exist_ok=True)
+        t0 = time.perf_counter()
+        con.execute(
+            f"COPY (SELECT * REPLACE ("
+            f"CASE WHEN event_id % {mod} = 0 THEN 0 ELSE user_id END AS user_id) "
+            f"FROM read_parquet('/root/repo/.benchdata/sf10/events.parquet')) "
+            f"TO '{d}/events.parquet' (FORMAT parquet)"
+        )
+        out[f"events_{label}_sec"] = round(time.perf_counter() - t0, 1)
+        out[f"hot_user_rows_{label}"] = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/events.parquet') WHERE user_id = 0"
+        ).fetchone()[0]
+    # rolling probe: only the dominant-key variant (the 1% negative is
+    # established on the events family; lineitem rewrite is 14 GB)
     t0 = time.perf_counter()
     con.execute(
         f"COPY (SELECT * REPLACE ("
-        f"CASE WHEN event_id % {HOT_FRACTION} = 0 THEN 0 ELSE user_id END AS user_id) "
-        f"FROM read_parquet('/root/repo/.benchdata/sf10/events.parquet')) "
-        f"TO '{SKEW_DIR}/events.parquet' (FORMAT parquet)"
-    )
-    out["events_sec"] = round(time.perf_counter() - t0, 1)
-    out["hot_user_rows"] = con.execute(
-        f"SELECT count(*) FROM read_parquet('{SKEW_DIR}/events.parquet') WHERE user_id = 0"
-    ).fetchone()[0]
-    t0 = time.perf_counter()
-    con.execute(
-        f"COPY (SELECT * REPLACE ("
-        f"CASE WHEN l_orderkey % {HOT_FRACTION} = 0 THEN 7 ELSE l_suppkey END AS l_suppkey) "
+        f"CASE WHEN l_orderkey % 3 = 0 THEN 7 ELSE l_suppkey END AS l_suppkey) "
         f"FROM read_parquet('/root/repo/.benchdata/sf10/lineitem.parquet')) "
-        f"TO '{SKEW_DIR}/lineitem.parquet' (FORMAT parquet)"
+        f"TO '{SKEW33_DIR}/lineitem.parquet' (FORMAT parquet)"
     )
-    out["lineitem_sec"] = round(time.perf_counter() - t0, 1)
-    out["hot_supplier_rows"] = con.execute(
-        f"SELECT count(*) FROM read_parquet('{SKEW_DIR}/lineitem.parquet') WHERE l_suppkey = 7"
+    out["lineitem_33pct_sec"] = round(time.perf_counter() - t0, 1)
+    out["hot_supplier_rows_33pct"] = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SKEW33_DIR}/lineitem.parquet') WHERE l_suppkey = 7"
     ).fetchone()[0]
     return out
 
@@ -93,13 +100,14 @@ def _hash_check(df) -> dict:
 
 
 def cmd_skew_windows() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SKEW33_DIR)
     spark = _session(10.0)
 
     from wnba_data_pipeline_spark.operators import chunked, relational, temporal
     from wnba_data_pipeline_spark.sources.tables import load_table
 
-    out: dict = {"sf_dir": SKEW_DIR, "hot_fraction": f"1/{HOT_FRACTION}"}
-    ev = load_table(spark, SKEW_DIR, "events")
+    out: dict = {"sf_dir": sf_dir}
+    ev = load_table(spark, sf_dir, "events")
     t0 = time.perf_counter()
     out["detector_engages"] = chunked.detect_hot_keys(ev, "user_id", "event_id")
     out["detector_sec"] = round(time.perf_counter() - t0, 2)
@@ -112,10 +120,10 @@ def cmd_skew_windows() -> dict:
     for name, q in queries.items():
         row: dict = {}
         os.environ["SPARK_GRAFT_CHUNKED_WINDOWS"] = "0"
-        plain = q(spark, SKEW_DIR)
+        plain = q(spark, sf_dir)
         row["plain"] = _spread(plain)
         os.environ["SPARK_GRAFT_CHUNKED_WINDOWS"] = "1"
-        ck = q(spark, SKEW_DIR)
+        ck = q(spark, sf_dir)
         row["chunked"] = _spread(ck)
         row["plain_hash"] = _hash_check(plain)
         row["chunked_hash"] = _hash_check(ck)
@@ -126,16 +134,17 @@ def cmd_skew_windows() -> dict:
 
 
 def cmd_skew_rolling() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SKEW33_DIR)
     spark = _session(10.0)
 
     from wnba_data_pipeline_spark.operators import relational
 
-    out: dict = {"sf_dir": SKEW_DIR, "hot_fraction": f"1/{HOT_FRACTION}"}
+    out: dict = {"sf_dir": sf_dir}
     os.environ["SPARK_GRAFT_CHUNKED_WINDOWS"] = "0"
-    plain = relational.q_rolling_5_10(spark, SKEW_DIR)
+    plain = relational.q_rolling_5_10(spark, sf_dir)
     out["plain"] = _spread(plain)
     os.environ["SPARK_GRAFT_CHUNKED_WINDOWS"] = "1"
-    ck = relational.q_rolling_5_10(spark, SKEW_DIR)
+    ck = relational.q_rolling_5_10(spark, sf_dir)
     out["chunked"] = _spread(ck)
     out["plain_hash"] = _hash_check(plain)
     out["chunked_hash"] = _hash_check(ck)

@@ -21,15 +21,20 @@ join. Values are identical by associativity of the carried aggregates
 chunked query below states its own carry-correctness argument.
 
 Gating follows the repo's committed posture (scale switches change plan
-physics, never values): the plain single-window shape stays the default;
-``detect_hot_keys`` samples 1/``HK_SAMPLE_MOD`` of rows (deterministic
-md5 gate, same recipe as the dedup hot-bucket detector) and the event
-queries switch to the chunked shape only when a key's ESTIMATED row count
-clears ``HOT_KEY_MIN``. Misdetection changes the physical branch, never
-the rows. ``SPARK_GRAFT_CHUNKED_WINDOWS=1/0`` forces the branch for tests
-and benches; detection is cached per (sf_dir-ish) input identity by the
-callers that can (the registry queries), since a table's key histogram
-does not change under re-planning.
+physics, never values) and is PER QUERY, from measurement
+(BENCH_SCALE_r10 skew_windows/skew_rolling): the plain single-window
+shape stays the default everywhere; ``detect_hot_keys`` samples
+1/``HK_SAMPLE_MOD`` of rows (deterministic md5 gate, same recipe as the
+dedup hot-bucket detector) and the asof / trailing-range / rolling
+queries — whose chunked forms measured FASTER under a dominant key —
+switch when a key's estimated share clears the relative bar. Sessionize
+does NOT auto-gate: its plain session_window is one shuffle whose output
+is already the aggregate, and the chunked rewrite measured slower at
+every planted regime (see q_sessionize_events). Misdetection changes the
+physical branch, never the rows. ``SPARK_GRAFT_CHUNKED_WINDOWS=1/0``
+forces the branch for tests and benches; detection is cached per
+(sf_dir, layout, key) since a table's key histogram does not change
+between plan builds.
 """
 
 from __future__ import annotations
@@ -41,12 +46,19 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
 
-# Hot-key detection: a key whose TRUE row count clears HOT_KEY_MIN gets the
-# chunked plan. 64k rows on one key ≈ several task-quanta of serialized
-# window work at typical partition sizes (sf10: 10 M rows / 32 tasks ≈
-# 312k rows per task — a 64k key is already a fifth of a core's share, and
-# the term grows linearly while everything else scales out).
+# Hot-key detection is RELATIVE, not absolute (round-10 measurement,
+# BENCH_SCALE_r10 skew_windows): a key serializes the job only when its
+# row count rivals a core's fair share — at sf10 a 1%-hot user (100k rows)
+# measured FASTER on the plain window (one task absorbs 100k rows while
+# every task owns ~312k anyway; the chunked machinery's summary join +
+# probe union cost 2-3x for nothing), while a 33%-hot user is a genuine
+# single-task wall. So a key is hot iff its estimated rows ≥
+# max(HOT_KEY_MIN, HOT_PARTITION_FACTOR × est_total / shuffle_partitions):
+# the relative bar finds the keys that actually dominate a task wave at
+# ANY scale (at 100 TB / 8000 cores a 64k-row key is noise), the absolute
+# floor stops flapping on tiny corpora.
 HOT_KEY_MIN = 65536
+HOT_PARTITION_FACTOR = 4
 HK_SAMPLE_MOD = 64  # detection sample fraction (1/64, same as HB_SAMPLE_MOD)
 CHUNK_US = 24 * 3600 * 1_000_000  # chunk width: 1 day of event time
 
@@ -68,28 +80,34 @@ def detect_hot_keys(
     *,
     hot_key_min: int = HOT_KEY_MIN,
     sample_mod: int = HK_SAMPLE_MOD,
+    partition_factor: int = HOT_PARTITION_FACTOR,
 ) -> bool:
-    """True iff some key's estimated row count ≥ ``hot_key_min``, estimated
+    """True iff some key's ESTIMATED row count clears the relative bar
+    ``max(hot_key_min, partition_factor × est_total / shuffle_partitions)``
+    — see the constants above for why the bar is relative. Estimates come
     from a deterministic 1/``sample_mod`` row sample (md5 of ``id_col`` —
     reshuffle-proof, retry-stable; same construction as the dedup
-    hot-bucket gate). A true B-row key appears ~B/64 times in the sample,
-    so the ``max(2, hot_key_min/(2·sample_mod))`` bar engages with
-    near-certainty for keys at or above the threshold while two sampled
-    rows of noise cannot trip it for small corpora. One cheap aggregate
-    job over two columns; the result picks a PLAN SHAPE only — both
-    branches return identical rows."""
-    bar = max(2, hot_key_min // (2 * sample_mod))
+    hot-bucket gate): a true B-row key appears ~B/sample_mod times, so
+    keys at the genuinely-dominating scale are detected with
+    near-certainty, and a key needs ≥2 sampled rows before it can trip
+    anything (small-corpus noise immunity). One cheap aggregate job over
+    two columns; the result picks a PLAN SHAPE only — both branches
+    return identical rows (tests/test_chunked.py)."""
     sampled = df.filter(
         F.pmod(md5_long(F.concat(F.lit("hk:"), F.col(id_col).cast("string"))), F.lit(sample_mod)) == 0
     )
-    hit = (
+    row = (
         sampled.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= bar)
-        .limit(1)
-        .count()
+        .agg(F.max("_n").alias("_mx"), F.sum("_n").alias("_tot"))
+        .collect()[0]
     )
-    return hit > 0
+    if row["_mx"] is None or row["_mx"] < 2:
+        return False
+    est_max = row["_mx"] * sample_mod
+    est_total = row["_tot"] * sample_mod
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return est_max >= max(hot_key_min, partition_factor * est_total // max(parts, 1))
 
 
 _HOT_EVENTS_CACHE: dict[tuple, bool] = {}
@@ -193,9 +211,11 @@ def chunked_sessionize(
             F.lit(0),
         ),
     ).select(key_col, "_ck", "_first_flag", "_prefix")
-    # no broadcast hint: the summary has one row per (key, chunk) — small
-    # next to the data but NOT driver-sized at 100 TB; the (key, chunk)
-    # equi-join lets AQE broadcast when it fits and shuffle-hash when not
+    # no join hint (round-10 measurement): a shuffle_hash hint measured
+    # NO win at sf10 and OOM'd at sf100 (SHJ's hash build cannot spill);
+    # the summary is small next to the data but NOT driver-sized at
+    # 100 TB (keys × days), so leave broadcast-vs-SMJ to AQE's runtime
+    # stats — the robust default.
     joined = rows.join(summary, [key_col, "_ck"])
     # session id = prefix sessions + (this chunk's first-row flag, which the
     # in-chunk cumsum could not see) + in-chunk running flags
@@ -235,9 +255,7 @@ def chunked_running_max(
     summary = summary.withColumn(
         "_pre", F.max("_cmax").over(w_s.rowsBetween(Window.unboundedPreceding, -1))
     ).select(key_col, "_ck", "_pre")
-    # no broadcast hint: the summary has one row per (key, chunk) — small
-    # next to the data but NOT driver-sized at 100 TB; the (key, chunk)
-    # equi-join lets AQE broadcast when it fits and shuffle-hash when not
+    # no hint — see chunked_sessionize's carry join
     joined = rows.join(summary, [key_col, "_ck"])
     merged = (
         F.when(F.col("_m_in").isNull(), F.col("_pre"))

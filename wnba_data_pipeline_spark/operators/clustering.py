@@ -278,8 +278,10 @@ def kmeans_fit(
     frame — the right trade for coarse quantizers (small k); leave the
     default for the k≈n/512 semantic-cell fits where k passes would not
     amortize and uniform seeding is fine (cells there are a partition
-    dial, not a structure claim). Opt-in only: every fitted-literal
-    oracle stays on "hash".
+    dial, not a structure claim). This fit's own default stays "hash";
+    ``ivfpq_fit`` passes "farthest" since round 10 (its coarse fixture
+    literals pin the farthest fit — both inits are equally deterministic,
+    so the fixture-pin contract is unchanged).
 
     Each iteration assigns every row to its nearest centroid (zero-shuffle
     map) and rebuilds centroids with one hash aggregate (fixed-point

@@ -67,6 +67,25 @@ from ..sources.tables import load_table
 # to 4x3, which buys its recall with 4x the false-candidate volume.
 K_MINHASH = 16  # signature length
 BAND_ROWS = 4  # rows per band → 4 bands; P(candidate) = 1-(1-j⁴)⁴
+
+# THE QUADRATIC THE sf100 LADDER CAUGHT (round 10, BENCH_SCALE_r10
+# curation_sf100): at fixed geometry, banded LSH's candidate volume has a
+# background term ∝ n² × P(candidate | j_bg) — every pair of UNRELATED
+# documents with nonzero background similarity rolls the band dice.
+# Measured: 1.74 M distinct candidates at 878 k docs → 19.14 M at 2.93 M
+# docs (11× for 3.33× docs — exactly n²), 99.5% of them cross-corpus
+# background pairs at j≈0.2-0.3, ALL rejected by the exact j≥0.5
+# verification — a pure COST quadratic, values untouched. The cure is a
+# sharper geometry at larger n: 6 bands × 8 rows (K=48) cuts
+# P(candidate | j=0.25) from 1.55% to ~9e-6 (≈2500×, re-linearizing the
+# candidate step for another ~3 decades) at the price of a higher
+# S-curve midpoint (~0.77) and j=0.9 per-pair detection 0.966 vs 0.986 —
+# a SEMANTIC dial, so it is an explicit caller choice
+# (``run_curation(band_geometry=...)``), never a silent scale switch:
+# the incremental funnel's increment-equals-batch contract requires both
+# paths to run the same detector, and a corpus-size auto-dial would break
+# it the moment batch sizes and corpus sizes straddle the cut.
+GEOMETRY_LARGE_N = (48, 8)  # the measured-cure (K, band_rows) at n ≳ 1M
 N_BANDS = K_MINHASH // BAND_ROWS
 COEFFS = minhash_coeffs(K_MINHASH)  # seeded — identical constants both engines
 

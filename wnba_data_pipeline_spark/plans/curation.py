@@ -49,6 +49,7 @@ def run_curation(
     spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFAULT_AS_OF,
     *, cc_max_iter: int = 25, near_dedup: str = "minhash",
     stage_seconds: dict | None = None,
+    band_geometry: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Run the four-stage funnel over ``documents``; writes every stage to
     the curation warehouse and returns the funnel report (stage, n_docs,
@@ -68,7 +69,16 @@ def run_curation(
 
     ``stage_seconds``: pass a dict to receive per-stage wall seconds
     (each stage is write-materialized, so the walls are real work, not
-    laziness artifacts) — the bench hook for BENCH_SCALE_r08."""
+    laziness artifacts) — the bench hook for BENCH_SCALE_r08.
+
+    ``band_geometry``: optional (K, band_rows) override for the MinHash
+    near-dup detector — the EXPLICIT dial for the candidate quadratic
+    the sf100 ladder caught (see ``dedup.GEOMETRY_LARGE_N`` and the
+    K_MINHASH comment): at ≳1 M docs pass ``dedup.GEOMETRY_LARGE_N`` to
+    re-linearize the candidate step (measured 19.1 M → ~linear at sf100,
+    BENCH_SCALE_r10). A deliberate semantic choice (it moves the S-curve
+    midpoint), so no auto-switch — and the incremental funnel must run
+    the SAME detector for increment-equals-batch to hold."""
     import time as _time
 
     _t = _time.perf_counter()
@@ -116,8 +126,14 @@ def run_curation(
         # consumers (band explode + both verification joins) — the funnel
         # evaluates the pairs eagerly inside cluster_survivors, so the
         # persist is released as soon as the stage's write lands
+        geom_kw = {}
+        if band_geometry is not None:
+            from ..functions.hashing import minhash_coeffs
+
+            k, rows_per_band = band_geometry
+            geom_kw = {"coeffs": minhash_coeffs(k), "band_rows": rows_per_band}
         shingled = shingle_docs(deduped.select("doc_id", "text")).persist()
-        pairs = minhash_pairs(deduped.select("doc_id", "text"), shingled=shingled)
+        pairs = minhash_pairs(deduped.select("doc_id", "text"), shingled=shingled, **geom_kw)
         survivors = cluster_survivors(pairs, max_iter=cc_max_iter)
     elif near_dedup == "semantic":
         survivors = _semantic_survivors(spark, sf_dir, deduped, cc_max_iter=cc_max_iter)
