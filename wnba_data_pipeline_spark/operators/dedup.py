@@ -194,6 +194,7 @@ def _minhash_band_keys(
     *,
     coeffs: list[tuple[int, int]] | None = None,
     band_rows: int | None = None,
+    hashes: Column | None = None,
 ) -> list[Column]:
     """Band-key strings 't:s:...:s' from the minhash signature (defaults:
     the module geometry; explicit ``coeffs``/``band_rows`` let the A/B
@@ -201,7 +202,11 @@ def _minhash_band_keys(
 
     h_i(x) = (a_i·(x mod P) + b_i) mod P over the md5-int64 shingle hashes;
     a·(x%P) < 2^62 so the arithmetic is overflow-free int64 in both engines.
-    """
+    Pass ``hashes`` (the materialized ``hh`` column from ``shingle_docs``)
+    to feed the K mins from integers — inlined, the md5 transform is a
+    subexpression of EVERY min and Spark does not CSE across higher-order
+    functions, so each shingle would be md5-hashed K times (see
+    shingle_docs)."""
     def _uhash(a: int, b: int):
         # closure (not default args): PySpark derives lambda arity by signature
         return lambda h: (F.lit(a) * (h % F.lit(P)) + F.lit(b)) % F.lit(P)
@@ -209,7 +214,7 @@ def _minhash_band_keys(
     coeffs = COEFFS if coeffs is None else coeffs
     band_rows = BAND_ROWS if band_rows is None else band_rows
     n_bands = len(coeffs) // band_rows
-    hashes = F.transform(shingles, md5_long)
+    hashes = F.transform(shingles, md5_long) if hashes is None else hashes
     sig = [F.array_min(F.transform(hashes, _uhash(a, b))) for a, b in coeffs]
     return [
         F.concat_ws(":", F.lit(str(t)), *[sig[t * band_rows + r].cast("string") for r in range(band_rows)])
@@ -232,14 +237,29 @@ _SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%
 
 
 def shingle_docs(docs: DataFrame) -> DataFrame:
-    """(… doc_id, text …) → (doc_id, sh): the per-doc distinct-shingle
-    arrays every MinHash consumer derives from. Exposed so a caller that
-    evaluates the pair plan eagerly (the curation funnel) can persist ONE
-    shingle computation across its three uses inside ``minhash_pairs``
-    (band explode + both verification payload joins — the shingle map is
-    the stage's dominant per-row cost, ~1 ms/doc single-core)."""
+    """(… doc_id, text …) → (doc_id, sh, hh): the per-doc distinct-shingle
+    arrays every MinHash consumer derives from, PLUS their md5-int64 hash
+    array ``hh`` materialized once. Exposed so a caller that evaluates the
+    pair plan eagerly (the curation funnel) can persist ONE shingle
+    computation across its three uses inside ``minhash_pairs`` (band
+    explode + both verification payload joins).
+
+    Why ``hh`` rides along (round 10 — the §14.7 signature-cost target):
+    the K signature mins each contain ``transform(sh, md5_long)`` as a
+    subexpression, and Spark performs NO common-subexpression elimination
+    across higher-order functions (same limitation the doc_stats
+    quality-score inlining works around) — so an inline band-keys
+    expression md5-hashes every shingle K times (48× under
+    GEOMETRY_LARGE_N; measured as the dominant signature wall at sf100).
+    Hashing once into a column lets the persisted/banded plan feed the K
+    universal-hash mins from integers. The DuckDB twin always had this
+    shape (``_SIG_SQL`` reads a materialized ``hh`` list), so cross-engine
+    values are untouched."""
     words = F.split(F.col("text"), " ")
-    return docs.select("doc_id", _shingles(F.col("text"), words).alias("sh"))
+    sh = _shingles(F.col("text"), words)
+    return docs.select(
+        "doc_id", sh.alias("sh"), F.transform(sh, md5_long).alias("hh")
+    )
 
 
 def minhash_pairs(
@@ -286,10 +306,18 @@ def minhash_pairs(
         shingled = shingle_docs(docs)
     if hot_bucket_min is None:
         hot_bucket_min = HOT_BUCKET_MIN
+    # feed the signature from the materialized hash array when the caller's
+    # shingled frame carries it (shingle_docs always does; a pre-round-10
+    # caller passing a bare (doc_id, sh) frame still works)
+    hh = F.col("hh") if "hh" in shingled.columns else None
     banded = shingled.select(
         "doc_id",
         F.explode(
-            F.array(*_minhash_band_keys(F.col("sh"), coeffs=coeffs, band_rows=band_rows))
+            F.array(
+                *_minhash_band_keys(
+                    F.col("sh"), coeffs=coeffs, band_rows=band_rows, hashes=hh
+                )
+            )
         ).alias("band_key"),
     )
 
@@ -591,11 +619,21 @@ def incremental_verdicts(batch: DataFrame, ref: DataFrame, *, threshold: float =
     batch_hashed = batch.withColumn("content_hash", md5_long(F.col("text")))
 
     def _bands(df: DataFrame, id_alias: str) -> DataFrame:
-        sh = df.select(F.col("doc_id").alias(id_alias), _shingles(F.col("text"), words).alias("sh"))
-        banded = sh.select(
-            id_alias, F.explode(F.array(*_minhash_band_keys(F.col("sh")))).alias("band_key")
+        # hh materialized once per row — see shingle_docs (round-10
+        # signature-cost fix); sh stays for the exact-Jaccard verify
+        sh_expr = _shingles(F.col("text"), words)
+        sh = df.select(
+            F.col("doc_id").alias(id_alias),
+            sh_expr.alias("sh"),
+            F.transform(sh_expr, md5_long).alias("hh"),
         )
-        return sh, banded
+        banded = sh.select(
+            id_alias,
+            F.explode(
+                F.array(*_minhash_band_keys(F.col("sh"), hashes=F.col("hh")))
+            ).alias("band_key"),
+        )
+        return sh.drop("hh"), banded
 
     ref_sh, ref_bands = _bands(ref, "ref_id")
     batch_sh, batch_bands = _bands(batch, "batch_id")
