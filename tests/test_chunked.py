@@ -243,3 +243,166 @@ def test_registry_queries_equal_under_planted_skew(spark, skewed_events, tmp_pat
     monkeypatch.delenv("SPARK_GRAFT_CHUNKED_WINDOWS")
     ev = load_table(spark, sf_dir, "events")
     assert chunked.detect_hot_keys(ev, "user_id", "event_id", hot_key_min=1024)
+
+
+# ---------------------------------------------------------------------------
+# planted NULL keys: the carry joins must be null-safe (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+
+def _nrows(df):
+    """Null-safe row sort: tuples containing None are not orderable."""
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, str(type(v)), v if v is not None else 0) for v in t),
+    )
+
+@pytest.fixture(scope="module")
+def nullkey_events(spark):
+    """Every third row has a NULL user_id, spread over ~50 day-chunks so
+    the NULL key genuinely needs cross-chunk carries. The plain window
+    shapes group NULL keys into ONE partition (Spark window partitioning,
+    like GROUP BY), so the chunked forms must deliver the same rows — a
+    plain `=` carry join silently drops them (the ADVICE r10 bug: totals
+    lost -> n_prior understated / sessions dropped)."""
+    df = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(F.col("id") % 5).alias("user_id"),
+        F.to_timestamp(
+            F.lit("2001-03-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id") * 7200)
+        ).alias("ts"),
+        (F.col("id") % 11 / 4.0).alias("value"),
+        F.when(F.col("id") % 5 == 0, temporal.ASOF_LEFT_TYPE)
+        .when(F.col("id") % 5 == 1, temporal.ASOF_RIGHT_TYPE)
+        .otherwise("view")
+        .alias("event_type"),
+    ).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_chunked_sessionize_keeps_null_keys(spark, nullkey_events):
+    gap_s = 1800
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+    ).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_s * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    plain = _nrows(
+        nullkey_events.withColumn("_sess", F.sum(new_sess).over(w))
+        .groupBy("user_id", "_sess")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "s", "n")
+    )
+    ck = _nrows(
+        chunked.chunked_sessionize(nullkey_events, gap_s=gap_s)
+        .groupBy("user_id", "_sess")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("user_id", "s", "n")
+    )
+    assert plain == ck
+    # the NULL-key group really is present on both sides
+    assert any(r[0] is None for r in plain)
+
+
+def test_chunked_running_max_keeps_null_keys(spark, nullkey_events):
+    click = F.when(
+        F.col("event_type") == temporal.ASOF_RIGHT_TYPE,
+        F.struct(F.col("ts").alias("_ct"), F.col("event_id").alias("_cid")),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    plain = _nrows(
+        nullkey_events.withColumn("_m", F.max(click).over(w))
+        .filter(F.col("_m").isNotNull())
+        .select("event_id", "user_id", F.col("_m._cid").alias("cid"), F.col("_m._ct").alias("ct"))
+    )
+    ck = _nrows(
+        chunked.chunked_running_max(nullkey_events, click)
+        .filter(F.col("_m").isNotNull())
+        .select("event_id", "user_id", F.col("_m._cid").alias("cid"), F.col("_m._ct").alias("ct"))
+    )
+    assert plain == ck
+    assert any(r[1] is None for r in plain)
+
+
+def test_chunked_trailing_agg_keeps_null_keys(spark, nullkey_events):
+    fp = "cast(floor(value * 1000000 + 0.5d) as long)"
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = Window.partitionBy("user_id").orderBy(us)
+    w_now = base.rangeBetween(Window.unboundedPreceding, -1)
+    w_cut = base.rangeBetween(Window.unboundedPreceding, -temporal.WINDOW_US - 1)
+    fp_col = F.expr(fp)
+    n_col = (F.count(F.lit(1)).over(w_now) - F.count(F.lit(1)).over(w_cut)).cast("long")
+    s_col = F.coalesce(F.sum(fp_col).over(w_now), F.lit(0).cast("long")) - F.coalesce(
+        F.sum(fp_col).over(w_cut), F.lit(0).cast("long")
+    )
+    plain = _nrows(nullkey_events.select("event_id", n_col.alias("n"), s_col.alias("s")))
+    ck = _nrows(
+        chunked.chunked_trailing_agg(nullkey_events, window_us=temporal.WINDOW_US).select(
+            F.col("_id").alias("event_id"),
+            F.col("_n_trailing").alias("n"),
+            F.col("_s_trailing_fp").alias("s"),
+        )
+    )
+    assert plain == ck
+    # and nothing went negative (the pre-fix symptom)
+    assert all(r[1] >= 0 for r in ck)
+
+
+def test_chunked_rolling_keeps_null_keys(spark):
+    from wnba_data_pipeline_spark.functions.windows import rolling_avg_exact
+    from wnba_data_pipeline_spark.operators.chunked import chunked_rolling
+
+    li = (
+        load_table(spark, SF_ORACLE, "lineitem")
+        .withColumn(
+            "l_suppkey",
+            F.when(F.col("l_orderkey") % 3 == 0, F.lit(None)).otherwise(F.col("l_suppkey")),
+        )
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    plain = _nrows(
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            *[F.round(rolling_avg_exact("l_quantity", w, n), 6).alias(f"r{n}") for n in (5, 10)],
+        )
+    )
+    got = _nrows(
+        chunked_rolling(li, (5, 10)).select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("_roll5").alias("r5"),
+            F.col("_roll10").alias("r10"),
+        )
+    )
+    assert plain == got
+    assert any(r[0] is None for r in plain)
+
+
+def test_hot_key_cache_keyed_by_table(spark, skewed_events):
+    """ADVICE r10 (low): the detection cache must not let two tables that
+    share a key-column NAME reuse each other's verdict."""
+    uniform = load_table(spark, SF_ORACLE, "events")
+    chunked._HOT_EVENTS_CACHE.clear()
+    hot = chunked.use_chunked_table(
+        skewed_events, ("cachekey-test", "", "tbl_a"), "user_id", "event_id"
+    )
+    cold = chunked.use_chunked_table(
+        uniform, ("cachekey-test", "", "tbl_b"), "user_id", "event_id"
+    )
+    # same sf_dir/layout + same key column, different tables -> independent
+    # cache entries (values themselves depend on detector thresholds; the
+    # contract under test is only that the entries are distinct)
+    keys = [k for k in chunked._HOT_EVENTS_CACHE if k[0] == "cachekey-test"]
+    assert len(keys) == 2, keys
+    assert hot or not hot  # verdicts recorded without error
+    assert cold or not cold

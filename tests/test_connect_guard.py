@@ -97,3 +97,19 @@ def test_maintenance_raises_documented_error(connect_spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="classic session"):
         compact_table(connect_spark, str(tmp_path / "tbl"))
+
+
+def test_pa_uri_prefix_reconstructs_scheme():
+    # ADVICE r10: FileSelector paths come back scheme-stripped; the
+    # fallbacks must re-prefix them before crossing into Spark/URI land
+    from wnba_data_pipeline_spark.sources.maintenance import pa_uri_prefix
+
+    # object-store URI: pa_fs("s3://bucket/key") -> rel "bucket/key"
+    assert pa_uri_prefix("s3://bucket/key", "bucket/key") == "s3://"
+    assert pa_uri_prefix("s3://bucket/key/", "bucket/key") == "s3://"
+    # file URI: rel is the plain path
+    assert pa_uri_prefix("file:///tmp/x", "/tmp/x") == "file://"
+    # local path: no scheme stripped, nothing to re-attach
+    assert pa_uri_prefix("/tmp/x", "/tmp/x") == ""
+    # defensive: unrelated rel -> empty prefix (never corrupt the path)
+    assert pa_uri_prefix("s3://bucket/key", "other") == ""

@@ -120,7 +120,10 @@ def use_chunked_events(ev: DataFrame, cache_key: tuple) -> bool:
     histogram does not change between plan builds, so the one detection
     job amortizes across the session (same caching idea as the stream
     reader's footer probe)."""
-    return use_chunked_table(ev, cache_key, "user_id", "event_id")
+    # table identity in the cache key (ADVICE r10): two tables sharing a
+    # key-column NAME under the same sf_dir must not reuse each other's
+    # hot-key verdict
+    return use_chunked_table(ev, cache_key + ("events",), "user_id", "event_id")
 
 
 def use_chunked_table(df: DataFrame, cache_key: tuple, key_col: str, id_col: str) -> bool:
@@ -135,6 +138,21 @@ def use_chunked_table(df: DataFrame, cache_key: tuple, key_col: str, id_col: str
     if full_key not in _HOT_EVENTS_CACHE:
         _HOT_EVENTS_CACHE[full_key] = detect_hot_keys(df, key_col, id_col)
     return _HOT_EVENTS_CACHE[full_key]
+
+
+def _nullsafe_carry_join(rows: DataFrame, summary: DataFrame, key_col: str) -> DataFrame:
+    """Join the per-(key, chunk) carry summaries back to the rows with
+    NULL-SAFE key equality (ADVICE r10): the plain window shapes partition
+    NULL keys into one group (and NULL timestamps into a NULL chunk), so
+    the carry join must match them — ``join(df, [key, ck])`` uses plain
+    ``=`` and would drop every NULL-key/NULL-chunk row from an inner join
+    or lose the carry on a left join. Renames the summary's join columns
+    so both eqNullSafe sides stay unambiguous, then drops them."""
+    s = summary.withColumnRenamed(key_col, "__jk").withColumnRenamed("_ck", "__jck")
+    return rows.join(
+        s,
+        F.col(key_col).eqNullSafe(F.col("__jk")) & F.col("_ck").eqNullSafe(F.col("__jck")),
+    ).drop("__jk", "__jck")
 
 
 def _chunk_col(us_col: str, chunk_us: int) -> Column:
@@ -216,7 +234,11 @@ def chunked_sessionize(
     # the summary is small next to the data but NOT driver-sized at
     # 100 TB (keys × days), so leave broadcast-vs-SMJ to AQE's runtime
     # stats — the robust default.
-    joined = rows.join(summary, [key_col, "_ck"])
+    # NULL-SAFE key equality (ADVICE r10): the plain shapes' window
+    # partitioning groups NULL keys into one partition, so the carry join
+    # must match them too — a name-list inner join would silently drop
+    # every NULL-key row and break the value-identity contract.
+    joined = _nullsafe_carry_join(rows, summary, key_col)
     # session id = prefix sessions + (this chunk's first-row flag, which the
     # in-chunk cumsum could not see) + in-chunk running flags
     sess = F.col("_prefix") + F.col("_first_flag") + F.col("_cum_in")
@@ -255,8 +277,9 @@ def chunked_running_max(
     summary = summary.withColumn(
         "_pre", F.max("_cmax").over(w_s.rowsBetween(Window.unboundedPreceding, -1))
     ).select(key_col, "_ck", "_pre")
-    # no hint — see chunked_sessionize's carry join
-    joined = rows.join(summary, [key_col, "_ck"])
+    # no hint — see chunked_sessionize's carry join; null-safe for the
+    # same reason (a NULL-key/NULL-ts row must keep its carry)
+    joined = _nullsafe_carry_join(rows, summary, key_col)
     merged = (
         F.when(F.col("_m_in").isNull(), F.col("_pre"))
         .when(F.col("_pre").isNull(), F.col("_m_in"))
@@ -361,9 +384,13 @@ def chunked_trailing_agg(
     )
     out = (
         data_cum.join(cut, "_id")
+        # eqNullSafe (ADVICE r10): the cut window partitions NULL keys into
+        # one group, so a NULL-key purchase still has a cut count — the
+        # totals join must deliver the matching previous-chunk totals, not
+        # coalesce them to 0 (which understated n_prior_24h, even negative)
         .join(
             totals,
-            (F.col("_tk") == F.col("_k")) & (F.col("_tck") == F.col("_pck")),
+            F.col("_tk").eqNullSafe(F.col("_k")) & F.col("_tck").eqNullSafe(F.col("_pck")),
             "left",
         )
         .select(
@@ -441,7 +468,7 @@ def chunked_rolling(
         F.coalesce(F.sum("_c").over(w_s), F.lit(0)).alias("_co"),
     )
     base = (
-        rows.join(summary, [key_col, "_ck"])
+        _nullsafe_carry_join(rows, summary, key_col)
         .withColumn("_idx", F.col("_ro") + F.col("_rn"))
         .withColumn("_gs", F.col("_so") + F.col("_cs"))
         .withColumn("_gc", F.col("_co") + F.col("_cc"))
@@ -456,7 +483,9 @@ def chunked_rolling(
         )
         out = out.join(
             shifted,
-            (F.col(key_col) == F.col("_sk")) & (F.col("_idx") == F.col("_sidx")),
+            # eqNullSafe: a NULL key's i−N cumulative must be found, not
+            # coalesced to 0 (see _nullsafe_carry_join)
+            F.col(key_col).eqNullSafe(F.col("_sk")) & (F.col("_idx") == F.col("_sidx")),
             "left",
         ).drop("_sk", "_sidx")
         out = out.withColumn(

@@ -206,7 +206,7 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     except Exception:
         from pyarrow import fs as pafs
 
-        from ..sources.maintenance import pa_fs
+        from ..sources.maintenance import pa_fs, pa_uri_prefix
 
         fsys, rel = pa_fs(path)
         info = fsys.get_file_info(rel)
@@ -216,8 +216,12 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
             entries = [info]
         else:
             entries = fsys.get_file_info(pafs.FileSelector(rel, recursive=True))
+        # re-prefix the scheme/authority pa_fs stripped (ADVICE r10): the
+        # footer probe below re-resolves each path with pa_fs, and a
+        # scheme-less 'bucket/key' would be treated as local
+        prefix = pa_uri_prefix(path, rel)
         return sorted(
-            e.path
+            prefix + e.path
             for e in entries
             if e.type == pafs.FileType.File and e.path.endswith(".parquet") and e.size > 0
         )

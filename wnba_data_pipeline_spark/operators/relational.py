@@ -467,7 +467,10 @@ def _rolling(spark: SparkSession, sf_dir: str, ns: tuple[int, ...]) -> DataFrame
 
     li = _layout_table(spark, sf_dir, "lineitem")
     if use_chunked_table(
-        li, (sf_dir, os.environ.get("SPARK_GRAFT_LAYOUT", "")), "l_suppkey", "l_orderkey"
+        li,
+        (sf_dir, os.environ.get("SPARK_GRAFT_LAYOUT", ""), "lineitem"),
+        "l_suppkey",
+        "l_orderkey",
     ):
         out = chunked_rolling(li, ns)
         return out.select(

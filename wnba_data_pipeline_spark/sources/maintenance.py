@@ -106,6 +106,22 @@ def pa_fs(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
+def pa_uri_prefix(path: str, rel: str) -> str:
+    """The scheme/authority prefix that ``pa_fs`` stripped from ``path``
+    (ADVICE r10): pyarrow FileSelector results are fs-relative (e.g.
+    ``bucket/key`` for s3), so handing them straight to
+    ``spark.read.parquet`` / the footer probe resolves them against the
+    DEFAULT filesystem — wrong or failing on exactly the object-store
+    posture the Connect fallbacks exist for. Re-attach ``pa_uri_prefix(
+    original, rel) + listed_path`` before crossing back into Spark/URI
+    land. Local paths (empty scheme) get an empty prefix — a no-op."""
+    p = path.rstrip("/")
+    r = rel.rstrip("/")
+    if r and p.endswith(r):
+        return p[: len(p) - len(r)]
+    return ""
+
+
 def delete_dir(spark: SparkSession, path: str) -> None:
     """Recursively delete ``path`` if it exists — Hadoop FS when the JVM
     is reachable, pyarrow otherwise (Spark Connect). The drop-then-write

@@ -52,7 +52,11 @@ DOC_SCHEMA = "doc_id long, text string"
 
 
 def screen_batch(
-    batch: DataFrame, ref: DataFrame, *, threshold: float = 0.5
+    batch: DataFrame,
+    ref: DataFrame,
+    *,
+    threshold: float = 0.5,
+    ref_index: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(within-batch survivors, COMPLETE verdict frame) for one arriving
     batch vs the accumulated corpus.
@@ -80,20 +84,18 @@ def screen_batch(
         F.col("_keep_id").cast("bigint").alias("matched_ref"),
         F.lit(1.0).alias("best_jaccard"),
     )
-    verdicts = incremental_verdicts(survivors, ref, threshold=threshold).unionByName(
-        collapsed_v
-    )
+    verdicts = incremental_verdicts(
+        survivors, ref, threshold=threshold, ref_index=ref_index
+    ).unionByName(collapsed_v)
     return survivors, verdicts
 
 
-def read_corpus(
-    spark: SparkSession, corpus_dir: str, *, exclude_batch: int | None = None
-) -> DataFrame:
-    """The accumulated clean corpus, empty-safe before the first batch.
-    ``exclude_batch`` drops that batch's OWN ``batch=N`` subdir from the
-    read — the replay-idempotence guard: a re-delivered batch must screen
-    against the corpus as it stood BEFORE its first (possibly partially
-    committed) delivery, never against its own prior output.
+def _batch_dirs(
+    spark: SparkSession, root: str, *, exclude_batch: int | None = None
+) -> list[str]:
+    """Non-empty ``batch=N`` subdirs under ``root`` (sorted), minus
+    ``exclude_batch``'s own — the shared listing behind ``read_corpus``
+    and ``read_index``.
 
     Listing goes through the Hadoop FS API resolved from the path's URI
     (round-8 review fix: driver-local ``os.listdir`` silently returned an
@@ -105,15 +107,20 @@ def read_corpus(
     batch-subdir semantics are identical."""
     from ..sources.maintenance import _fs
 
-    dirs = []
+    corpus_dir = root
+    dirs: list[str] = []
     try:
         fs, P = _fs(spark, corpus_dir)
     except RuntimeError:
         from pyarrow import fs as pafs
 
-        from ..sources.maintenance import pa_fs
+        from ..sources.maintenance import pa_fs, pa_uri_prefix
 
         fsys, rel = pa_fs(corpus_dir)
+        # FileSelector paths are fs-relative (scheme-stripped) — re-prefix
+        # before handing them to spark.read.parquet (ADVICE r10: scheme-less
+        # 'bucket/key' would resolve against the DEFAULT filesystem)
+        prefix = pa_uri_prefix(corpus_dir, rel)
         if fsys.get_file_info(rel).type != pafs.FileType.NotFound:
             base = rel.rstrip("/")
             for sub in fsys.get_file_info(pafs.FileSelector(base)):
@@ -126,7 +133,7 @@ def read_corpus(
                     f.type == pafs.FileType.File and f.path.endswith(".parquet")
                     for f in fsys.get_file_info(pafs.FileSelector(sub.path))
                 ):
-                    dirs.append(sub.path)
+                    dirs.append(prefix + sub.path)
     else:
         if fs.exists(P(corpus_dir)):
             for st in fs.listStatus(P(corpus_dir)):
@@ -140,9 +147,91 @@ def read_corpus(
                     for f in fs.listStatus(st.getPath())
                 ):
                     dirs.append(st.getPath().toString())
+    return sorted(dirs)
+
+
+def read_corpus(
+    spark: SparkSession, corpus_dir: str, *, exclude_batch: int | None = None
+) -> DataFrame:
+    """The accumulated clean corpus, empty-safe before the first batch.
+    ``exclude_batch`` drops that batch's OWN ``batch=N`` subdir from the
+    read — the replay-idempotence guard: a re-delivered batch must screen
+    against the corpus as it stood BEFORE its first (possibly partially
+    committed) delivery, never against its own prior output. Listing
+    semantics: ``_batch_dirs``."""
+    dirs = _batch_dirs(spark, corpus_dir, exclude_batch=exclude_batch)
     if dirs:
-        return spark.read.schema(DOC_SCHEMA).parquet(*sorted(dirs))
+        return spark.read.schema(DOC_SCHEMA).parquet(*dirs)
     return spark.createDataFrame([], DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# signature index — the corpus side precomputed ONCE per batch
+# ---------------------------------------------------------------------------
+#
+# Round 11 (VERDICT r10 item 2): the incremental funnel's per-batch wall
+# GREW 334→522 s across the sf100 run because every batch re-derived the
+# ENTIRE accumulated corpus's shingles, md5 hashes, and minhash band keys
+# from text (`incremental_verdicts`' ref side) — O(corpus) interpreted
+# higher-order-function work per batch, the exact cost its own docstring
+# said "a real deployment precomputes ONCE and stores bucketed". This is
+# that store: three per-batch parquet subtrees written alongside the
+# corpus (same batch=N overwrite + own-batch exclusion semantics, so
+# replay idempotence is untouched):
+#
+#   index/hash/batch=N   (content_hash, doc_id)     — exact screen
+#   index/bands/batch=N  (doc_id, band_key)         — LSH candidate join
+#   index/sh/batch=N     (doc_id, sh array<string>) — exact-Jaccard verify
+#
+# With the index, a batch's corpus-side cost is a parquet SCAN of hash +
+# band-key columns (grows linearly with corpus size but with a tiny
+# constant) instead of full text recompute; the sh tree is only joined on
+# the (few) verification candidates. Values are identical by construction
+# — the index rows ARE the deterministic derivations incremental_verdicts
+# would recompute (differential-tested in tests/test_streaming.py).
+
+INDEX_HASH_SCHEMA = "content_hash long, doc_id long"
+INDEX_BANDS_SCHEMA = "doc_id long, band_key string"
+INDEX_SH_SCHEMA = "doc_id long, sh array<string>"
+_INDEX_PARTS = (("hash", INDEX_HASH_SCHEMA), ("bands", INDEX_BANDS_SCHEMA), ("sh", INDEX_SH_SCHEMA))
+
+
+def index_frames(kept: DataFrame) -> dict[str, DataFrame]:
+    """The three index frames for one batch's kept (doc_id, text) docs —
+    the same expressions incremental_verdicts derives on its ref side."""
+    from ..operators.dedup import banded_keys, shingle_docs
+
+    shingled = shingle_docs(kept)
+    return {
+        "hash": kept.select(md5_long(F.col("text")).alias("content_hash"), "doc_id"),
+        "bands": banded_keys(shingled),
+        "sh": shingled.select("doc_id", "sh"),
+    }
+
+
+def write_index(kept: DataFrame, index_dir: str, batch_id: int) -> None:
+    """Overwrite this batch's three index subdirs (idempotent per batch id,
+    like the corpus write)."""
+    for part, df in index_frames(kept).items():
+        df.write.mode("overwrite").parquet(os.path.join(index_dir, part, f"batch={batch_id}"))
+
+
+def read_index(
+    spark: SparkSession, index_dir: str, *, exclude_batch: int | None = None
+) -> dict[str, DataFrame]:
+    """The accumulated signature index (empty-safe), own-batch excluded —
+    same replay contract as ``read_corpus``."""
+    out: dict[str, DataFrame] = {}
+    for part, schema in _INDEX_PARTS:
+        dirs = _batch_dirs(
+            spark, os.path.join(index_dir, part), exclude_batch=exclude_batch
+        )
+        out[part] = (
+            spark.read.schema(schema).parquet(*dirs)
+            if dirs
+            else spark.createDataFrame([], schema)
+        )
+    return out
 
 
 def process_batch(
@@ -151,6 +240,7 @@ def process_batch(
     batch_id: int,
     corpus_dir: str,
     verdicts_dir: str,
+    index_dir: str | None = None,
 ) -> None:
     """One micro-batch of the ingestion dedup: within-batch collapse →
     screen vs the accumulated corpus → overwrite this batch's verdict and
@@ -161,9 +251,25 @@ def process_batch(
     pre-batch corpus and rewrites identical output — without the exclusion
     a replay would see its own kept docs in the corpus, flag everything
     exact_dup, and overwrite corpus/batch=N empty (permanent doc loss;
-    crash-replay test in tests/test_streaming.py)."""
-    ref = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
-    batch, v = screen_batch(batch_df, ref)
+    crash-replay test in tests/test_streaming.py).
+
+    ``index_dir`` switches the corpus side to the SIGNATURE INDEX (see the
+    module-level index note): the screen reads precomputed hash/band/sh
+    tables instead of re-deriving them from corpus text every batch — the
+    round-11 cure for the measured sf100 per-batch growth. All-or-nothing:
+    when given, this function both READS the accumulated index and WRITES
+    this batch's slice (own-batch excluded on read, overwritten on write —
+    the corpus replay contract, verbatim). Verdicts and kept docs are
+    byte-identical either way (differential test in
+    tests/test_streaming.py)."""
+    if index_dir is not None:
+        # the index IS the reference — skip the corpus text listing/plan
+        ref = spark.createDataFrame([], DOC_SCHEMA)
+        ref_index = read_index(spark, index_dir, exclude_batch=batch_id)
+    else:
+        ref = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
+        ref_index = None
+    batch, v = screen_batch(batch_df, ref, ref_index=ref_index)
     v.write.mode("overwrite").parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
     kept = batch.join(
         spark.read.parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
@@ -172,6 +278,14 @@ def process_batch(
         "doc_id",
     )
     kept.write.mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+    if index_dir is not None:
+        write_index(
+            spark.read.schema(DOC_SCHEMA).parquet(
+                os.path.join(corpus_dir, f"batch={batch_id}")
+            ),
+            index_dir,
+            batch_id,
+        )
 
 
 def dedup_ingest_stream(
@@ -180,13 +294,15 @@ def dedup_ingest_stream(
     corpus_dir: str,
     verdicts_dir: str,
     checkpoint_dir: str,
+    index_dir: str | None = None,
 ):
     """Start the availableNow ingestion: one file per trigger (so chunk
     arrival order is honored), each batch screened then folded into the
-    corpus. Returns the StreamingQuery; callers ``awaitTermination``."""
+    corpus. Returns the StreamingQuery; callers ``awaitTermination``.
+    ``index_dir`` enables the signature index (see ``process_batch``)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        process_batch(spark, batch_df, batch_id, corpus_dir, verdicts_dir)
+        process_batch(spark, batch_df, batch_id, corpus_dir, verdicts_dir, index_dir=index_dir)
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)

@@ -182,6 +182,10 @@ FROM (
   SELECT make_timestamp((CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 - k * 21600) * 1000000) AS win_start,
          event_type, value
   FROM events, range(4) t(k)
+  -- NULL-ts rows never enter any window: Spark's F.window drops them
+  -- (verified empirically — ADVICE r10), while without this guard DuckDB
+  -- would emit a NULL win_start group counting each null-ts event 4 times
+  WHERE ts IS NOT NULL
 )
 GROUP BY win_start, event_type
 """
