@@ -1,0 +1,82 @@
+"""Arrow signature pass (round 11, VERDICT r10 item 1): the vectorized
+numpy signature map must be BYTE-IDENTICAL to the Catalyst expression
+path — it is a physical switch (like the hot-bucket gate), never a
+semantic dial. Verified at both geometries on the oracle corpus plus a
+multibyte corpus (CJK/emoji shingles cross the md5 contract too)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wnba_data_pipeline_spark.functions.hashing import minhash_coeffs
+from wnba_data_pipeline_spark.operators import dedup
+
+from .conftest import SF_ORACLE
+
+
+def _band_rows(monkeypatch, spark, flag: str, coeffs, band_rows):
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", flag)
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    shingled = dedup.shingle_docs(corpus)
+    banded = dedup.banded_keys(shingled, coeffs=coeffs, band_rows=band_rows)
+    return sorted(tuple(r) for r in banded.collect())
+
+
+@pytest.mark.parametrize(
+    "geom",
+    [None, dedup.GEOMETRY_LARGE_N],
+    ids=["default_16x4", "large_n_48x8"],
+)
+def test_arrow_signatures_equal_expression(spark, monkeypatch, geom):
+    if geom is None:
+        coeffs, band_rows = None, None
+    else:
+        k, band_rows = geom
+        coeffs = minhash_coeffs(k)
+    expr = _band_rows(monkeypatch, spark, "0", coeffs, band_rows)
+    arrow = _band_rows(monkeypatch, spark, "1", coeffs, band_rows)
+    assert expr == arrow
+    assert len(expr) > 0
+
+
+def test_arrow_pairs_equal_expression_sharp_geometry(spark, monkeypatch):
+    k, band_rows = dedup.GEOMETRY_LARGE_N
+    coeffs = minhash_coeffs(k)
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+
+    def pairs(flag):
+        monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", flag)
+        return sorted(
+            tuple(r)
+            for r in dedup.minhash_pairs(corpus, coeffs=coeffs, band_rows=band_rows).collect()
+        )
+
+    off, on = pairs("0"), pairs("1")
+    assert off == on
+    assert len(off) > 0  # the planted near-copies are found either way
+
+
+def test_arrow_signatures_multibyte(spark, monkeypatch):
+    rows = [
+        (1, "汉字 テスト 🙂🙂 汉字 テスト éé 汉字 テスト end"),
+        (2, "á b́ ć d e f 🙂‍🙂 g h"),
+        (3, "one two"),  # < 3 words -> whole-text shingle fallback
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = dedup.shingle_docs(docs)
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
+    expr = sorted(tuple(r) for r in dedup.banded_keys(shingled).collect())
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "1")
+    arrow = sorted(tuple(r) for r in dedup.banded_keys(shingled).collect())
+    assert expr == arrow
+
+
+def test_arrow_auto_gate_threshold(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SIG_ARROW", raising=False)
+    assert not dedup._sig_arrow_enabled(dedup.K_MINHASH)  # registry geometry stays expression
+    assert dedup._sig_arrow_enabled(dedup.GEOMETRY_LARGE_N[0])
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "1")
+    assert dedup._sig_arrow_enabled(8)
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
+    assert not dedup._sig_arrow_enabled(64)

@@ -338,3 +338,98 @@ def test_screen_batch_audits_collapsed_rows_and_duplicate_ids(spark):
     assert set(v) == {1, 2, 3, 4}  # every arriving doc_id has a verdict
     assert v[2]["verdict"] == "exact_dup" and v[2]["matched_ref"] == 1
     assert v[1]["verdict"] == "kept" and v[3]["verdict"] == "kept"
+
+
+def test_signature_index_matches_textual_screen(spark, tmp_path):
+    """Round 11 (VERDICT r10 item 2): the signature-index screen must be
+    verdict- and corpus-identical to the textual screen — the index rows
+    ARE the derivations incremental_verdicts recomputes. Batches carry
+    exact dups, near dups (last word dropped), and fresh docs across
+    batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        [(3, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 1
+         (4, "one two three four five six seven eight"),         # near dup of 2
+         (5, "completely different words in this document here")],
+        [(6, "completely different words in this document"),     # near dup of 5
+         (7, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 1
+         (8, "brand new content that matches nothing else at all")],
+    ]
+    runs = {}
+    for label, idx in (("plain", None), ("indexed", str(tmp_path / "index"))):
+        corpus_dir = str(tmp_path / f"corpus_{label}")
+        verdicts_dir = str(tmp_path / f"verdicts_{label}")
+        for i, rows in enumerate(batches):
+            b = spark.createDataFrame(rows, sdedup.DOC_SCHEMA)
+            sdedup.process_batch(spark, b, i, corpus_dir, verdicts_dir, index_dir=idx)
+        runs[label] = (
+            sorted(tuple(r) for r in spark.read.parquet(f"{verdicts_dir}/*/").collect()),
+            sorted(tuple(r) for r in sdedup.read_corpus(spark, corpus_dir).collect()),
+        )
+    assert runs["plain"] == runs["indexed"]
+    verdicts = dict((r[0], r[1]) for r in runs["indexed"][0])
+    assert verdicts[3] == "exact_dup" and verdicts[7] == "exact_dup"
+    assert verdicts[4] == "near_dup" and verdicts[6] == "near_dup"
+    assert verdicts[8] == "kept"
+    # the index itself accumulated one slice per batch and reads back clean
+    index = sdedup.read_index(spark, str(tmp_path / "index"))
+    assert index["hash"].count() == index["sh"].count()  # one row per kept doc
+    n_kept = len(runs["indexed"][1])
+    assert index["hash"].count() == n_kept
+    assert index["bands"].count() == n_kept * sdedup_n_bands()
+
+
+def sdedup_n_bands():
+    from wnba_data_pipeline_spark.operators.dedup import N_BANDS
+
+    return N_BANDS
+
+
+def test_signature_index_replay_is_idempotent(spark, tmp_path):
+    """The at-least-once replay contract extends to the index: a
+    re-delivered batch screens against the index as it stood BEFORE the
+    batch (own slice excluded) and rewrites identical output."""
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    index_dir = str(tmp_path / "index")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta epsilon zeta eta")], sdedup.DOC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(3, "eta theta iota kappa"), (4, "alpha beta gamma delta")], sdedup.DOC_SCHEMA
+    )
+    sdedup.process_batch(spark, b0, 0, corpus_dir, verdicts_dir, index_dir=index_dir)
+    sdedup.process_batch(spark, b1, 1, corpus_dir, verdicts_dir, index_dir=index_dir)
+
+    first_verdicts = sorted(
+        tuple(r) for r in spark.read.parquet(f"{verdicts_dir}/batch=1").collect()
+    )
+    first_corpus = sorted(r.doc_id for r in sdedup.read_corpus(spark, corpus_dir).collect())
+    first_index_hash = sorted(
+        tuple(r) for r in sdedup.read_index(spark, index_dir)["hash"].collect()
+    )
+    assert 3 in first_corpus and 4 not in first_corpus
+
+    # simulated redelivery with batch=1 corpus AND index slices on disk
+    sdedup.process_batch(spark, b1, 1, corpus_dir, verdicts_dir, index_dir=index_dir)
+
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(f"{verdicts_dir}/batch=1").collect())
+        == first_verdicts
+    )
+    assert (
+        sorted(r.doc_id for r in sdedup.read_corpus(spark, corpus_dir).collect())
+        == first_corpus
+    )
+    assert (
+        sorted(tuple(r) for r in sdedup.read_index(spark, index_dir)["hash"].collect())
+        == first_index_hash
+    )

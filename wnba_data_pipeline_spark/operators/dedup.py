@@ -30,6 +30,8 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -236,6 +238,120 @@ def _minhash_band_keys_sql() -> str:
 _SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%{P}))" for a, b in COEFFS) + "]"
 
 
+# The signature map's OTHER cost term (round 11, VERDICT r10 item 1):
+# with ``hh`` materialized the md5 runs once, but the K universal-hash
+# mins are still K separate Catalyst higher-order expressions
+# (``array_min(transform(hh, …))``), and higher-order functions are
+# INTERPRETED per element (no whole-stage codegen, boxed Long per value)
+# — at GEOMETRY_LARGE_N that is 48 boxed array traversals per doc, which
+# made the sharp geometry SLOWER end-to-end than the default at sf100
+# (511.6 s vs 397.8 s, BENCH_SCALE_r10) even though it cuts candidates
+# 69×. The Arrow path below computes all K mins in ONE vectorized numpy
+# pass (flatten the batch's hash arrays, K affine remixes over the flat
+# int64 vector, segment-min via minimum.reduceat) — identical arithmetic
+# (md5 hashes are 60-bit POSITIVE int64, so %/× match the JVM exactly;
+# overflow-free by the same a·(h%P) < 2^62 bound), so this is a PHYSICAL
+# switch like the hot-bucket gate, never a semantic dial: both branches
+# emit byte-identical signatures (tests/test_dedup_arrow.py). Auto-ON at
+# K ≥ ARROW_SIG_MIN_K where the interpreted cost dominates; the default
+# 16-hash geometry keeps the pure-expression plan (registry/oracle
+# queries untouched). SPARK_GRAFT_SIG_ARROW=1/0 forces the branch.
+ARROW_SIG_MIN_K = 32
+
+
+def _sig_arrow_enabled(k: int) -> bool:
+    v = os.environ.get("SPARK_GRAFT_SIG_ARROW")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    return k >= ARROW_SIG_MIN_K
+
+
+def minhash_sig_udf(coeffs: list[tuple[int, int]]):
+    """Arrow-batched signature column: ``hh`` (array<long> of md5 shingle
+    hashes) → array<long> of the K universal-hash mins, all K computed in
+    one numpy pass per Arrow batch (see ARROW_SIG_MIN_K note)."""
+    import numpy as np
+    import pandas as pd
+
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    k = len(coeffs)
+
+    def _sig(hh):
+        n = len(hh)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(v, dtype=np.int64) for v in hh]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+        if (lens == 0).any():
+            # shingles are never empty (whole-text fallback in _shingles);
+            # refuse loudly rather than silently diverge from the
+            # expression path's NULL-min semantics
+            raise ValueError("empty shingle hash array")
+        flat = np.concatenate(arrs)
+        r = flat % P  # md5_long is 60-bit positive → % matches JVM/SQL
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sigs = np.empty((n, k), dtype=np.int64)
+        for i in range(k):
+            sigs[:, i] = np.minimum.reduceat((A[i] * r + B[i]) % P, starts)
+        return pd.Series(list(sigs))
+
+    # explicit form (not the type-hint decorator): pandas is imported
+    # function-locally, so string annotations would not resolve
+    return F.pandas_udf(_sig, "array<long>")
+
+
+def _band_keys_from_sig(sig: Column, n_bands: int, band_rows: int) -> list[Column]:
+    """Band-key strings from a materialized signature array column —
+    identical strings to ``_minhash_band_keys`` by construction."""
+    return [
+        F.concat_ws(
+            ":",
+            F.lit(str(t)),
+            *[sig.getItem(t * band_rows + r).cast("string") for r in range(band_rows)],
+        )
+        for t in range(n_bands)
+    ]
+
+
+def banded_keys(
+    shingled: DataFrame,
+    *,
+    coeffs: list[tuple[int, int]] | None = None,
+    band_rows: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sh[, hh]) → exploded (doc_id, band_key) — the shared
+    signature+band map behind ``minhash_pairs`` and the incremental
+    screen. Picks the Arrow signature pass at K ≥ ARROW_SIG_MIN_K (or via
+    SPARK_GRAFT_SIG_ARROW); both branches emit identical band keys."""
+    coeffs = COEFFS if coeffs is None else coeffs
+    band_rows = BAND_ROWS if band_rows is None else band_rows
+    n_bands = len(coeffs) // band_rows
+    hh = F.col("hh") if "hh" in shingled.columns else F.transform(F.col("sh"), md5_long)
+    if _sig_arrow_enabled(len(coeffs)):
+        sigged = shingled.select(id_col, minhash_sig_udf(coeffs)(hh).alias("sig"))
+        return sigged.select(
+            id_col,
+            F.explode(F.array(*_band_keys_from_sig(F.col("sig"), n_bands, band_rows))).alias(
+                "band_key"
+            ),
+        )
+    return shingled.select(
+        id_col,
+        F.explode(
+            F.array(
+                *_minhash_band_keys(
+                    F.col("sh"), coeffs=coeffs, band_rows=band_rows, hashes=hh
+                )
+            )
+        ).alias("band_key"),
+    )
+
+
 def shingle_docs(docs: DataFrame) -> DataFrame:
     """(… doc_id, text …) → (doc_id, sh, hh): the per-doc distinct-shingle
     arrays every MinHash consumer derives from, PLUS their md5-int64 hash
@@ -306,20 +422,10 @@ def minhash_pairs(
         shingled = shingle_docs(docs)
     if hot_bucket_min is None:
         hot_bucket_min = HOT_BUCKET_MIN
-    # feed the signature from the materialized hash array when the caller's
-    # shingled frame carries it (shingle_docs always does; a pre-round-10
-    # caller passing a bare (doc_id, sh) frame still works)
-    hh = F.col("hh") if "hh" in shingled.columns else None
-    banded = shingled.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *_minhash_band_keys(
-                    F.col("sh"), coeffs=coeffs, band_rows=band_rows, hashes=hh
-                )
-            )
-        ).alias("band_key"),
-    )
+    # signature+band map: expression plan at the default 16-hash geometry,
+    # Arrow numpy pass at K >= ARROW_SIG_MIN_K (see banded_keys) — the
+    # round-11 fix that makes GEOMETRY_LARGE_N actually pay at sf100
+    banded = banded_keys(shingled, coeffs=coeffs, band_rows=band_rows)
 
     def _self_pairs(side: DataFrame, extra_keys: list[str]) -> DataFrame:
         a, b = side.alias("a"), side.alias("b")
@@ -585,7 +691,13 @@ FROM votes
 # ---------------------------------------------------------------------------
 
 
-def incremental_verdicts(batch: DataFrame, ref: DataFrame, *, threshold: float = 0.5) -> DataFrame:
+def incremental_verdicts(
+    batch: DataFrame,
+    ref: DataFrame,
+    *,
+    threshold: float = 0.5,
+    ref_index: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Classify every batch document against a reference corpus:
     ``exact_dup`` (content hash already present), ``near_dup`` (MinHash-LSH
     candidate with shingle-Jaccard ≥ threshold vs some ref doc), or
@@ -608,14 +720,30 @@ def incremental_verdicts(batch: DataFrame, ref: DataFrame, *, threshold: float =
     the oracle can mirror the whole computation. The near stage joins
     batch bands × ref bands (never batch × ref rows) and verifies exact
     Jaccard only on colliding candidates — same LSH bound as
-    ``minhash_pairs``."""
+    ``minhash_pairs``.
+
+    ``ref_index`` (round 11, VERDICT r10 item 2): the precomputed-ONCE
+    store the scale note above always promised — a dict of ``hash``
+    (content_hash, doc_id), ``bands`` (doc_id, band_key) and ``sh``
+    (doc_id, sh) frames (``streaming.dedup.read_index``). When given,
+    ``ref`` text is never touched: the per-batch corpus-side cost drops
+    from full shingle+signature recompute (the measured 334→522 s sf100
+    per-batch growth) to a column scan of the index. Values identical —
+    the index rows are exactly the derivations below."""
     words = F.split(F.col("text"), " ")
 
-    ref_hash = (
-        ref.select(md5_long(F.col("text")).alias("content_hash"), "doc_id")
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("ref_exact"))
-    )
+    if ref_index is not None:
+        ref_hash = (
+            ref_index["hash"]
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("ref_exact"))
+        )
+    else:
+        ref_hash = (
+            ref.select(md5_long(F.col("text")).alias("content_hash"), "doc_id")
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("ref_exact"))
+        )
     batch_hashed = batch.withColumn("content_hash", md5_long(F.col("text")))
 
     def _bands(df: DataFrame, id_alias: str) -> DataFrame:
@@ -627,15 +755,14 @@ def incremental_verdicts(batch: DataFrame, ref: DataFrame, *, threshold: float =
             sh_expr.alias("sh"),
             F.transform(sh_expr, md5_long).alias("hh"),
         )
-        banded = sh.select(
-            id_alias,
-            F.explode(
-                F.array(*_minhash_band_keys(F.col("sh"), hashes=F.col("hh")))
-            ).alias("band_key"),
-        )
+        banded = banded_keys(sh, id_col=id_alias)
         return sh.drop("hh"), banded
 
-    ref_sh, ref_bands = _bands(ref, "ref_id")
+    if ref_index is not None:
+        ref_sh = ref_index["sh"].select(F.col("doc_id").alias("ref_id"), "sh")
+        ref_bands = ref_index["bands"].select(F.col("doc_id").alias("ref_id"), "band_key")
+    else:
+        ref_sh, ref_bands = _bands(ref, "ref_id")
     batch_sh, batch_bands = _bands(batch, "batch_id")
 
     cand = (

@@ -253,6 +253,11 @@ def run_curation_incremental(
 
     corpus_dir = _p(base, "curation_inc", "corpus")
     verdicts_dir = _p(base, "curation_inc", "verdicts")
+    # signature index (round 11, VERDICT r10 item 2): the corpus-side
+    # hash/band/shingle derivations are written ONCE per batch and read
+    # back by every later batch — per-batch cost stops growing with the
+    # corpus's recompute volume (the measured 334→522 s sf100 growth)
+    index_dir = _p(base, "curation_inc", "index")
     # A fresh run must not inherit the previous run's batch=N subdirs:
     # process_batch only overwrites the batches THIS run produces, so a
     # re-run with fewer batches (or changed gates) would silently fold the
@@ -262,7 +267,7 @@ def run_curation_incremental(
     # fix; asserted in tests/test_curation.py).
     from ..sources.maintenance import delete_dir
 
-    for d in (corpus_dir, verdicts_dir):
+    for d in (corpus_dir, verdicts_dir, index_dir):
         delete_dir(spark, d)
     for i in range(n_batches):
         t0 = _time.perf_counter()
@@ -281,7 +286,7 @@ def run_curation_incremental(
             .select(F.col("id").alias("doc_id"))
         )
         batch = gated.join(losers, "doc_id", "left_anti")
-        process_batch(spark, batch, i, corpus_dir, verdicts_dir)
+        process_batch(spark, batch, i, corpus_dir, verdicts_dir, index_dir=index_dir)
         if batch_walls is not None:
             batch_walls.append(round(_time.perf_counter() - t0, 2))
 
