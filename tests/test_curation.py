@@ -14,7 +14,7 @@ from wnba_data_pipeline_spark.plans import curation
 from wnba_data_pipeline_spark.sources.sinks import overwrite_table, read_table
 from wnba_data_pipeline_spark.sources.tables import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 
 def _plant_dups(spark, tmp_path):
@@ -262,3 +262,52 @@ def test_funnel_ladder_stays_sublinear_per_doc(spark, tmp_path):
         f"({n_small} docs: {w_small:.1f}s, {n_big} docs: {w_big:.1f}s) — "
         "superlinear stage regression"
     )
+
+
+def test_estimate_pair_volume_exact_at_full_sample(spark):
+    """With sample_mod=1 the estimator reads every doc, so it must equal
+    the exact per-band pair-slot count sum(C(bucket,2))."""
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import dedup
+
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    shingled = dedup.shingle_docs(corpus)
+    est = dedup.estimate_pair_volume(shingled, sample_mod=1)
+    exact = (
+        dedup.banded_keys(shingled)
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert est == int(exact)
+    assert est > 0  # the planted near-copies collide
+
+
+def test_geometry_advisory_fires_and_respects_explicit_dial(spark, caplog):
+    """VERDICT r10 item 7: the advisory is a log line, never a switch —
+    it fires when the sampled pairs/doc crosses the bar under the DEFAULT
+    geometry, and stays silent when the caller already chose one."""
+    import logging
+
+    from wnba_data_pipeline_spark.operators import dedup
+    from wnba_data_pipeline_spark.plans import curation
+
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    shingled = dedup.shingle_docs(corpus).persist()
+    try:
+        with caplog.at_level(logging.WARNING, logger="wnba_data_pipeline_spark.plans.curation"):
+            # thresholds lowered so the 1.1k-doc oracle corpus (every long
+            # doc has a planted near-copy -> colliding buckets) trips it
+            curation._geometry_advisory(shingled, None, min_docs=10, pairs_per_doc=0.0001, sample_mod=1)
+        assert any("band_geometry" in r.getMessage() for r in caplog.records)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="wnba_data_pipeline_spark.plans.curation"):
+            curation._geometry_advisory(
+                shingled, dedup.GEOMETRY_LARGE_N, min_docs=10, pairs_per_doc=0.0001, sample_mod=1
+            )
+            curation._geometry_advisory(shingled, None)  # production bars: corpus too small
+        assert not caplog.records
+    finally:
+        shingled.unpersist()

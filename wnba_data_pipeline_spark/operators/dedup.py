@@ -352,6 +352,53 @@ def banded_keys(
     )
 
 
+# Geometry advisory (round 11, VERDICT r10 item 7): run_curation logs a
+# one-line pointer at GEOMETRY_LARGE_N when the ESTIMATED LSH pair volume
+# per doc crosses the fitted break-even — surfacing the sf100 finding
+# where users meet it while preserving the explicit-dial contract (no
+# auto-switch: the S-curve midpoint is semantics, and increment-equals-
+# batch needs ONE detector across both paths). The fitted constants:
+# the r10 sf100 run measured ~14.6 µs/candidate of pure verification cost
+# and 6.5 candidates/doc under the default geometry (19.1 M over 2.93 M
+# docs) — the regime where the sharp geometry's 69× candidate cut beats
+# its signature premium (now small: the Arrow pass above). Below ~1 M
+# docs the background quadratic hasn't bitten at any measured rung.
+ADVISORY_MIN_DOCS = 1_000_000
+ADVISORY_PAIRS_PER_DOC = 3.0
+
+
+def estimate_pair_volume(
+    shingled: DataFrame,
+    *,
+    coeffs: list[tuple[int, int]] | None = None,
+    band_rows: int | None = None,
+    sample_mod: int = HB_SAMPLE_MOD,
+) -> int:
+    """Estimated per-band LSH candidate-pair volume from the deterministic
+    1/``sample_mod`` doc sample (the hot-bucket gate's sample): a bucket
+    holding B docs contributes C(B,2) pairs, and each pair survives the
+    doc sample with probability 1/m² — so Σ_buckets C(b_sampled, 2) × m²
+    is UNBIASED for the corpus pair volume. One small agg job over ~1/m of
+    the docs (the band map runs only on the sample). Estimates per-band
+    pair SLOTS (the join's work), slightly above distinct candidates —
+    the right cost proxy (sf100: 19.54 M slots vs 19.14 M distinct)."""
+    gate = (
+        F.pmod(
+            md5_long(F.concat(F.lit("hb:"), F.col("doc_id").cast("string"))),
+            F.lit(sample_mod),
+        )
+        == 0
+    )
+    banded = banded_keys(shingled.filter(gate), coeffs=coeffs, band_rows=band_rows)
+    row = (
+        banded.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
+        .collect()[0]
+    )
+    return int((row["_p"] or 0) * sample_mod * sample_mod)
+
+
 def shingle_docs(docs: DataFrame) -> DataFrame:
     """(… doc_id, text …) → (doc_id, sh, hh): the per-doc distinct-shingle
     arrays every MinHash consumer derives from, PLUS their md5-int64 hash

@@ -133,6 +133,7 @@ def run_curation(
             k, rows_per_band = band_geometry
             geom_kw = {"coeffs": minhash_coeffs(k), "band_rows": rows_per_band}
         shingled = shingle_docs(deduped.select("doc_id", "text")).persist()
+        _geometry_advisory(shingled, band_geometry)
         pairs = minhash_pairs(deduped.select("doc_id", "text"), shingled=shingled, **geom_kw)
         survivors = cluster_survivors(pairs, max_iter=cc_max_iter)
     elif near_dedup == "semantic":
@@ -158,6 +159,53 @@ def run_curation(
     report = funnel_report(spark, base)
     overwrite_table(report, _p(base, "curation", "funnel_report"))
     return report
+
+
+def _geometry_advisory(
+    shingled: DataFrame,
+    band_geometry: tuple[int, int] | None,
+    *,
+    min_docs: int | None = None,
+    pairs_per_doc: float | None = None,
+    sample_mod: int | None = None,
+) -> None:
+    """One-line log advisory (round 11, VERDICT r10 item 7) when the
+    sampled candidate-pair estimate says the DEFAULT band geometry has
+    entered its background-quadratic regime — the sf100 finding, surfaced
+    where users meet it. Advisory ONLY: the geometry stays an explicit
+    ``run_curation(band_geometry=...)`` choice (S-curve semantics +
+    the incremental funnel's one-detector contract — see
+    ``dedup.GEOMETRY_LARGE_N``). Cost: one agg over ~1/64 of the docs."""
+    import logging
+
+    from ..operators.dedup import (
+        ADVISORY_MIN_DOCS,
+        ADVISORY_PAIRS_PER_DOC,
+        GEOMETRY_LARGE_N,
+        estimate_pair_volume,
+    )
+
+    min_docs = ADVISORY_MIN_DOCS if min_docs is None else min_docs
+    pairs_per_doc = ADVISORY_PAIRS_PER_DOC if pairs_per_doc is None else pairs_per_doc
+    if band_geometry is not None:
+        return  # the caller already made the explicit choice
+    n_docs = shingled.count()  # shingled is persisted by the caller
+    if n_docs < min_docs:
+        return
+    est_pairs = estimate_pair_volume(
+        shingled, **({} if sample_mod is None else {"sample_mod": sample_mod})
+    )
+    ratio = est_pairs / max(n_docs, 1)
+    if ratio >= pairs_per_doc:
+        logging.getLogger(__name__).warning(
+            "near-dedup candidate volume ~%.1f pairs/doc over %d docs — the "
+            "default LSH geometry is in its background-quadratic regime; "
+            "consider run_curation(band_geometry=%r) (see dedup.GEOMETRY_LARGE_N: "
+            "sharper S-curve, measured candidate cut ~69x at sf100)",
+            ratio,
+            n_docs,
+            GEOMETRY_LARGE_N,
+        )
 
 
 def _semantic_survivors(
