@@ -57,7 +57,8 @@ ROTATED = {
     # probed-cell path.
     "dedup_incremental": (dedup.q_dedup_incremental, dedup.ORACLE_DEDUP_INCREMENTAL),
     "corpus_sample": (text.q_corpus_sample, text._oracle_corpus_sample()),
-    "pq_rerank": (pq.q_pq_rerank, pq.ORACLE_PQ_RERANK),
+    # pq_rerank parked here rounds 9-10; the round-11 TENTH rotation put it
+    # BACK in-registry.
     # ninth rotation (round 10, VERDICT r9 item 5): slots freed for
     # heavy_hitters_cms, simhash_fingerprint (returning) and
     # hopping_6h_batch. group_tail_n's window-tail physics is
@@ -68,6 +69,15 @@ ROTATED = {
     "group_tail_n": (relational.q_group_tail_n, relational.ORACLE_GROUP_TAIL_N),
     "json_extract_events": (relational.q_json_extract_events, relational.ORACLE_JSON_EXTRACT_EVENTS),
     "argmax_leader": (relational.q_argmax_leader, relational.ORACLE_ARGMAX_LEADER),
+    # tenth rotation (round 11, VERDICT r10 item 5): slots freed for
+    # range_agg_binjoin (the two-table bin-join range form, never had a
+    # driver row) and pq_rerank (returning). text_corpus_rollup's
+    # agg-over-agg token physics is text_stats' + tfidf_top_terms'
+    # (both in-registry); sim_ann_lsh's SRP band buckets are
+    # emb_near_dup_bucketed's and its celled probe is sim_ivf's +
+    # ivfpq_search's (all in-registry).
+    "text_corpus_rollup": (text.q_text_corpus_rollup, text.ORACLE_TEXT_CORPUS_ROLLUP),
+    "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.ORACLE_SIM_ANN_LSH),
 }
 
 
@@ -104,5 +114,8 @@ def test_rotated_queries_stay_off_registry():
         "heavy_hitters_cms",
         "simhash_fingerprint",
         "hopping_6h_batch",
+        # tenth rotation (round 11)
+        "range_agg_binjoin",
+        "pq_rerank",
     ):
         assert newcomer in qs

@@ -910,6 +910,9 @@ def oracle_ivfpq(sf_name: str = "sf0.01") -> str:
 # 100 TB shape), so the PQ family's hard driver row moves to the more
 # complete operator; pq_rerank keeps the identical hash-differential
 # parity row in tests/test_offregistry_parity.py.
-QUERIES = {"ivfpq_search": q_ivfpq_search}
-ORACLES = {"ivfpq_search": oracle_ivfpq("sf0.01")}
-ORACLE_PQ_RERANK = oracle_pq_rerank("sf0.01")  # off-registry parity twin
+# pq_rerank RETURNS to the registry (round-11 tenth rotation): the ADC +
+# exact-rerank contract gets its own hard driver row again alongside the
+# composed ivfpq_search (which subsumed it during rounds 9-10).
+QUERIES = {"ivfpq_search": q_ivfpq_search, "pq_rerank": q_pq_rerank}
+ORACLE_PQ_RERANK = oracle_pq_rerank("sf0.01")
+ORACLES = {"ivfpq_search": oracle_ivfpq("sf0.01"), "pq_rerank": ORACLE_PQ_RERANK}

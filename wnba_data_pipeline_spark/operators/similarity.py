@@ -1152,7 +1152,12 @@ QUERIES = {
     # variants (sim_ann_lsh, sim_ivf) both hold hard driver rows; it keeps
     # full oracle parity in tests/test_offregistry_parity.py. The freed slot
     # registers asof_attribution (operators/temporal.py).
-    "sim_ann_lsh": q_sim_ann_lsh,
+    # sim_ann_lsh rotated OFF (round-11 tenth rotation, VERDICT r10
+    # item 5): its SRP band-bucket physics is emb_near_dup_bucketed's (in
+    # registry) and its celled probe shape is sim_ivf's + ivfpq_search's
+    # (both in registry); parity stays pinned in
+    # tests/test_offregistry_parity.py. The freed slot returns pq_rerank
+    # to the registry (operators/pq.py).
     "sim_ivf": q_sim_ivf,
     "emb_near_dup_bucketed": q_emb_near_dup_bucketed,
     "emb_label_centroids": q_emb_label_centroids,
@@ -1162,7 +1167,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
     "sim_ivf": ORACLE_SIM_IVF,
     "emb_near_dup_bucketed": _oracle_emb_near_dup_bucketed(),
     "emb_label_centroids": _oracle_centroids(),

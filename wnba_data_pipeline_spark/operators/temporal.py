@@ -555,8 +555,14 @@ GROUP BY p.purchase_id, p.user_id, p.purchase_ts
 QUERIES = {
     "asof_attribution": q_asof_attribution,
     "range_join_bins": q_range_join_bins,
+    # round-11 tenth rotation: the TWO-TABLE bin-join range form holds its
+    # own driver row (same rows as range_join_bins by construction — the
+    # oracle SQL is shared — but a different physical operator:
+    # range_join's bucketed interval join, not the window difference)
+    "range_agg_binjoin": range_agg_binjoin,
 }
 ORACLES = {
     "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "range_join_bins": ORACLE_RANGE_JOIN_BINS,
+    "range_agg_binjoin": ORACLE_RANGE_JOIN_BINS,
 }

@@ -1386,7 +1386,13 @@ SELECT bigram, count(*) AS n FROM bg GROUP BY bigram HAVING count(*) >= {HH_MIN_
 # tests/test_offregistry_parity.py.
 QUERIES = {
     "text_stats": q_text_stats,
-    "text_corpus_rollup": q_text_corpus_rollup,
+    # text_corpus_rollup rotated OFF (round-11 tenth rotation, VERDICT r10
+    # item 5): its posexplode-token agg-over-agg physics is exactly
+    # text_stats' per-doc pass + tfidf_top_terms' corpus rollup (both keep
+    # hard driver rows); parity stays pinned in
+    # tests/test_offregistry_parity.py. The freed slot registers
+    # range_agg_binjoin (operators/temporal.py) — the two-table trailing
+    # range form that never held a driver row.
     "doc_winnow": q_doc_winnow,
     # corpus_sample rotated OFF (round-9 eighth rotation): its hash-gate
     # stratified-sampling physics is exactly mixture_sample's (which keeps a
@@ -1414,7 +1420,6 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": ORACLE_TEXT_STATS,
-    "text_corpus_rollup": ORACLE_TEXT_CORPUS_ROLLUP,
     "doc_winnow": ORACLE_DOC_WINNOW,
     "mixture_sample": _oracle_mixture_sample(),
     "tfidf_top_terms": _oracle_tfidf(),
