@@ -80,3 +80,46 @@ def test_arrow_auto_gate_threshold(monkeypatch):
     assert dedup._sig_arrow_enabled(8)
     monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
     assert not dedup._sig_arrow_enabled(64)
+
+
+def _shingled_rows(spark, monkeypatch, flag, df):
+    monkeypatch.setenv("SPARK_GRAFT_SHINGLE_ARROW", flag)
+    out = sorted(
+        (r["doc_id"], tuple(r["sh"]), tuple(r["hh"]))
+        for r in dedup.shingle_docs(df).collect()
+    )
+    monkeypatch.delenv("SPARK_GRAFT_SHINGLE_ARROW")
+    return out
+
+
+def test_arrow_shingles_equal_expression_on_corpus(spark, monkeypatch):
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    expr = _shingled_rows(spark, monkeypatch, "0", corpus)
+    arrow = _shingled_rows(spark, monkeypatch, "1", corpus)
+    assert expr == arrow
+    assert len(expr) > 0
+
+
+def test_arrow_shingles_edge_rows(spark, monkeypatch):
+    rows = [
+        (1, "one two"),                      # <3 words -> whole-text fallback
+        (2, ""),                             # empty text -> [""] fallback
+        (3, "a  b c"),                       # double space -> empty word kept
+        (4, "trailing space "),              # trailing empty word kept
+        (5, "a b c a b c a b c"),            # repeated trigrams -> distinct
+        (6, "汉字 テスト 🙂 éé ‍combining a b"),  # multibyte md5 contract
+        (7, " leading"),                     # leading empty word
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = _shingled_rows(spark, monkeypatch, "0", docs)
+    arrow = _shingled_rows(spark, monkeypatch, "1", docs)
+    assert expr == arrow
+
+
+def test_arrow_shingles_feed_identical_pairs(spark, monkeypatch):
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    monkeypatch.setenv("SPARK_GRAFT_SHINGLE_ARROW", "1")
+    arrow_pairs = sorted(tuple(r) for r in dedup.minhash_pairs(corpus).collect())
+    monkeypatch.setenv("SPARK_GRAFT_SHINGLE_ARROW", "0")
+    expr_pairs = sorted(tuple(r) for r in dedup.minhash_pairs(corpus).collect())
+    assert arrow_pairs == expr_pairs and len(arrow_pairs) > 0

@@ -399,6 +399,64 @@ def estimate_pair_volume(
     return int((row["_p"] or 0) * sample_mod * sample_mod)
 
 
+def _shingle_arrow_enabled() -> bool:
+    """Env gate for the Arrow shingle pass (default OFF until the sf30/
+    sf100 measurement in BENCH_SCALE_r11 justifies flipping it — see
+    shingle_docs_arrow)."""
+    return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW") == "1"
+
+
+def shingle_docs_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow twin of :func:`shingle_docs` — same (doc_id, sh, hh) rows,
+    computed row-batch-at-a-time in Python instead of interpreted Catalyst
+    higher-order chains (split → sequence → 3×element_at → concat_ws →
+    array_distinct → per-element md5 — none of it codegen'd; measured
+    ~5 ms/doc-core at sf30, the dominant map-side term of the whole
+    near-dedup funnel). Byte-identical by construction:
+
+    - ``text.split(" ")`` ≡ ``F.split(text, " ")`` (Java regex split with
+      limit -1 keeps inner AND trailing empties, same as Python's
+      str.split with an explicit separator);
+    - first-occurrence dedup (dict.fromkeys) ≡ ``array_distinct``;
+    - ``int(md5(utf8).hexdigest()[:15], 16)`` ≡ ``conv(substring(md5(s),
+      1, 15), 16, 10)`` (Spark md5 hashes the UTF-8 bytes of the string);
+    - the <3-word whole-text fallback matches ``_shingles``.
+
+    Differential-tested (incl. multibyte + empty/whitespace edge rows) in
+    tests/test_dedup_arrow.py."""
+    import hashlib
+
+    import pandas as pd
+
+    def _batch(it):
+        for pdf in it:
+            sh_out, hh_out = [], []
+            for text in pdf["text"]:
+                words = text.split(" ")
+                if len(words) >= 3:
+                    tris = list(
+                        dict.fromkeys(
+                            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+                        )
+                    )
+                else:
+                    tris = [text]
+                sh_out.append(tris)
+                hh_out.append(
+                    [
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in tris
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sh": sh_out, "hh": hh_out}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batch, "doc_id long, sh array<string>, hh array<long>"
+    )
+
+
 def shingle_docs(docs: DataFrame) -> DataFrame:
     """(… doc_id, text …) → (doc_id, sh, hh): the per-doc distinct-shingle
     arrays every MinHash consumer derives from, PLUS their md5-int64 hash
@@ -417,7 +475,13 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
     Hashing once into a column lets the persisted/banded plan feed the K
     universal-hash mins from integers. The DuckDB twin always had this
     shape (``_SIG_SQL`` reads a materialized ``hh`` list), so cross-engine
-    values are untouched."""
+    values are untouched.
+
+    ``SPARK_GRAFT_SHINGLE_ARROW=1`` switches to the Arrow twin
+    (:func:`shingle_docs_arrow`) — identical rows, row-batch Python
+    instead of interpreted higher-order expressions."""
+    if _shingle_arrow_enabled():
+        return shingle_docs_arrow(docs)
     words = F.split(F.col("text"), " ")
     sh = _shingles(F.col("text"), words)
     return docs.select(
