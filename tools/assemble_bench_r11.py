@@ -40,9 +40,14 @@ def main() -> None:
     }
     for line in RAW.read_text().splitlines():
         line = line.strip()
-        if not line:
+        # the JVM's unified logging (gc,alloc warnings) shares stdout with
+        # the probe's one JSON line — keep only parseable JSON objects
+        if not line.startswith("{"):
             continue
-        doc.update(json.loads(line))
+        try:
+            doc.update(json.loads(line))
+        except json.JSONDecodeError:
+            continue
     OUT.write_text(json.dumps(doc, indent=1) + "\n")
     print(f"wrote {OUT}")
 
