@@ -23,6 +23,7 @@ _SF_NAME = os.path.basename(SF_ORACLE.rstrip("/"))
 if _SF_NAME != "sf0.01":
     _ORACLES["semantic_dedup"] = clustering.oracle_semantic_dedup(_SF_NAME)
     _ORACLES["pq_rerank"] = pq.oracle_pq_rerank(_SF_NAME)
+    _ORACLES["ivfpq_search"] = pq.oracle_ivfpq(_SF_NAME)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

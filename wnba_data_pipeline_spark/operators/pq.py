@@ -490,8 +490,55 @@ def oracle_pq_rerank(sf_name: str = "sf0.01") -> str:
 # IVF-PQ — coarse cells + within-cell ADC + exact rerank (the composed stack)
 # ---------------------------------------------------------------------------
 
-IVFPQ_COARSE_K = 8  # coarse-quantizer cells (trained, vs q_sim_ivf's sampled seeds)
-IVFPQ_NPROBE = 2  # cells searched per query
+IVFPQ_COARSE_K = 8  # coarse-cell FLOOR (the fixed count through round 10)
+IVFPQ_NPROBE = 2  # probe FLOOR per query (the fixed count through round 10)
+
+# Geometry scaling (round 11 — the sf100 ANN measurement, BENCH_SCALE_r11
+# ann100): a FIXED 8-cell coarse quantizer does not scale. At 2 M vectors
+# each cell held ~250 k rows, nprobe=2 probed 25% OF THE CORPUS per query
+# and recall@10 was still 0.505 — a pure COVERAGE loss (the auto-rerank
+# shortlist exact-reranks 100 k rows, so ADC ranking noise is not the
+# term): with 8 giant cells the true neighbors simply live outside the 2
+# probed cells half the time. The standard cure (FAISS: nlist ≈ 4√n) is
+# MORE, SMALLER cells — fine granularity puts a query's true neighbors
+# into its nearest cells — with nprobe growing ~√cells so probed work per
+# query scales ~n^(1/2+1/4), not ~n. Both dials resolve from the fit
+# corpus size ONLY (deterministic; the static oracles render the same
+# literals), floored at the round-10 constants so every corpus at or
+# below the driver scales keeps its exact fixture geometry.
+FARTHEST_INIT_MAX_K = 64  # Gonzalez is O(k²·n) — a structure claim for
+# small-k clustered fits (the round-10 flip); beyond this, cells are a
+# partition dial and hash seeding is the amortizable init (same split the
+# semantic-cell fits use)
+
+
+def ivfpq_cells_for(n: int) -> int:
+    """Coarse cell count for an n-vector corpus: 4√n (FAISS's nlist rule)
+    capped at n/64 (cells need enough rows to be worth a probe) and
+    floored at the legacy constant (≤ ~3.7 k vectors resolve to exactly
+    IVFPQ_COARSE_K, so the sf0.01 driver fixtures are untouched)."""
+    import math
+
+    return max(IVFPQ_COARSE_K, min(4 * math.isqrt(max(n, 1)), n // 64))
+
+
+def ivfpq_nprobe_for(cells: int) -> int:
+    """Probes per query: the legacy constant at the legacy cell count,
+    √cells beyond it (probed fraction shrinks as the index grows while
+    absolute coverage rises — the standard recall/cost balance)."""
+    import math
+
+    if cells <= IVFPQ_COARSE_K:
+        return IVFPQ_NPROBE
+    return max(4, math.isqrt(cells))
+
+
+def ivfpq_fit_sample_mod(n: int, cells: int) -> int:
+    """Auto training-sample gate: ~64 points per cell with a 10 k floor —
+    resolves to 1 (full fit) at every fixture scale, and keeps the Lloyd
+    cost ~O(cells × sample) instead of O(cells × n) at corpus scale."""
+    target = max(10_000, 64 * cells)
+    return max(1, n // target)
 IVFPQ_RERANK = 50  # ADC-shortlist FLOOR per query feeding the exact re-rank
 # rerank="auto" (the round-10 default): shortlist = max(IVFPQ_RERANK,
 # ceil(FRACTION x expected probed candidates)). A 4-bit ADC distance
@@ -540,13 +587,13 @@ def ivfpq_fit(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    coarse_k: int = IVFPQ_COARSE_K,
+    coarse_k: int | None = None,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     max_iter: int = PQ_ITERS,
-    sample_mod: int = 1,
+    sample_mod: int | str = "auto",
     by_residual: bool = True,
-    coarse_init: str = "farthest",
+    coarse_init: str = "auto",
 ) -> IVFPQIndex:
     """Train both quantizers (VERDICT r8 item 4 — the composed 100 TB ANN
     stack FAISS spells IVFx,PQy): the coarse Lloyd fit partitions the
@@ -572,9 +619,25 @@ def ivfpq_fit(
     centroid refreshes outpace corpus growth; both variants keep the full
     cross-engine parity contract (``ivfpq_search_sql`` renders either).
     Both fits inherit ``kmeans_fit``'s bit-determinism; ``sample_mod`` is
-    the scale knob for both (train on a hash sample, encode everything)."""
+    the scale knob for both (train on a hash sample, encode everything).
+
+    Round-11 auto geometry: ``coarse_k=None`` resolves to
+    ``ivfpq_cells_for(n)``, ``sample_mod="auto"`` to
+    ``ivfpq_fit_sample_mod(n, cells)``, and ``coarse_init="auto"`` to
+    farthest-point at small k (the clustered-structure claim) or hash
+    seeding beyond ``FARTHEST_INIT_MAX_K`` (Gonzalez is O(k²·n)). All
+    three resolve to the exact round-10 values at the driver fixture
+    scales (n ≤ ~3.7 k → 8 cells, full fit, farthest), so every
+    checked-in oracle literal is unchanged by construction."""
     from .clustering import assign_clusters
 
+    n_vectors = df.count()
+    if coarse_k is None:
+        coarse_k = ivfpq_cells_for(n_vectors)
+    if sample_mod == "auto":
+        sample_mod = ivfpq_fit_sample_mod(n_vectors, coarse_k)
+    if coarse_init == "auto":
+        coarse_init = "farthest" if coarse_k <= FARTHEST_INIT_MAX_K else "hash"
     coarse = kmeans_fit(
         df,
         id_col=id_col,
@@ -601,9 +664,9 @@ def ivfpq_fit(
         max_iter=max_iter,
         sample_mod=sample_mod,
     )
-    # one count of the FULL frame (sample_mod gates inside the fits, not
-    # here) — the corpus-size statistic the auto-rerank dial needs
-    return IVFPQIndex(coarse.centroids, model, by_residual, n_vectors=df.count())
+    # the full-frame count (taken once, up front — it also resolved the
+    # auto geometry) — the corpus-size statistic the auto-rerank dial needs
+    return IVFPQIndex(coarse.centroids, model, by_residual, n_vectors=n_vectors)
 
 
 def ivfpq_encode(
@@ -662,7 +725,7 @@ def ivfpq_search(
     cell_col: str = "cell",
     codes_col: str = "codes",
     k: int = PQ_TOP_K,
-    nprobe: int = IVFPQ_NPROBE,
+    nprobe: int | None = None,
     rerank: int | str = "auto",
 ) -> DataFrame:
     """The composed search: each query probes its ``nprobe`` nearest coarse
@@ -677,6 +740,8 @@ def ivfpq_search(
     candidate volume — see ``resolve_rerank``."""
     from .clustering import probe_assignments
 
+    if nprobe is None:
+        nprobe = ivfpq_nprobe_for(len(index.coarse))
     rerank = resolve_rerank(index, nprobe, rerank)
 
     model, dsub = index.pq, index.pq.dsub
@@ -758,7 +823,7 @@ def ivfpq_search_sql(
     index: IVFPQIndex,
     *,
     k: int = PQ_TOP_K,
-    nprobe: int = IVFPQ_NPROBE,
+    nprobe: int | None = None,
     rerank: int | str = "auto",
     n_queries: int = PQ_N_QUERIES,
 ) -> str:
@@ -783,6 +848,8 @@ def ivfpq_search_sql(
     ~m×ksub×dsub distance terms that reference it."""
     from .clustering import _sqdist_sql
 
+    if nprobe is None:
+        nprobe = ivfpq_nprobe_for(len(index.coarse))
     rerank = resolve_rerank(index, nprobe, rerank)
     model = index.pq
     dsub = model.dsub
