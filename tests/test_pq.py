@@ -439,3 +439,49 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, clustered_emb, clus
     # geometry-neutral refactors
     assert recalls[True] >= 0.30, f"residual recall collapsed: {recalls}"
     assert recalls[True] >= recalls[False] + 0.08, f"no residual advantage: {recalls}"
+
+
+def test_residual_arrow_equals_expression(spark):
+    """Round 11: the Arrow residual path (large cell counts, where the
+    literal centroid table would explode the analyzer) must produce the
+    same doubles as the expression path — one IEEE subtraction either
+    way."""
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").limit(200)
+    cents = [r["embedding"] for r in emb.limit(5).collect()]
+    cents = [[float(x) for x in c] for c in cents]
+    cell = (F.col("vec_id") % len(cents)).cast("int")
+    expr = sorted(
+        (r["vec_id"], tuple(r["r"]))
+        for r in emb.select(
+            "vec_id", pq._residual_col(F.col("embedding"), cents, cell).alias("r")
+        ).collect()
+    )
+    arrow = sorted(
+        (r["vec_id"], tuple(r["r"]))
+        for r in emb.select(
+            "vec_id", pq._residual_udf(cents)(F.col("embedding"), cell).alias("r")
+        ).collect()
+    )
+    assert expr == arrow
+
+
+def test_auto_geometry_resolves_fixture_values_at_driver_scales(spark):
+    """The round-11 auto dials must resolve to the exact round-10 values at
+    every fixture scale — the static-oracle validity argument."""
+    from wnba_data_pipeline_spark.operators import pq
+
+    for n, cells in ((500, 8), (2000, 31)):
+        assert pq.ivfpq_cells_for(n) == cells
+        assert pq.ivfpq_fit_sample_mod(n, cells) == 1
+    assert pq.ivfpq_nprobe_for(8) == 2
+    # and the large-n regime actually scales
+    assert pq.ivfpq_cells_for(2_000_000) == 5656
+    assert pq.ivfpq_nprobe_for(5656) == 75
+    assert pq.ivfpq_fit_sample_mod(2_000_000, 5656) == 5

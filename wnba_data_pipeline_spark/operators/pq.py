@@ -576,10 +576,46 @@ def _residual_col(vec: Column, centroids: list[list[float]], cell: Column) -> Co
     a literal array-of-arrays, one element_at lookup, one zip_with). IEEE
     double subtraction — bit-identical between the JVM and the numpy
     reference, so the residual variant keeps the fit/encode determinism
-    contract."""
+    contract.
+
+    Scale bound: the literal table is cells × dim expression NODES, and a
+    consumer like the search LUT duplicates it into every distance term —
+    fine at the fixture scales (8–31 cells), catastrophic at the round-11
+    auto geometry (5 656 cells → ~46 M analyzer nodes). Callers go through
+    :func:`_residual_any` which switches to the Arrow path above
+    ``clustering.KM_EXPR_MAX_K`` — identical doubles (same single IEEE
+    subtraction in numpy), differential-tested in tests/test_pq.py."""
     table = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     cent = F.element_at(table, cell + F.lit(1))
     return F.zip_with(vec, cent, lambda a, b: a.cast("double") - b)
+
+
+def _residual_udf(centroids: list[list[float]]):
+    """Arrow twin of ``_residual_col`` for large cell counts: the centroid
+    table lives in the worker closure (bytes, not expression nodes);
+    ``X.astype(float64) - C[cells]`` is the same one IEEE subtraction."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def _f(vec, cell):
+        X = np.array(vec.tolist(), dtype=np.float64)
+        return pd.Series(list(X - C[cell.to_numpy()]))
+
+    return F.pandas_udf(_f, "array<double>")
+
+
+def _residual_any(vec: Column, centroids: list[list[float]], cell: Column) -> Column:
+    """Residual column via the expression path at fixture-scale cell
+    counts (plan-identical to every checked-in oracle) or the Arrow path
+    above ``KM_EXPR_MAX_K`` (where the literal table would explode the
+    analyzer) — same doubles either way."""
+    from .clustering import KM_EXPR_MAX_K
+
+    if len(centroids) <= KM_EXPR_MAX_K:
+        return _residual_col(vec, centroids, cell)
+    return _residual_udf(centroids)(vec, cell)
 
 
 def ivfpq_fit(
@@ -652,7 +688,7 @@ def ivfpq_fit(
     if by_residual:
         asg = assign_clusters(df, coarse.centroids, vec_col=vec_col, out_col="_ivfc")
         pq_train = asg.withColumn(
-            "_res", _residual_col(F.col(vec_col), coarse.centroids, F.col("_ivfc"))
+            "_res", _residual_any(F.col(vec_col), coarse.centroids, F.col("_ivfc"))
         )
         pq_vec_col = "_res"
     model = pq_fit(
@@ -684,15 +720,20 @@ def ivfpq_encode(
     role. A residual index encodes ``vec - centroid[cell]`` — still the
     same single map pass (the assignment provides the cell the residual
     needs)."""
-    from .clustering import assign_clusters
+    from .clustering import KM_EXPR_MAX_K, assign_clusters
 
+    # above the expression-k bound the corpus is in the auto-geometry
+    # (large-n) regime — take the Arrow encode path too: 128 interpreted
+    # fold chains per row are the same cost class the round-11 signature
+    # fix removed (bit-identical either way, equality-tested)
+    enc_path = "pandas" if len(index.coarse) > KM_EXPR_MAX_K else None
     assigned = assign_clusters(df, index.coarse, vec_col=vec_col, out_col=cell_col)
     if not index.by_residual:
-        return pq_encode(assigned, index.pq, vec_col=vec_col, out_col=codes_col)
+        return pq_encode(assigned, index.pq, vec_col=vec_col, out_col=codes_col, path=enc_path)
     res = assigned.withColumn(
-        "_res", _residual_col(F.col(vec_col), index.coarse, F.col(cell_col))
+        "_res", _residual_any(F.col(vec_col), index.coarse, F.col(cell_col))
     )
-    return pq_encode(res, index.pq, vec_col="_res", out_col=codes_col).drop("_res")
+    return pq_encode(res, index.pq, vec_col="_res", out_col=codes_col, path=enc_path).drop("_res")
 
 
 def resolve_rerank(index: IVFPQIndex, nprobe: int, rerank: int | str) -> int:
@@ -753,7 +794,7 @@ def ivfpq_search(
     # query's residual AGAINST EACH PROBED CELL, which is exactly one
     # expression here because qp is already one row per (query, cell).
     q_eff = (
-        _residual_col(F.col(q_vec_col), index.coarse, F.col(cell_col))
+        _residual_any(F.col(q_vec_col), index.coarse, F.col(cell_col))
         if index.by_residual
         else F.col(q_vec_col)
     )
