@@ -684,13 +684,34 @@ def ivfpq_fit(
         seed_tag="ivfc",
         init=coarse_init,
     )
-    pq_train, pq_vec_col = df, vec_col
+    # PQ training source: at sample_mod > 1 pre-filter by the SAME kms:
+    # hash gate pq_fit's sub-fits apply (idempotent — the inner filter is
+    # then a no-op subset), so the residual assignment below runs over the
+    # TRAINING SAMPLE, not the corpus. Without this, each of the m
+    # subspace fits re-derives the full-corpus assignment + residual from
+    # scratch (m × (seed + iters) stages × a 2 M-row pandas argmin at the
+    # auto geometry — the stalled-fit shape the sf100 ann probe caught).
+    pq_src = df
+    if sample_mod > 1:
+        from ..functions.hashing import md5_long
+
+        pq_src = df.filter(
+            md5_long(F.concat(F.lit("kms:"), F.col(id_col).cast("string"))) % sample_mod == 0
+        )
+    pq_train, pq_vec_col = pq_src, vec_col
+    persisted = None
     if by_residual:
-        asg = assign_clusters(df, coarse.centroids, vec_col=vec_col, out_col="_ivfc")
+        asg = assign_clusters(pq_src, coarse.centroids, vec_col=vec_col, out_col="_ivfc")
         pq_train = asg.withColumn(
             "_res", _residual_any(F.col(vec_col), coarse.centroids, F.col("_ivfc"))
         )
         pq_vec_col = "_res"
+        if sample_mod > 1:
+            # large-corpus regime: one residual materialization shared by
+            # all m subspace fits (values unchanged — pure plan physics)
+            persisted = pq_train.persist()
+            persisted.count()
+            pq_train = persisted
     model = pq_fit(
         pq_train,
         id_col=id_col,
@@ -700,6 +721,8 @@ def ivfpq_fit(
         max_iter=max_iter,
         sample_mod=sample_mod,
     )
+    if persisted is not None:
+        persisted.unpersist()
     # the full-frame count (taken once, up front — it also resolved the
     # auto geometry) — the corpus-size statistic the auto-rerank dial needs
     return IVFPQIndex(coarse.centroids, model, by_residual, n_vectors=n_vectors)
