@@ -485,3 +485,36 @@ def test_auto_geometry_resolves_fixture_values_at_driver_scales(spark):
     assert pq.ivfpq_cells_for(2_000_000) == 5656
     assert pq.ivfpq_nprobe_for(5656) == 75
     assert pq.ivfpq_fit_sample_mod(2_000_000, 5656) == 5
+
+
+def test_ivfpq_search_large_geometry_equals_expression_path(spark, monkeypatch):
+    """Round 11: above the expression-k bound the search's query residual
+    goes through a materialized Arrow column (Python UDFs are illegal
+    inside higher-order lambdas). Force a >64-cell fit on the small
+    corpus and pin that the Arrow-path search returns exactly the rows
+    the literal-expression path returns."""
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+    from wnba_data_pipeline_spark.operators import clustering
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    from .conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    index = pq.ivfpq_fit(emb, coarse_k=72, sample_mod=1, coarse_init="hash")
+    assert len(index.coarse) == 72
+    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+    corpus.count()
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    try:
+        arrow = sorted(tuple(r) for r in pq.ivfpq_search(corpus, q, index).collect())
+        monkeypatch.setattr(clustering, "KM_EXPR_MAX_K", 128)
+        monkeypatch.setattr(clustering, "KM_EXPR_TERM_BUDGET", 128 * 64)
+        expr = sorted(tuple(r) for r in pq.ivfpq_search(corpus, q, index).collect())
+    finally:
+        corpus.unpersist()
+    assert arrow == expr
+    assert len(arrow) > 0

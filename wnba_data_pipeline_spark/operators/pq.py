@@ -816,11 +816,23 @@ def ivfpq_search(
     # A residual index ranks ||(q - c) - code||² — the LUT is built from the
     # query's residual AGAINST EACH PROBED CELL, which is exactly one
     # expression here because qp is already one row per (query, cell).
-    q_eff = (
-        _residual_any(F.col(q_vec_col), index.coarse, F.col(cell_col))
-        if index.by_residual
-        else F.col(q_vec_col)
-    )
+    # Above the expression-k bound the residual is MATERIALIZED into its
+    # own projection first: Spark forbids Python UDFs inside higher-order
+    # lambdas, so the Arrow residual cannot appear syntactically inside
+    # the LUT's fold expressions (and CollapseProject keeps the barrier —
+    # the column is referenced m×ksub times, which the rule refuses to
+    # duplicate).
+    from .clustering import KM_EXPR_MAX_K
+
+    if not index.by_residual:
+        q_eff = F.col(q_vec_col)
+    elif len(index.coarse) <= KM_EXPR_MAX_K:
+        q_eff = _residual_col(F.col(q_vec_col), index.coarse, F.col(cell_col))
+    else:
+        qp = qp.withColumn(
+            "_qres", _residual_udf(index.coarse)(F.col(q_vec_col), F.col(cell_col))
+        )
+        q_eff = F.col("_qres")
     lut = F.array(
         *[
             F.array(*[_sqdist(F.slice(q_eff, j * dsub + 1, dsub), w) for w in cb])
