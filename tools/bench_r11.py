@@ -263,6 +263,7 @@ def cmd_funnel_guard() -> dict:
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "funnel_guard"
     fn = {
+        "ann100_sweep": cmd_ann100_sweep,
         "sharp_pairs100": cmd_sharp_pairs100,
         "incremental100": cmd_incremental100,
         "ann100": cmd_ann100,
@@ -273,3 +274,70 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def cmd_ann100_sweep() -> dict:
+    """nprobe sweep at the round-11 auto geometry (one fit+encode, three
+    searches): the recall/cost dial on the near-isotropic sf100
+    embeddings, where recall is COVERAGE-bounded (any IVF on unstructured
+    vectors must probe more cells for more recall — the auto default
+    buys the knee, this sweep shows the curve)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF100)
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    index = pq.ivfpq_fit(emb)
+    fit_sec = round(time.perf_counter() - t0, 2)
+    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+    t0 = time.perf_counter()
+    n_corpus = corpus.count()
+    encode_sec = round(time.perf_counter() - t0, 2)
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    truth = {}
+    for r in (
+        F.broadcast(q)
+        .join(emb.select("vec_id", "embedding"), F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("_d2", pq._sqdist_vec(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"))
+        .collect()
+    ):
+        truth.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    cells = len(index.coarse)
+    out: dict = {
+        "sf_dir": sf_dir,
+        "n_corpus": n_corpus,
+        "n_cells": cells,
+        "fit_sec": fit_sec,
+        "encode_sec": encode_sec,
+        "auto_nprobe": pq.ivfpq_nprobe_for(cells),
+        "sweep": [],
+    }
+    for nprobe in (75, 300, 700, 1400):
+        t0 = time.perf_counter()
+        got = {}
+        for r in pq.ivfpq_search(corpus, q, index, k=10, nprobe=nprobe).collect():
+            got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        wall = round(time.perf_counter() - t0, 2)
+        hits = sum(len(truth[qid] & got.get(qid, set())) for qid in truth)
+        out["sweep"].append(
+            {
+                "nprobe": nprobe,
+                "probed_fraction": round(nprobe / cells, 4),
+                "recall_at_10": round(hits / sum(len(v) for v in truth.values()), 4),
+                "search_sec": wall,
+            }
+        )
+    corpus.unpersist()
+    return out
