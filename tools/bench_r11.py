@@ -260,22 +260,6 @@ def cmd_funnel_guard() -> dict:
     }
 
 
-def main() -> None:
-    cmd = sys.argv[1] if len(sys.argv) > 1 else "funnel_guard"
-    fn = {
-        "ann100_sweep": cmd_ann100_sweep,
-        "sharp_pairs100": cmd_sharp_pairs100,
-        "incremental100": cmd_incremental100,
-        "ann100": cmd_ann100,
-        "funnel_guard": cmd_funnel_guard,
-    }[cmd]
-    print(json.dumps({cmd: fn()}))
-
-
-if __name__ == "__main__":
-    main()
-
-
 def cmd_ann100_sweep() -> dict:
     """nprobe sweep at the round-11 auto geometry (one fit+encode, three
     searches): the recall/cost dial on the near-isotropic sf100
@@ -341,3 +325,19 @@ def cmd_ann100_sweep() -> dict:
         )
     corpus.unpersist()
     return out
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "funnel_guard"
+    fn = {
+        "ann100_sweep": cmd_ann100_sweep,
+        "sharp_pairs100": cmd_sharp_pairs100,
+        "incremental100": cmd_incremental100,
+        "ann100": cmd_ann100,
+        "funnel_guard": cmd_funnel_guard,
+    }[cmd]
+    print(json.dumps({cmd: fn()}))
+
+
+if __name__ == "__main__":
+    main()
