@@ -531,6 +531,39 @@ def minhash_pairs(
     the default pure-plan form)."""
     if shingled is None:
         shingled = shingle_docs(docs)
+    cand = minhash_candidates(
+        shingled, coeffs=coeffs, band_rows=band_rows, hot_bucket_min=hot_bucket_min
+    )
+    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_candidates(
+    shingled: DataFrame,
+    *,
+    coeffs: list[tuple[int, int]] | None = None,
+    band_rows: int | None = None,
+    hot_bucket_min: int | None = None,
+) -> DataFrame:
+    """The LSH candidate step of :func:`minhash_pairs`, exposed on its own
+    (round 12 — the per-stage attribution probe times candidates and
+    verification separately through the SAME plan code the production pair
+    path runs, instead of a probe-local replica): banded band-key self-join
+    → distinct (doc_a < doc_b) pairs, hot buckets through the salted branch
+    (see the ``minhash_pairs`` docstring for the gate's anatomy)."""
     if hot_bucket_min is None:
         hot_bucket_min = HOT_BUCKET_MIN
     # signature+band map: expression plan at the default 16-hash geometry,
@@ -548,7 +581,7 @@ def minhash_pairs(
         )
 
     if hot_bucket_min <= 0:
-        cand = _self_pairs(banded, []).distinct()
+        return _self_pairs(banded, []).distinct()
     else:
         from ..functions.skew import HOT_SALTS, explode_salts, with_salt
 
@@ -593,22 +626,7 @@ def minhash_pairs(
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
-        cand = _self_pairs(cold, []).unionByName(hot_pairs).distinct()
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+        return _self_pairs(cold, []).unionByName(hot_pairs).distinct()
 
 
 def near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
