@@ -35,7 +35,8 @@ ROTATED = {
     # paths stay in-registry (sim_ann_lsh/sim_ivf; dedup_minhash/
     # dedup_incremental) — see the registry comments in similarity.py and
     # dedup.py.
-    "sim_topk": (similarity.q_sim_topk, similarity.ORACLE_SIM_TOPK),
+    # sim_topk parked here rounds 6-11; the round-12 ELEVENTH rotation put
+    # it BACK in-registry next to hamming_rerank's first driver row.
     "ngram_jaccard": (dedup.q_ngram_jaccard, dedup.ORACLE_NGRAM_JACCARD),
     # fifth rotation (round 7): simhash_fingerprint parked here until the
     # round-10 NINTH rotation put it BACK in-registry.
@@ -78,6 +79,17 @@ ROTATED = {
     # ivfpq_search's (all in-registry).
     "text_corpus_rollup": (text.q_text_corpus_rollup, text.ORACLE_TEXT_CORPUS_ROLLUP),
     "sim_ann_lsh": (similarity.q_sim_ann_lsh, similarity.ORACLE_SIM_ANN_LSH),
+    # eleventh rotation (round 12, VERDICT r11 item 6): slots freed for
+    # hamming_rerank (the Hamming prefilter+rerank family's FIRST driver
+    # row) and sim_topk (returning — the exact-cosine baseline of the query
+    # set hamming_rerank compresses). simhash_fingerprint's 64-bit
+    # fingerprint + Hamming arithmetic is hamming_rerank's packed-sign
+    # physics plus doc_winnow's in-registry fingerprint row; url_domains'
+    # regex-extract + per-key rollup is text_stats'/tfidf_top_terms'
+    # single-shuffle agg physics (planted-blocklist ground truth stays in
+    # test_contamination.py).
+    "simhash_fingerprint": (dedup.q_simhash_fingerprint, dedup.ORACLE_SIMHASH),
+    "url_domains": (text.q_url_domains, text.ORACLE_URL_DOMAINS),
 }
 
 
@@ -106,16 +118,18 @@ def test_rotated_queries_stay_off_registry():
         "asof_attribution",
         "range_join_bins",
         "semantic_dedup",
-        # eighth rotation (round 9)
+        # eighth rotation (round 9; url_domains re-rotated out in round 12)
         "ivfpq_search",
-        "url_domains",
         "frame_sample",
-        # ninth rotation (round 10)
+        # ninth rotation (round 10; simhash_fingerprint re-rotated out in
+        # round 12)
         "heavy_hitters_cms",
-        "simhash_fingerprint",
         "hopping_6h_batch",
         # tenth rotation (round 11)
         "range_agg_binjoin",
         "pq_rerank",
+        # eleventh rotation (round 12)
+        "hamming_rerank",
+        "sim_topk",
     ):
         assert newcomer in qs

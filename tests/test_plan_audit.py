@@ -47,6 +47,13 @@ BNLJ_OK = {
     # compressed-domain pass, no shuffle
     "sim_ivf",  # nprobe cell expansion: queries crossed with the k-row
     # centroid list before the equi-join on cell
+    "sim_topk",  # the LABELED brute-force baseline: 10 broadcast queries
+    # x corpus with a <> self-guard — the exact ground truth the ANN rows
+    # (sim_ivf/ivfpq_search/hamming_rerank) are graded against
+    "hamming_rerank",  # stage 1 scans broadcast queries x packed sign
+    # bits (<> self-guard, 2 XOR+POPCNT per candidate) — the deliberate
+    # compressed-domain pass; stage 2's float joins are equi-joins on the
+    # m-row shortlist
 }
 
 

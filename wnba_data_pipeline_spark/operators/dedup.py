@@ -1024,12 +1024,13 @@ QUERIES = {
     # all hold hard driver rows, and it keeps full oracle parity in
     # tests/test_offregistry_parity.py. The freed slot registers
     # range_join_bins (operators/temporal.py).
-    # simhash_fingerprint rotated OFF in round 7 (freed the slot for
-    # semantic_dedup's static fitted-centroid oracle) and BACK IN in the
-    # round-10 ninth rotation (VERDICT r9 item 5 — same return path as
-    # frame_sample's in round 9): the SimHash family re-takes a hard
-    # driver row while its bit-level differentials stay in tests.
-    "simhash_fingerprint": q_simhash_fingerprint,
+    # simhash_fingerprint rotated OFF in round 7, BACK IN in the round-10
+    # ninth rotation, and OFF again in the round-12 ELEVENTH rotation
+    # (VERDICT r11 item 6): its 64-bit fingerprint + Hamming arithmetic is
+    # the same packed-sign physics hamming_rerank now holds a FIRST hard
+    # driver row for (similarity.py), next to doc_winnow's fingerprint row;
+    # full hash-differential parity stays pinned in
+    # tests/test_offregistry_parity.py.
     # dedup_incremental rotated OFF (round-9 eighth rotation, VERDICT r8
     # item 6): its §2 coverage — band-key candidate join + exact verify —
     # is the same physics dedup_minhash holds a hard row for, and the
@@ -1042,7 +1043,6 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
-    "simhash_fingerprint": _oracle_simhash(),
 }
 
-ORACLE_SIMHASH = ORACLES["simhash_fingerprint"]  # alias kept for tests
+ORACLE_SIMHASH = _oracle_simhash()  # off-registry parity + bit-level tests

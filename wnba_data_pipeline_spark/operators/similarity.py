@@ -989,6 +989,49 @@ def hamming_rerank(
     )
 
 
+def q_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage compressed search as a driver row (round-12 eleventh
+    rotation — the Hamming prefilter+rerank family's FIRST hard registry
+    slot): Hamming top-{HAM_PREFILTER_M} over the packed sign bits, exact
+    cosine rerank of only the shortlist. Output shape mirrors
+    ``q_sim_topk`` so the two rows document baseline vs compressed
+    side by side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_rerank(emb, n_queries=N_QUERIES, k=TOP_K)
+
+
+ORACLE_HAMMING_RERANK = f"""
+WITH sigs AS (
+  SELECT vec_id, {_sign_half_sql("embedding", 0)} AS sig_lo,
+         {_sign_half_sql("embedding", 32)} AS sig_hi
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS q_vec_id, sig_lo AS q_lo, sig_hi AS q_hi
+  FROM sigs WHERE vec_id < {N_QUERIES}
+), ham AS (
+  SELECT qs.q_vec_id, c.vec_id AS n_vec_id,
+         bit_count(xor(qs.q_lo, c.sig_lo)) + bit_count(xor(qs.q_hi, c.sig_hi)) AS hamming
+  FROM qs JOIN sigs c ON qs.q_vec_id <> c.vec_id
+), cand AS (
+  SELECT q_vec_id, n_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY hamming, n_vec_id) AS pre_rank
+    FROM ham
+  ) WHERE pre_rank <= {HAM_PREFILTER_M}
+), scored AS (
+  SELECT cand.q_vec_id, cand.n_vec_id,
+         {_cosine_sql("qe.embedding", "ne.embedding")} AS cos
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.q_vec_id
+  JOIN embeddings ne ON ne.vec_id = cand.n_vec_id
+)
+SELECT q_vec_id, n_vec_id, round(cos, 6) AS cosine, CAST(nn_rank AS BIGINT) AS nn_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY cos DESC, n_vec_id) AS nn_rank
+  FROM scored
+) WHERE nn_rank <= {TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # hard-negative mining — per-anchor top-k most-similar DIFFERENT-label rows
 # ---------------------------------------------------------------------------
@@ -1147,11 +1190,6 @@ FROM (
 
 
 QUERIES = {
-    # sim_topk left OFF the capped registry (round-6 fourth rotation): it is
-    # the explicitly-labeled brute-force ground-truth baseline whose scale
-    # variants (sim_ann_lsh, sim_ivf) both hold hard driver rows; it keeps
-    # full oracle parity in tests/test_offregistry_parity.py. The freed slot
-    # registers asof_attribution (operators/temporal.py).
     # sim_ann_lsh rotated OFF (round-11 tenth rotation, VERDICT r10
     # item 5): its SRP band-bucket physics is emb_near_dup_bucketed's (in
     # registry) and its celled probe shape is sim_ivf's + ivfpq_search's
@@ -1164,6 +1202,18 @@ QUERIES = {
     # round-8 seventh rotation: hard driver row for the round-7 miner
     # (slots freed by lang_id_agreement/bigram_topk — see text.py)
     "hard_negatives_bucketed": q_hard_negatives_bucketed,
+    # round-12 ELEVENTH rotation (VERDICT r11 item 6): sim_topk RETURNS
+    # after six rounds off-registry (rotated out round 6) and the Hamming
+    # prefilter+rerank family gets its FIRST driver row — together they
+    # document the exact-cosine baseline and the 1-bit compressed search
+    # against the same query set. Slots freed by simhash_fingerprint
+    # (dedup.py — its 64-bit fingerprint physics is doc_winnow's +
+    # hamming_rerank's own packed-sign arithmetic, now in-registry) and
+    # url_domains (text.py — single-shuffle regex-extract+agg physics
+    # covered by text_stats/tfidf_top_terms); both keep full parity in
+    # tests/test_offregistry_parity.py.
+    "sim_topk": q_sim_topk,
+    "hamming_rerank": q_hamming_rerank,
 }
 
 ORACLES = {
@@ -1171,4 +1221,6 @@ ORACLES = {
     "emb_near_dup_bucketed": _oracle_emb_near_dup_bucketed(),
     "emb_label_centroids": _oracle_centroids(),
     "hard_negatives_bucketed": _oracle_hard_negatives_bucketed(),
+    "sim_topk": ORACLE_SIM_TOPK,
+    "hamming_rerank": ORACLE_HAMMING_RERANK,
 }

@@ -1408,10 +1408,14 @@ QUERIES = {
     "pii_stats": q_pii_stats,
     "unigram_ppl": q_unigram_ppl,
     "chunk_docs": q_chunk_docs,
-    # url_domains registered (round-9 eighth rotation): the crawl-provenance
-    # family (URL extraction + per-domain rollup + blocklist gate) had only
-    # pytest differentials; it now holds a hard driver row.
-    "url_domains": q_url_domains,
+    # url_domains registered in the round-9 eighth rotation, rotated OFF in
+    # the round-12 ELEVENTH (VERDICT r11 item 6): its single-shuffle
+    # regex-extract + per-key rollup physics is text_stats' +
+    # tfidf_top_terms' (both in-registry); the planted-blocklist ground
+    # truth and the hash-differential parity row stay in tests
+    # (test_contamination.py, test_offregistry_parity.py). Slot freed for
+    # the Hamming prefilter+rerank family's first driver row
+    # (similarity.py).
     # heavy_hitters_cms registered (round-10 ninth rotation, VERDICT r9
     # item 5): the count-min-sketch family's first driver row — see
     # q_heavy_hitters_cms for why the exact oracle is sound.
@@ -1428,6 +1432,5 @@ ORACLES = {
     "pii_stats": ORACLE_PII_STATS,
     "unigram_ppl": ORACLE_UNIGRAM_PPL,
     "chunk_docs": ORACLE_CHUNK_DOCS,
-    "url_domains": ORACLE_URL_DOMAINS,
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
 }
