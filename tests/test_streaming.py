@@ -378,7 +378,7 @@ def test_signature_index_matches_textual_screen(spark, tmp_path):
     assert verdicts[8] == "kept"
     # the index itself accumulated one slice per batch and reads back clean
     index = sdedup.read_index(spark, str(tmp_path / "index"))
-    assert index["hash"].count() == index["sh"].count()  # one row per kept doc
+    assert index["hash"].count() == index["hh"].count()  # one row per kept doc
     n_kept = len(runs["indexed"][1])
     assert index["hash"].count() == n_kept
     assert index["bands"].count() == n_kept * sdedup_n_bands()
@@ -484,7 +484,7 @@ def test_index_enablement_backfills_unindexed_corpus_batches(spark, tmp_path):
     # backfill
     index = sdedup.read_index(spark, index_dir)
     assert sorted(r.doc_id for r in index["hash"].collect()) == [1, 2, 5]
-    assert sorted(set(r.doc_id for r in index["sh"].collect())) == [1, 2, 5]
+    assert sorted(set(r.doc_id for r in index["hh"].collect())) == [1, 2, 5]
     assert sdedup.backfill_index(spark, corpus_dir, index_dir) == []
 
 

@@ -400,10 +400,16 @@ def estimate_pair_volume(
 
 
 def _shingle_arrow_enabled() -> bool:
-    """Env gate for the Arrow shingle pass (default OFF until the sf30/
-    sf100 measurement in BENCH_SCALE_r11 justifies flipping it — see
-    shingle_docs_arrow)."""
-    return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW") == "1"
+    """Env gate for the Arrow shingle pass — default ON since round 12:
+    the sf100 A/B (BENCH_SCALE_r12 stages100, 2.93 M docs) measured the
+    Arrow pass at 22.6 s vs 333.7 s for the interpreted higher-order
+    expression chain (14.8×), with every downstream count, pair set, and
+    survivor hash identical across arms (funnel_ab100 asserts the
+    survivor hash, not just counts). ``SPARK_GRAFT_SHINGLE_ARROW=0`` is
+    the opt-out back to the pure-expression plan (the byte-identity
+    differentials in tests/test_dedup_arrow.py pin both arms either
+    way)."""
+    return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW", "1") != "0"
 
 
 def shingle_docs_arrow(docs: DataFrame) -> DataFrame:
@@ -497,6 +503,7 @@ def minhash_pairs(
     coeffs: list[tuple[int, int]] | None = None,
     band_rows: int | None = None,
     hot_bucket_min: int | None = None,
+    verify: str = "sh",
 ) -> DataFrame:
     """(… doc_id, text …) → near-dup pairs (doc_a, doc_b, jaccard) via
     MinHash-LSH — the reusable transform behind ``q_dedup_minhash`` and
@@ -528,21 +535,37 @@ def minhash_pairs(
     ``shingled``: optionally pass a (persisted) ``shingle_docs`` frame to
     share the shingle computation across this plan's three consumers —
     lifecycle stays with the caller (lazy registry/oracle consumers keep
-    the default pure-plan form)."""
+    the default pure-plan form).
+
+    ``verify`` (round 12, VERDICT r11 item 4): which column the exact
+    Jaccard runs over — ``"sh"`` (the string shingle arrays; the oracle
+    contract, default) or ``"hh"`` (their md5-int64 hash arrays — the
+    SCALE dial: 8-byte longs instead of ~25-byte strings through both
+    verification shuffles and long-vs-long comparisons inside
+    array_intersect/array_union). The r8 negative REVERSED at the
+    decade: 13.6 s vs 46.7 s over 19.1 M candidates at sf100, pair sets
+    hash-identical (BENCH_SCALE_r12 stages100 re-measures the identity
+    every round, and a collision between two distinct shingles of one
+    compared pair — the only way values could diverge — has probability
+    ~|union|²/2⁶⁰ per pair). The curation funnel passes "hh"; the
+    registry/oracle row keeps "sh" so the DuckDB twin stays the
+    definition."""
+    if verify not in ("sh", "hh"):
+        raise ValueError(f"verify must be 'sh' or 'hh', got {verify!r}")
     if shingled is None:
         shingled = shingle_docs(docs)
     cand = minhash_candidates(
         shingled, coeffs=coeffs, band_rows=band_rows, hot_bucket_min=hot_bucket_min
     )
-    sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    v_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col(verify).alias("v_a"))
+    v_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col(verify).alias("v_b"))
     return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        cand.join(v_a, "doc_a")
+        .join(v_b, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect("v_a", "v_b")) / F.size(F.array_union("v_a", "v_b")),
                 6,
             ),
         )
@@ -826,6 +849,7 @@ def incremental_verdicts(
     *,
     threshold: float = 0.5,
     ref_index: dict[str, DataFrame] | None = None,
+    verify: str = "sh",
 ) -> DataFrame:
     """Classify every batch document against a reference corpus:
     ``exact_dup`` (content hash already present), ``near_dup`` (MinHash-LSH
@@ -853,12 +877,24 @@ def incremental_verdicts(
 
     ``ref_index`` (round 11, VERDICT r10 item 2): the precomputed-ONCE
     store the scale note above always promised — a dict of ``hash``
-    (content_hash, doc_id), ``bands`` (doc_id, band_key) and ``sh``
-    (doc_id, sh) frames (``streaming.dedup.read_index``). When given,
+    (content_hash, doc_id), ``bands`` (doc_id, band_key) and ``hh``
+    (doc_id, hh) frames (``streaming.dedup.read_index``). When given,
     ``ref`` text is never touched: the per-batch corpus-side cost drops
     from full shingle+signature recompute (the measured 334→522 s sf100
     per-batch growth) to a column scan of the index. Values identical —
-    the index rows are exactly the derivations below."""
+    the index rows are exactly the derivations below.
+
+    ``verify``: ``"sh"`` (string shingle Jaccard — the oracle contract,
+    default) or ``"hh"`` (md5-int64 hash Jaccard — the scale dial; see
+    ``minhash_pairs``). The signature index stores hh only (8-byte
+    longs, round 12), so ``ref_index`` requires ``verify="hh"`` — the
+    streaming ingest screen (``streaming.dedup.screen_batch``) passes it
+    in both the indexed and textual modes so the two stay
+    differential-equal."""
+    if verify not in ("sh", "hh"):
+        raise ValueError(f"verify must be 'sh' or 'hh', got {verify!r}")
+    if ref_index is not None and verify != "hh":
+        raise ValueError("ref_index stores hashed shingles - pass verify='hh'")
     words = F.split(F.col("text"), " ")
 
     if ref_index is not None:
@@ -877,7 +913,8 @@ def incremental_verdicts(
 
     def _bands(df: DataFrame, id_alias: str) -> DataFrame:
         # hh materialized once per row — see shingle_docs (round-10
-        # signature-cost fix); sh stays for the exact-Jaccard verify
+        # signature-cost fix); the verify column rides along for the
+        # exact-Jaccard stage
         sh_expr = _shingles(F.col("text"), words)
         sh = df.select(
             F.col("doc_id").alias(id_alias),
@@ -885,10 +922,12 @@ def incremental_verdicts(
             F.transform(sh_expr, md5_long).alias("hh"),
         )
         banded = banded_keys(sh, id_col=id_alias)
-        return sh.drop("hh"), banded
+        return sh.select(id_alias, F.col(verify).alias("vv")), banded
 
     if ref_index is not None:
-        ref_sh = ref_index["sh"].select(F.col("doc_id").alias("ref_id"), "sh")
+        ref_sh = ref_index["hh"].select(
+            F.col("doc_id").alias("ref_id"), F.col("hh").alias("vv")
+        )
         ref_bands = ref_index["bands"].select(F.col("doc_id").alias("ref_id"), "band_key")
     else:
         ref_sh, ref_bands = _bands(ref, "ref_id")
@@ -900,13 +939,13 @@ def incremental_verdicts(
         .distinct()
     )
     near = (
-        cand.join(batch_sh.withColumnRenamed("sh", "sh_b"), "batch_id")
-        .join(ref_sh.withColumnRenamed("sh", "sh_r"), "ref_id")
+        cand.join(batch_sh.withColumnRenamed("vv", "vv_b"), "batch_id")
+        .join(ref_sh.withColumnRenamed("vv", "vv_r"), "ref_id")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_b", "sh_r"))
-                / F.size(F.array_union("sh_b", "sh_r")),
+                F.size(F.array_intersect("vv_b", "vv_r"))
+                / F.size(F.array_union("vv_b", "vv_r")),
                 6,
             ),
         )

@@ -134,7 +134,13 @@ def run_curation(
             geom_kw = {"coeffs": minhash_coeffs(k), "band_rows": rows_per_band}
         shingled = shingle_docs(deduped.select("doc_id", "text")).persist()
         _geometry_advisory(shingled, band_geometry)
-        pairs = minhash_pairs(deduped.select("doc_id", "text"), shingled=shingled, **geom_kw)
+        # verify="hh": the funnel's scale dial — exact Jaccard over the
+        # md5-int64 arrays (13.6 s vs 46.7 s over 19.1 M sf100 candidates,
+        # pair sets hash-identical; BENCH_SCALE_r12 stages100). The
+        # registry/oracle row (q_dedup_minhash) keeps the string contract.
+        pairs = minhash_pairs(
+            deduped.select("doc_id", "text"), shingled=shingled, verify="hh", **geom_kw
+        )
         survivors = cluster_survivors(pairs, max_iter=cc_max_iter)
     elif near_dedup == "semantic":
         survivors = _semantic_survivors(spark, sf_dir, deduped, cc_max_iter=cc_max_iter)
@@ -327,7 +333,10 @@ def run_curation_incremental(
                 F.col("quality_score") >= QUALITY_MIN
             )
         ).select("doc_id", "text")
-        pairs = minhash_pairs(gated)
+        # same hh verify as the batch funnel's near-dup stage AND the
+        # corpus screen below — increment-equals-batch requires one
+        # detector end to end
+        pairs = minhash_pairs(gated, verify="hh")
         losers = (
             cluster_survivors(pairs, max_iter=cc_max_iter)
             .filter(~F.col("is_survivor"))

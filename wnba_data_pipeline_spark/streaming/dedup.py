@@ -68,7 +68,14 @@ def screen_batch(
     doc_id (the audit contract). A pathological batch carrying the same
     doc_id twice with different texts keeps exactly one deterministic
     row (lowest content hash) instead of fanning out through the
-    downstream doc_id joins."""
+    downstream doc_id joins.
+
+    The near-dup verify runs over the md5-int64 hash arrays in BOTH the
+    textual and indexed modes (round 12 — the signature index stores hh
+    only, and the textual mode must match it for the
+    indexed-equals-textual differential to hold; value divergence from
+    string Jaccard needs an md5-60-bit collision inside one compared
+    pair — see ``operators.dedup.minhash_pairs``)."""
     base = batch.withColumn("_h", md5_long(F.col("text"))).withColumn(
         "_rid", F.row_number().over(Window.partitionBy("doc_id").orderBy("_h"))
     )
@@ -85,7 +92,7 @@ def screen_batch(
         F.lit(1.0).alias("best_jaccard"),
     )
     verdicts = incremental_verdicts(
-        survivors, ref, threshold=threshold, ref_index=ref_index
+        survivors, ref, threshold=threshold, ref_index=ref_index, verify="hh"
     ).unionByName(collapsed_v)
     return survivors, verdicts
 
@@ -181,19 +188,25 @@ def read_corpus(
 #
 #   index/hash/batch=N   (content_hash, doc_id)     — exact screen
 #   index/bands/batch=N  (doc_id, band_key)         — LSH candidate join
-#   index/sh/batch=N     (doc_id, sh array<string>) — exact-Jaccard verify
+#   index/hh/batch=N     (doc_id, hh array<long>)   — exact-Jaccard verify
 #
 # With the index, a batch's corpus-side cost is a parquet SCAN of hash +
 # band-key columns (grows linearly with corpus size but with a tiny
-# constant) instead of full text recompute; the sh tree is only joined on
+# constant) instead of full text recompute; the hh tree is only joined on
 # the (few) verification candidates. Values are identical by construction
 # — the index rows ARE the deterministic derivations incremental_verdicts
 # would recompute (differential-tested in tests/test_streaming.py).
 
 INDEX_HASH_SCHEMA = "content_hash long, doc_id long"
 INDEX_BANDS_SCHEMA = "doc_id long, band_key string"
-INDEX_SH_SCHEMA = "doc_id long, sh array<string>"
-_INDEX_PARTS = (("hash", INDEX_HASH_SCHEMA), ("bands", INDEX_BANDS_SCHEMA), ("sh", INDEX_SH_SCHEMA))
+# round 12: the verify payload is the md5-int64 hash arrays, not the string
+# shingles — 8-byte longs through the candidate verification join instead of
+# ~25-byte strings, and the hh Jaccard itself measured 13.6 s vs 46.7 s over
+# 19.1 M sf100 candidates with hash-identical pair sets (BENCH_SCALE_r12
+# stages100; divergence would need an md5-60-bit collision between two
+# distinct shingles of one compared pair)
+INDEX_HH_SCHEMA = "doc_id long, hh array<long>"
+_INDEX_PARTS = (("hash", INDEX_HASH_SCHEMA), ("bands", INDEX_BANDS_SCHEMA), ("hh", INDEX_HH_SCHEMA))
 
 
 def write_index(kept: DataFrame, index_dir: str, batch_id: int) -> None:
@@ -209,7 +222,7 @@ def write_index(kept: DataFrame, index_dir: str, batch_id: int) -> None:
         frames = {
             "hash": kept.select(md5_long(F.col("text")).alias("content_hash"), "doc_id"),
             "bands": banded_keys(shingled),
-            "sh": shingled.select("doc_id", "sh"),
+            "hh": shingled.select("doc_id", "hh"),
         }
         for part, df in frames.items():
             df.write.mode("overwrite").parquet(
