@@ -416,6 +416,65 @@ def cmd_headline_ab() -> dict:
     return out
 
 
+# the funnel_ab100 arms' survivor fingerprint (n, order-insensitive hash):
+# the shipped-defaults run must reproduce it — the adoption of Arrow
+# shingles + hh verify is a physical change, so the survivors are asserted
+# identical to the measured A/B, not assumed
+AB_SURVIVORS = (2842712, 1065605201)
+
+
+def cmd_shipped100() -> dict:
+    """The SHIPPED configuration at sf100 (round 12: Arrow shingles
+    default-ON + hh verify in the funnel) — batch funnel stage walls,
+    incremental per-batch walls over the hh signature index, survivor
+    sym-diff between the two, and the survivor fingerprint cross-checked
+    against the funnel_ab100 arms'."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF100)
+    n_batches = int(os.environ.get("SPARK_GRAFT_INC_BATCHES", "5"))
+    spark = _session(_sf(sf_dir))
+
+    from wnba_data_pipeline_spark.plans import curation
+    from wnba_data_pipeline_spark.sources.sinks import read_table
+
+    out: dict = {"sf_dir": sf_dir, "n_batches": n_batches}
+    base = tempfile.mkdtemp(prefix="curation-shipped-", dir="/dev/shm")
+    try:
+        t0 = time.perf_counter()
+        stage_seconds: dict = {}
+        curation.run_curation(spark, sf_dir, base, stage_seconds=stage_seconds)
+        out["batch_total_sec"] = round(time.perf_counter() - t0, 2)
+        out["batch_stage_sec"] = stage_seconds
+        n, h = _survivor_hash(spark, f"{base}/curation/near_deduped")
+        out["batch_survivors"] = n
+        out["batch_survivor_hash"] = h
+        out["matches_funnel_ab100_arms"] = (n, h) == AB_SURVIVORS
+
+        walls: list = []
+        t0 = time.perf_counter()
+        curation.run_curation_incremental(
+            spark, sf_dir, base, n_batches=n_batches, batch_walls=walls
+        )
+        out["incremental_total_sec"] = round(time.perf_counter() - t0, 2)
+        out["incremental_batch_sec"] = walls
+        b = {
+            r["doc_id"]
+            for r in read_table(spark, f"{base}/curation/near_deduped")
+            .select("doc_id")
+            .collect()
+        }
+        i = {
+            r["doc_id"]
+            for r in read_table(spark, f"{base}/curation_inc/near_deduped")
+            .select("doc_id")
+            .collect()
+        }
+        out["survivors_incremental"] = len(i)
+        out["survivor_sym_diff"] = len(b ^ i)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def cmd_funnel_guard() -> dict:
     env = dict(os.environ, SPARK_GRAFT_SLOW="1")
     t0 = time.perf_counter()
@@ -466,6 +525,7 @@ def main() -> None:
         "stages100": cmd_stages100,
         "ann_clustered1m": cmd_ann_clustered1m,
         "headline_ab": cmd_headline_ab,
+        "shipped100": cmd_shipped100,
         "funnel_guard": cmd_funnel_guard,
         "connect_probe": cmd_connect_probe,
     }[cmd]
