@@ -416,6 +416,48 @@ def cmd_headline_ab() -> dict:
     return out
 
 
+def cmd_cc_distributed100() -> dict:
+    """The distributed connected-components loop at the decade: the sf100
+    organic pair graph (86.5 k edges) sits under DRIVER_CC_MAX_EDGES, so
+    every funnel rung so far labeled components in driver-local
+    union-find milliseconds — but a true 100 TB corpus's pair graph WILL
+    exceed the gate and take the pointer-doubling loop, which until now
+    was pytest-scale only. Force the distributed path on the real sf100
+    pairs (driver_max_edges=0), measure its wall and round count, and
+    assert label-for-label equality with the driver path."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF100)
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import dedup
+    from wnba_data_pipeline_spark.operators.graph import connected_components
+
+    corpus = _funnel_corpus(spark, sf_dir)
+    pairs = (
+        dedup.minhash_pairs(corpus, verify="hh")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
+    )
+    n_edges = pairs.count()
+    out: dict = {"sf_dir": sf_dir, "n_edges": n_edges}
+
+    t0 = time.perf_counter()
+    driver_labels = {
+        (r["id"], r["comp"]) for r in connected_components(pairs).collect()
+    }
+    out["driver_path_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    dist = connected_components(pairs, driver_max_edges=0)
+    dist_labels = {(r["id"], r["comp"]) for r in dist.collect()}
+    out["distributed_path_sec"] = round(time.perf_counter() - t0, 2)
+    out["n_vertices"] = len(dist_labels)
+    out["labels_identical"] = driver_labels == dist_labels
+    pairs.unpersist()
+    return out
+
+
 # the funnel_ab100 arms' survivor fingerprint (n, order-insensitive hash):
 # the shipped-defaults run must reproduce it — the adoption of Arrow
 # shingles + hh verify is a physical change, so the survivors are asserted
@@ -526,6 +568,7 @@ def main() -> None:
         "ann_clustered1m": cmd_ann_clustered1m,
         "headline_ab": cmd_headline_ab,
         "shipped100": cmd_shipped100,
+        "cc_distributed100": cmd_cc_distributed100,
         "funnel_guard": cmd_funnel_guard,
         "connect_probe": cmd_connect_probe,
     }[cmd]
