@@ -51,7 +51,13 @@ def test_hamming_recall_vs_cosine(spark):
         for r in similarity.q_hamming_topk(spark, SF_ORACLE).collect()
     }
     raw_recall = len(exact & raw) / len(exact)
-    assert raw_recall > 0.1, raw_recall  # > chance (3/499), documents weakness
+    # > 10x chance, computed from the corpus (k/(n-1) per query) so the
+    # gate scales with SPARK_GRAFT_TEST_SF_DIR: 0.233 measured at sf0.01
+    # (chance 0.006), 0.100 at sf0.1 (chance 0.0006) — weak as a RANKER
+    # either way (that is the documented point), but far above chance
+    n_corpus = load_table(spark, SF_ORACLE, "embeddings").count()
+    chance = similarity.HAM_TOP_K / (n_corpus - 1)
+    assert raw_recall > 10 * chance, (raw_recall, chance)
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
     rer = {

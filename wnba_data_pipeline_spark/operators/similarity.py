@@ -945,11 +945,29 @@ FROM (
 ) WHERE nn_rank <= {HAM_TOP_K}
 """
 
-HAM_PREFILTER_M = 50  # Hamming candidates per query before the exact rerank
+HAM_PREFILTER_M = 50  # floor of the per-query Hamming shortlist
+HAM_PREFILTER_FRAC = 5  # shortlist = ceil(corpus/5): 20% of the corpus
+
+
+def ham_prefilter_m_for(n_corpus: int) -> int:
+    """Per-query shortlist size for the Hamming prefilter: 20% of the
+    corpus, floored at HAM_PREFILTER_M. The round-12 sf0.1 sweep showed
+    WHY it must scale with the corpus: axis-aligned sign bits are a weak
+    ranker (raw top-3 recall 0.23 at 500 vectors, 0.10 at 2,000), so a
+    FIXED 50-candidate shortlist decayed from 10% of the corpus to 2.5%
+    across one decade and rerank recall fell 0.83→0.47. A constant
+    probed FRACTION restores scale stability — the same lesson as
+    ivfpq_nprobe_for (the probed-fraction finding in BENCH_SCALE_r11
+    ann100_sweep). Measured recall@3 vs the exact cosine top-3:
+    1/10 → 0.83 (sf0.01) / 0.77 (sf0.1); 1/5 → 0.93 / 0.87;
+    1/4 → 0.97 / 0.97 — 1/5 ships (≥0.8 gate with margin at an honest
+    5× float-work cut; the cheap pass still scans every signature at
+    1/32 the bytes)."""
+    return max(HAM_PREFILTER_M, (n_corpus + HAM_PREFILTER_FRAC - 1) // HAM_PREFILTER_FRAC)
 
 
 def hamming_rerank(
-    emb: DataFrame, *, n_queries: int, k: int, m: int = HAM_PREFILTER_M
+    emb: DataFrame, *, n_queries: int, k: int, m: int | None = None
 ) -> DataFrame:
     """Two-stage search: Hamming top-``m`` over the packed sign bits (two
     XOR+POPCNT per candidate — the cheap pass that scans the whole corpus
@@ -958,13 +976,22 @@ def hamming_rerank(
     compressed representation does coarse recall, floats touch only the
     shortlist.
 
-    Measured at sf0.01 (tests/test_hamming.py): raw Hamming top-3 recalls
-    only ~0.23 of the exact cosine top-3 — axis-aligned sign bits are a
-    WEAK single-stage ranker for this corpus (the SRP-LSH buckets use
-    random planes for the same identity and do better) — but as a 10%
-    prefilter (m=50 of 500) + rerank the pipeline recalls ≥0.8. That is
-    the honest role of 1-bit quantization: shortlist generation, not
-    ranking."""
+    Measured (tests/test_hamming.py): raw Hamming top-3 recalls only
+    ~0.23 of the exact cosine top-3 — axis-aligned sign bits are a WEAK
+    single-stage ranker for this corpus (the SRP-LSH buckets use random
+    planes for the same identity and do better) — but as a 20%
+    prefilter + rerank the pipeline recalls ≥0.85 at both sf0.01 and
+    sf0.1. That is the honest role of 1-bit quantization: shortlist
+    generation, not ranking.
+
+    ``m`` defaults to ``ham_prefilter_m_for(count)`` — a constant probed
+    FRACTION of the corpus (one bounded 1-row count at plan build), the
+    round-12 fix for the fixed-50 shortlist decaying from 10% to 2.5% of
+    the corpus across one decade (rerank recall 0.83→0.47; see the
+    measured dial table at ``ham_prefilter_m_for``). The DuckDB twin
+    derives the same m with the same integer arithmetic in SQL."""
+    if m is None:
+        m = ham_prefilter_m_for(emb.count())
     cands = hamming_topk(binarize_embeddings(emb), n_queries=n_queries, k=m)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
@@ -1013,10 +1040,15 @@ WITH sigs AS (
          bit_count(xor(qs.q_lo, c.sig_lo)) + bit_count(xor(qs.q_hi, c.sig_hi)) AS hamming
   FROM qs JOIN sigs c ON qs.q_vec_id <> c.vec_id
 ), cand AS (
+  -- shortlist scales with the corpus exactly like ham_prefilter_m_for:
+  -- max(floor_M, ceil(n/frac)) via the same integer arithmetic
   SELECT q_vec_id, n_vec_id FROM (
     SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY hamming, n_vec_id) AS pre_rank
     FROM ham
-  ) WHERE pre_rank <= {HAM_PREFILTER_M}
+  ) WHERE pre_rank <= greatest(
+    {HAM_PREFILTER_M},
+    (SELECT (count(*) + {HAM_PREFILTER_FRAC} - 1) // {HAM_PREFILTER_FRAC} FROM embeddings)
+  )
 ), scored AS (
   SELECT cand.q_vec_id, cand.n_vec_id,
          {_cosine_sql("qe.embedding", "ne.embedding")} AS cos
