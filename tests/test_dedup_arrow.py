@@ -159,8 +159,6 @@ def test_hh_verify_verdicts_equal_sh_verify(spark):
 def test_verify_dial_validation():
     import pytest as _pytest
 
-    from wnba_data_pipeline_spark.streaming.dedup import read_index
-
     with _pytest.raises(ValueError, match="verify"):
         dedup.minhash_pairs(None, verify="bogus")
     with _pytest.raises(ValueError, match="verify"):
@@ -168,3 +166,23 @@ def test_verify_dial_validation():
     # the signature index stores hh only: sh verify against it must refuse
     with _pytest.raises(ValueError, match="hh"):
         dedup.incremental_verdicts(None, None, ref_index={}, verify="sh")
+
+
+def test_hh_only_matches_full_shingles(spark, monkeypatch):
+    """shingle_docs(hh_only=True) must emit exactly the (doc_id, hh)
+    projection of the full output — in BOTH physical arms (it changes
+    what crosses the Arrow boundary / what a cache holds, never
+    values)."""
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SPARK_GRAFT_SHINGLE_ARROW", flag)
+        full = sorted(
+            (r["doc_id"], tuple(r["hh"]))
+            for r in dedup.shingle_docs(corpus).select("doc_id", "hh").collect()
+        )
+        hh = sorted(
+            (r["doc_id"], tuple(r["hh"]))
+            for r in dedup.shingle_docs(corpus, hh_only=True).collect()
+        )
+        assert full == hh and len(full) > 0
+        assert dedup.shingle_docs(corpus, hh_only=True).columns == ["doc_id", "hh"]

@@ -412,7 +412,7 @@ def _shingle_arrow_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW", "1") != "0"
 
 
-def shingle_docs_arrow(docs: DataFrame) -> DataFrame:
+def shingle_docs_arrow(docs: DataFrame, *, hh_only: bool = False) -> DataFrame:
     """Arrow twin of :func:`shingle_docs` — same (doc_id, sh, hh) rows,
     computed row-batch-at-a-time in Python instead of interpreted Catalyst
     higher-order chains (split → sequence → 3×element_at → concat_ws →
@@ -429,7 +429,14 @@ def shingle_docs_arrow(docs: DataFrame) -> DataFrame:
     - the <3-word whole-text fallback matches ``_shingles``.
 
     Differential-tested (incl. multibyte + empty/whitespace edge rows) in
-    tests/test_dedup_arrow.py."""
+    tests/test_dedup_arrow.py.
+
+    ``hh_only`` (round 12): skip the string arrays in the OUTPUT — the
+    pure-hh pipeline (band keys from ``hashes``, hh verify) never reads
+    ``sh``, and the string shingles of a 2.9 M-doc corpus are the bulk
+    of both the Arrow transfer and the funnel's persisted cache. The
+    strings are still built transiently (the hashes are defined over
+    them), but never serialized across the Python→JVM boundary."""
     import hashlib
 
     import pandas as pd
@@ -447,23 +454,29 @@ def shingle_docs_arrow(docs: DataFrame) -> DataFrame:
                     )
                 else:
                     tris = [text]
-                sh_out.append(tris)
+                if not hh_only:
+                    sh_out.append(tris)
                 hh_out.append(
                     [
                         int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
                         for s in tris
                     ]
                 )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sh": sh_out, "hh": hh_out}
-            )
+            cols = {"doc_id": pdf["doc_id"]}
+            if not hh_only:
+                cols["sh"] = sh_out
+            cols["hh"] = hh_out
+            yield pd.DataFrame(cols)
 
-    return docs.select("doc_id", "text").mapInPandas(
-        _batch, "doc_id long, sh array<string>, hh array<long>"
+    schema = (
+        "doc_id long, hh array<long>"
+        if hh_only
+        else "doc_id long, sh array<string>, hh array<long>"
     )
+    return docs.select("doc_id", "text").mapInPandas(_batch, schema)
 
 
-def shingle_docs(docs: DataFrame) -> DataFrame:
+def shingle_docs(docs: DataFrame, *, hh_only: bool = False) -> DataFrame:
     """(… doc_id, text …) → (doc_id, sh, hh): the per-doc distinct-shingle
     arrays every MinHash consumer derives from, PLUS their md5-int64 hash
     array ``hh`` materialized once. Exposed so a caller that evaluates the
@@ -483,13 +496,22 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
     shape (``_SIG_SQL`` reads a materialized ``hh`` list), so cross-engine
     values are untouched.
 
-    ``SPARK_GRAFT_SHINGLE_ARROW=1`` switches to the Arrow twin
-    (:func:`shingle_docs_arrow`) — identical rows, row-batch Python
-    instead of interpreted higher-order expressions."""
+    The Arrow twin (:func:`shingle_docs_arrow`) is the DEFAULT since
+    round 12 (14.8× at sf100, byte-identical);
+    ``SPARK_GRAFT_SHINGLE_ARROW=0`` opts back to the expression plan.
+
+    ``hh_only`` (round 12): emit only (doc_id, hh) — the pure-hh
+    pipeline (``verify="hh"`` + band keys from ``hashes``) never reads
+    the string arrays, and dropping them from the output keeps a
+    corpus's worth of strings out of the Arrow transfer AND out of the
+    funnel's persisted cache (the strings still exist transiently —
+    the hashes are defined over them)."""
     if _shingle_arrow_enabled():
-        return shingle_docs_arrow(docs)
+        return shingle_docs_arrow(docs, hh_only=hh_only)
     words = F.split(F.col("text"), " ")
     sh = _shingles(F.col("text"), words)
+    if hh_only:
+        return docs.select("doc_id", F.transform(sh, md5_long).alias("hh"))
     return docs.select(
         "doc_id", sh.alias("sh"), F.transform(sh, md5_long).alias("hh")
     )
@@ -553,7 +575,9 @@ def minhash_pairs(
     if verify not in ("sh", "hh"):
         raise ValueError(f"verify must be 'sh' or 'hh', got {verify!r}")
     if shingled is None:
-        shingled = shingle_docs(docs)
+        # the hh pipeline never reads the string arrays — keep them out
+        # of the Arrow transfer entirely (see shingle_docs)
+        shingled = shingle_docs(docs, hh_only=(verify == "hh"))
     cand = minhash_candidates(
         shingled, coeffs=coeffs, band_rows=band_rows, hot_bucket_min=hot_bucket_min
     )
@@ -895,7 +919,6 @@ def incremental_verdicts(
         raise ValueError(f"verify must be 'sh' or 'hh', got {verify!r}")
     if ref_index is not None and verify != "hh":
         raise ValueError("ref_index stores hashed shingles - pass verify='hh'")
-    words = F.split(F.col("text"), " ")
 
     if ref_index is not None:
         ref_hash = (
@@ -912,17 +935,15 @@ def incremental_verdicts(
     batch_hashed = batch.withColumn("content_hash", md5_long(F.col("text")))
 
     def _bands(df: DataFrame, id_alias: str) -> DataFrame:
-        # hh materialized once per row — see shingle_docs (round-10
-        # signature-cost fix); the verify column rides along for the
-        # exact-Jaccard stage
-        sh_expr = _shingles(F.col("text"), words)
-        sh = df.select(
-            F.col("doc_id").alias(id_alias),
-            sh_expr.alias("sh"),
-            F.transform(sh_expr, md5_long).alias("hh"),
+        # routed through shingle_docs (round 12): the batch side gets the
+        # Arrow shingle pass by default like every other consumer, and
+        # the hh mode keeps the string arrays out of the transfer; the
+        # verify column rides along for the exact-Jaccard stage
+        shingled = shingle_docs(df, hh_only=(verify == "hh")).withColumnRenamed(
+            "doc_id", id_alias
         )
-        banded = banded_keys(sh, id_col=id_alias)
-        return sh.select(id_alias, F.col(verify).alias("vv")), banded
+        banded = banded_keys(shingled, id_col=id_alias)
+        return shingled.select(id_alias, F.col(verify).alias("vv")), banded
 
     if ref_index is not None:
         ref_sh = ref_index["hh"].select(

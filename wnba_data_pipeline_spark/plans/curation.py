@@ -132,7 +132,12 @@ def run_curation(
 
             k, rows_per_band = band_geometry
             geom_kw = {"coeffs": minhash_coeffs(k), "band_rows": rows_per_band}
-        shingled = shingle_docs(deduped.select("doc_id", "text")).persist()
+        # hh_only: band keys and the hh verify never read the string
+        # arrays, so neither the Arrow transfer nor the persisted cache
+        # carries a corpus's worth of strings (round 12)
+        shingled = shingle_docs(
+            deduped.select("doc_id", "text"), hh_only=True
+        ).persist()
         _geometry_advisory(shingled, band_geometry)
         # verify="hh": the funnel's scale dial — exact Jaccard over the
         # md5-int64 arrays (13.6 s vs 46.7 s over 19.1 M sf100 candidates,

@@ -217,7 +217,7 @@ def write_index(kept: DataFrame, index_dir: str, batch_id: int) -> None:
     sf1 without it)."""
     from ..operators.dedup import banded_keys, shingle_docs
 
-    shingled = shingle_docs(kept).persist()
+    shingled = shingle_docs(kept, hh_only=True).persist()
     try:
         frames = {
             "hash": kept.select(md5_long(F.col("text")).alias("content_hash"), "doc_id"),
