@@ -7,11 +7,11 @@ set -u
 cd /root/repo
 OUT=/root/repo/.benchdata/r12_probes.jsonl
 : > "$OUT"
-for cmd in funnel_ab100 stages100 ann_clustered1m headline_ab funnel_guard connect_probe; do
+for cmd in funnel_ab100 stages100 ann_clustered1m headline_ab shipped100 cc_distributed100 funnel_guard connect_probe; do
   rm -rf /dev/shm/spark-bench-local
   echo "=== $cmd start $(date +%T) ===" >&2
   case "$cmd" in
-    funnel_ab100|stages100|ann_clustered1m)
+    funnel_ab100|stages100|ann_clustered1m|shipped100|cc_distributed100)
       SPARK_GRAFT_DRIVER_MEM=48g timeout 10800 python tools/bench_r12.py "$cmd" \
         2>>/root/repo/.benchdata/r12_probes.err >> "$OUT" ;;
     *)
