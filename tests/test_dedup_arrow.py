@@ -109,11 +109,16 @@ def test_arrow_shingles_edge_rows(spark, monkeypatch):
         (5, "a b c a b c a b c"),            # repeated trigrams -> distinct
         (6, "汉字 テスト 🙂 éé ‍combining a b"),  # multibyte md5 contract
         (7, " leading"),                     # leading empty word
+        (8, None),                           # NULL text -> sh=[NULL], hh=[NULL]
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     expr = _shingled_rows(spark, monkeypatch, "0", docs)
     arrow = _shingled_rows(spark, monkeypatch, "1", docs)
     assert expr == arrow
+    # the NULL-text contract itself (ADVICE r12: the Arrow pass used to
+    # raise AttributeError where the expression plan yielded [NULL]s)
+    null_row = [r for r in expr if r[0] == 8][0]
+    assert null_row == (8, (None,), (None,))
 
 
 def test_arrow_shingles_feed_identical_pairs(spark, monkeypatch):
@@ -166,6 +171,16 @@ def test_verify_dial_validation():
     # the signature index stores hh only: sh verify against it must refuse
     with _pytest.raises(ValueError, match="hh"):
         dedup.incremental_verdicts(None, None, ref_index={}, verify="sh")
+
+
+def test_hh_only_shingled_with_sh_verify_raises(spark):
+    """A caller-supplied hh_only shingled frame with the default
+    verify='sh' must get a descriptive ValueError, not an unresolved-
+    column analysis error from deep inside the verify join (ADVICE r12)."""
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    shingled = dedup.shingle_docs(corpus, hh_only=True)
+    with pytest.raises(ValueError, match="no 'sh' column"):
+        dedup.minhash_pairs(corpus, shingled=shingled)  # default verify="sh"
 
 
 def test_hh_only_matches_full_shingles(spark, monkeypatch):

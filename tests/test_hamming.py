@@ -39,9 +39,10 @@ def test_signature_self_distance_zero_and_bits_used(spark):
 def test_hamming_recall_vs_cosine(spark):
     """The honest numbers for 1-bit quantization, as regression gates:
     raw Hamming top-3 is a WEAK ranker here (measured 0.233 — axis-aligned
-    sign bits; asserted only > chance), while the production shape —
-    Hamming top-50 prefilter (10% of the corpus) + exact cosine rerank —
-    must recall ≥0.8 of the true cosine top-3."""
+    sign bits; asserted only > chance), while the production shape — a
+    corpus-relative Hamming prefilter (max(50, ceil(n/5)) candidates per
+    query, ``ham_prefilter_m_for``) + exact cosine rerank — must recall
+    ≥0.8 of the true cosine top-3 (0.90 measured at sf0.01)."""
     exact = {
         (r["q_vec_id"], r["n_vec_id"])
         for r in similarity.q_sim_topk(spark, SF_ORACLE).collect()

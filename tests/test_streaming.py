@@ -516,3 +516,34 @@ def test_backfill_covers_partial_index_slice(spark, tmp_path):
     v = {r["doc_id"]: r for r in spark.read.parquet(f"{verdicts_dir}/batch=1").collect()}
     assert v[2]["verdict"] == "near_dup" and v[2]["matched_ref"] == 1
     assert v[3]["verdict"] == "kept"
+
+
+def test_read_index_refuses_legacy_sh_layout(spark, tmp_path):
+    """ADVICE r12: a pre-round-12 on-disk index (legacy ``sh`` string
+    subtree, no ``hh``) read via ``read_index`` OUTSIDE process_batch used
+    to silently yield an empty hh frame — every near-dup candidate then
+    dropped in the verify join and dups were verdicted kept. It must raise
+    pointing at backfill_index instead; and backfill_index itself (which
+    process_batch always runs first) must repair the layout in place."""
+    import shutil
+
+    import pytest
+
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], sdedup.DOC_SCHEMA
+    )
+    sdedup.process_batch(spark, b0, 0, corpus_dir, str(tmp_path / "v"), index_dir=index_dir)
+    # forge the legacy layout: hh slices renamed to the pre-r12 'sh' tree
+    shutil.move(f"{index_dir}/hh", f"{index_dir}/sh")
+
+    with pytest.raises(ValueError, match="backfill_index"):
+        sdedup.read_index(spark, index_dir)
+
+    # the documented repair rebuilds the hh slices from corpus text
+    assert sdedup.backfill_index(spark, corpus_dir, index_dir) == ["batch=0"]
+    index = sdedup.read_index(spark, index_dir)
+    assert sorted(r.doc_id for r in index["hh"].collect()) == [1]

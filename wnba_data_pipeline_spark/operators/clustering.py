@@ -58,6 +58,7 @@ Scale posture (100 TB):
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -239,6 +240,83 @@ def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, d
     return assign
 
 
+def _fit_fused_enabled() -> bool:
+    """Env gate for the fused fit iteration (round 13, VERDICT r12 item 2)
+    — default ON: at the IVF-PQ auto geometry (k=4 000 over a ~333 k
+    sample) the per-iteration frame of 333 k (vec, cl, mind) rows plus the
+    per-ROW fixed-point decimal aggregate was the fit wall's biggest term.
+    The fused pass computes the SAME argmin (running blocked left-fold,
+    first-min across blocks preserved by strict-< updates in index order)
+    and the SAME fixed-point sums (per-element floor(x·scale + 0.5) then
+    int64 per-batch partials — integer addition is exactly associative, so
+    the decimal totals are bit-identical) inside one mapInPandas stage,
+    shuffling ≤k partial rows per Arrow batch instead of the whole sample.
+    ``SPARK_GRAFT_FIT_FUSED=0`` opts back to the r12 per-row plan;
+    equality is differential-tested (tests/test_clustering.py) and
+    A/B-fingerprinted at 1 M vectors (BENCH_SCALE_r13 fit_opt_ab).
+
+    int64 partial-sum bound: |component| < ~9e5 with the default 10 k-row
+    Arrow batches (9e5 × 1e9 × 1e4 < 2^63) — embeddings are O(1)-O(10)
+    floats per the module contract, so the bound is never approached; the
+    cross-batch totals go through decimal(38,0) exactly as before."""
+    return os.environ.get("SPARK_GRAFT_FIT_FUSED", "1") != "0"
+
+
+def _batch_partials_fn(centroids: list[list[float]], vec_col: str):
+    """mapInPandas generator for the fused fit iteration: per Arrow batch,
+    assign rows to nearest centroid (identical argmin/mind as
+    ``_batch_assign_fn`` — same blocked left-fold association, first-min
+    tie-break preserved across blocks) and emit per-cluster INTEGER
+    partial sums of the fixed-point quantized components and inertia —
+    the exact per-row quantities the r12 plan floored row-by-row in
+    Catalyst, pre-reduced batch-locally (associative, so totals are
+    bit-identical)."""
+    import numpy as np
+
+    KBLK = 512
+
+    def partials(batches):
+        import pandas as pd
+
+        C = np.asarray(centroids, dtype=np.float64)  # k x dim
+        k, dim = C.shape
+        CT = np.ascontiguousarray(C.T)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            XT = np.ascontiguousarray(X.T)
+            best_d = np.full(len(X), np.inf)
+            best_i = np.zeros(len(X), dtype=np.int64)
+            for k0 in range(0, k, KBLK):
+                k1 = min(k0 + KBLK, k)
+                Db = np.zeros((len(X), k1 - k0))
+                for d in range(dim):  # left-fold association (see _batch_assign_fn)
+                    diff = XT[d][:, None] - CT[d][None, k0:k1]
+                    Db += diff * diff
+                bi = Db.argmin(axis=1)  # first-min within the block
+                bd = Db[np.arange(len(X)), bi]
+                upd = bd < best_d  # strict <: earlier block wins ties ≡ first-min
+                best_d[upd] = bd[upd]
+                best_i[upd] = bi[upd] + k0
+            # fixed-point quantization — identical per-element expression
+            # as the r12 plan (floor(y + 0.5), both engines' contract)
+            SV = np.floor(X * COMP_SCALE + 0.5).astype(np.int64)
+            SI = np.floor(best_d * INERTIA_SCALE + 0.5).astype(np.int64)
+            order = np.argsort(best_i, kind="stable")
+            cl_sorted = best_i[order]
+            uniq, starts = np.unique(cl_sorted, return_index=True)
+            sums = np.add.reduceat(SV[order], starts, axis=0)
+            inert = np.add.reduceat(SI[order], starts)
+            counts = np.diff(np.append(starts, len(cl_sorted)))
+            out = {"_cl": uniq.astype(np.int32), "_n": counts.astype(np.int64), "_inert": inert}
+            for i in range(dim):
+                out[f"_s{i}"] = sums[:, i]
+            yield pd.DataFrame(out)
+
+    return partials
+
+
 def _assignment_df(base: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """The per-iteration assignment frame (_cl, _mind, _v), physical path
     picked by k: unrolled JVM fold expressions at small k (zero Python),
@@ -275,6 +353,7 @@ def kmeans_fit(
     sample_mod: int = 1,
     seed_tag: str = "km",
     init: str = "hash",
+    timings: dict | None = None,
 ) -> KMeansModel:
     """Lloyd's k-means on an ``array<float|double>`` column of ANY length
     (dimension is derived from the seed rows — the PQ sub-quantizers reuse
@@ -312,7 +391,19 @@ def kmeans_fit(
     # pick; the hash gate is uniform over any id space and reshuffle-proof
     # (same recipe as text.sample_gate). "kms:" de-correlates it from the
     # "km:"-tagged seed selection hash.
+    import time as _time
+
     from ..functions.hashing import md5_long
+
+    _t0 = _time.perf_counter()
+
+    def _mark(key: str) -> None:
+        # per-phase wall attribution (round 13 — the fit-wall probe's
+        # hook; a plain dict, zero cost when not passed)
+        nonlocal _t0
+        if timings is not None:
+            timings[key] = round(timings.get(key, 0.0) + _time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
 
     base = (
         df
@@ -321,6 +412,15 @@ def kmeans_fit(
             md5_long(F.concat(F.lit("kms:"), F.col(id_col).cast("string"))) % sample_mod == 0
         )
     )
+    # the sampled fit frame is BY DESIGN small (≈ n/mod rows) and re-read
+    # by every seed pick + iteration — persist it across the fit instead
+    # of re-scanning + re-hashing the corpus each pass (round 13; values
+    # unchanged, pure plan physics). A full-corpus fit (mod == 1) keeps
+    # the caller-owns-persistence contract from the module docstring.
+    persisted_base = None
+    if sample_mod > 1:
+        persisted_base = base.persist()
+        base = persisted_base
     vec = F.col(vec_col)
 
     seed_rows = (
@@ -336,6 +436,7 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(x) for x in r["_semb"]] for r in seed_rows]
+    _mark("seed_sec")
     if len(centroids) < k:
         raise ValueError(f"corpus has only {len(centroids)} rows; need k={k} seeds")
     if init == "farthest":
@@ -354,6 +455,7 @@ def kmeans_fit(
                 .collect()[0]
             )
             centroids.append([float(x) for x in far["_semb"]])
+        _mark("farthest_init_sec")
     elif init != "hash":
         raise ValueError(f"unknown init: {init!r}")
     dim = len(centroids[0])
@@ -362,21 +464,47 @@ def kmeans_fit(
     sizes: dict[int, int] = {}
     converged = False
     n_iter = 0
+    fused = not _expr_path_ok(centroids) and _fit_fused_enabled()
     for _ in range(max_iter):
         n_iter += 1
-        assigned = _assignment_df(base, vec_col, centroids)
-        # floor(y + 0.5), not F.round: see the module-docstring determinism
-        # contract (identical-by-construction with the numpy reference)
-        aggs = [
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.floor(F.col("_mind") * INERTIA_SCALE + F.lit(0.5)).cast("decimal(38,0)")).alias("_inert"),
-        ] + [
-            F.sum(
-                F.floor(F.element_at("_v", i + 1) * COMP_SCALE + F.lit(0.5)).cast("decimal(38,0)")
-            ).alias(f"_s{i}")
-            for i in range(dim)
-        ]
-        rows = {r["_cl"]: r for r in assigned.groupBy("_cl").agg(*aggs).collect()}
+        if fused:
+            # fused iteration (round 13): argmin + fixed-point partial
+            # sums in ONE Arrow pass — bit-identical totals (integer
+            # partials are exactly associative; see _fit_fused_enabled)
+            schema = "_cl int, _n long, _inert long, " + ", ".join(
+                f"_s{i} long" for i in range(dim)
+            )
+            partial = base.select(vec.cast("array<double>").alias("_v")).mapInPandas(
+                _batch_partials_fn(centroids, "_v"), schema
+            )
+            rows = {
+                r["_cl"]: r
+                for r in partial.groupBy("_cl")
+                .agg(
+                    F.sum("_n").alias("_n"),
+                    F.sum(F.col("_inert").cast("decimal(38,0)")).alias("_inert"),
+                    *[
+                        F.sum(F.col(f"_s{i}").cast("decimal(38,0)")).alias(f"_s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            }
+        else:
+            assigned = _assignment_df(base, vec_col, centroids)
+            # floor(y + 0.5), not F.round: see the module-docstring determinism
+            # contract (identical-by-construction with the numpy reference)
+            aggs = [
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.floor(F.col("_mind") * INERTIA_SCALE + F.lit(0.5)).cast("decimal(38,0)")).alias("_inert"),
+            ] + [
+                F.sum(
+                    F.floor(F.element_at("_v", i + 1) * COMP_SCALE + F.lit(0.5)).cast("decimal(38,0)")
+                ).alias(f"_s{i}")
+                for i in range(dim)
+            ]
+            rows = {r["_cl"]: r for r in assigned.groupBy("_cl").agg(*aggs).collect()}
+        _mark("iter_sec")
 
         sizes = {j: int(rows[j]["_n"]) for j in rows}
         inertia_hist.append(sum(int(r["_inert"]) for r in rows.values()) / INERTIA_SCALE)
@@ -393,6 +521,8 @@ def kmeans_fit(
             break
         centroids = new_centroids
 
+    if persisted_base is not None:
+        persisted_base.unpersist()
     return KMeansModel(centroids, n_iter, inertia_hist, sizes, converged)
 
 

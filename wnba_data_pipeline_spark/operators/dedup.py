@@ -408,7 +408,10 @@ def _shingle_arrow_enabled() -> bool:
     survivor hash, not just counts). ``SPARK_GRAFT_SHINGLE_ARROW=0`` is
     the opt-out back to the pure-expression plan (the byte-identity
     differentials in tests/test_dedup_arrow.py pin both arms either
-    way)."""
+    way). Note the default-ON flip makes pandas+pyarrow a hard WORKER
+    dependency of every shingle consumer (registry oracle rows included);
+    on a cluster whose executors lack them, set the opt-out — the
+    expression plan needs only the JVM."""
     return os.environ.get("SPARK_GRAFT_SHINGLE_ARROW", "1") != "0"
 
 
@@ -445,6 +448,17 @@ def shingle_docs_arrow(docs: DataFrame, *, hh_only: bool = False) -> DataFrame:
         for pdf in it:
             sh_out, hh_out = [], []
             for text in pdf["text"]:
+                if text is None:
+                    # NULL text: the expression plan yields sh=[NULL],
+                    # hh=[NULL] (split(NULL)→NULL words, the when()
+                    # condition is NULL → array(text), md5(NULL)→NULL) —
+                    # match it byte-for-byte instead of raising
+                    # AttributeError inside the worker (ADVICE r12;
+                    # differential row in tests/test_dedup_arrow.py)
+                    if not hh_only:
+                        sh_out.append([None])
+                    hh_out.append([None])
+                    continue
                 words = text.split(" ")
                 if len(words) >= 3:
                     tris = list(
@@ -574,6 +588,15 @@ def minhash_pairs(
     definition."""
     if verify not in ("sh", "hh"):
         raise ValueError(f"verify must be 'sh' or 'hh', got {verify!r}")
+    if shingled is not None and verify not in shingled.columns:
+        # an hh_only shingled frame with the default verify="sh" would
+        # otherwise surface as an opaque unresolved-column analysis error
+        # deep in the verify join (ADVICE r12)
+        raise ValueError(
+            f"shingled frame has no {verify!r} column (columns: "
+            f"{shingled.columns}); pass verify={'hh' if verify == 'sh' else 'sh'!r} "
+            "or re-shingle without hh_only"
+        )
     if shingled is None:
         # the hh pipeline never reads the string arrays — keep them out
         # of the Arrow transfer entirely (see shingle_docs)
@@ -627,8 +650,43 @@ def minhash_candidates(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
 
+    def _grouped_pairs(side: DataFrame) -> DataFrame:
+        """Round-13 experiment (SPARK_GRAFT_CAND_GROUPED=1): within-bucket
+        pair generation via groupBy(band_key) + collect_list + a
+        combinations expression — ONE shuffle of the band table instead of
+        the self-join's two sides. Emits exactly the (doc_a < doc_b) pair
+        slots the self-join builds (ids sorted ascending per bucket, every
+        ordered pair once per bucket), so the downstream distinct yields
+        an identical candidate set (hash-compared in BENCH_SCALE_r13
+        cand_join_ab). Only ever applied to the COLD (non-hot-bucket)
+        side: a giant bucket's C(B,2) explode would land in one task, the
+        exact skew the salted branch exists for."""
+        ids = F.col("_ids")
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - F.lit(1), F.lit(0))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        return (
+            side.groupBy("band_key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+            .select(F.explode(pair_structs).alias("_p"))
+            .select(F.col("_p.doc_a"), F.col("_p.doc_b"))
+        )
+
+    cold_pairs = (
+        _grouped_pairs
+        if os.environ.get("SPARK_GRAFT_CAND_GROUPED", "0") == "1"
+        else lambda side: _self_pairs(side, [])
+    )
+
     if hot_bucket_min <= 0:
-        return _self_pairs(banded, []).distinct()
+        return cold_pairs(banded).distinct()
     else:
         from ..functions.skew import HOT_SALTS, explode_salts, with_salt
 
@@ -673,7 +731,7 @@ def minhash_candidates(
             )
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
-        return _self_pairs(cold, []).unionByName(hot_pairs).distinct()
+        return cold_pairs(cold).unionByName(hot_pairs).distinct()
 
 
 def near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

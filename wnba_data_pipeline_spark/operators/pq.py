@@ -70,6 +70,224 @@ class PQModel:
         return len(self.codebooks[0][0])
 
 
+def _pq_partials_fn(codebooks: list, active: list[bool], vec_col: str, dsub: int):
+    """mapInPandas generator for the FUSED sub-fit iteration: one pass over
+    the (sampled) training frame computes, for every still-active subspace,
+    the numpy left-fold assignment (identical association/tie-break as the
+    expression path — the pinned ``_batch_assign_fn`` contract) and the
+    per-cluster INTEGER partial sums of the fixed-point quantized
+    components/inertia. Integer addition is exactly associative, so the
+    cross-batch decimal totals — and with them every centroid — are
+    bit-identical to the r12 per-subspace fits (differential-tested in
+    tests/test_pq.py)."""
+    import numpy as np
+
+    def partials(batches):
+        import pandas as pd
+
+        from .clustering import COMP_SCALE, INERTIA_SCALE
+
+        Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            frames = []
+            for j, C in enumerate(Cs):
+                if not active[j]:
+                    continue
+                S = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+                ST = np.ascontiguousarray(S.T)
+                CT = np.ascontiguousarray(C.T)
+                D = np.zeros((len(S), len(C)))
+                for d in range(dsub):  # left-fold association
+                    diff = ST[d][:, None] - CT[d][None, :]
+                    D += diff * diff
+                cl = D.argmin(axis=1)  # first-min ≡ array_position
+                mind = D[np.arange(len(S)), cl]
+                SV = np.floor(S * COMP_SCALE + 0.5).astype(np.int64)
+                SI = np.floor(mind * INERTIA_SCALE + 0.5).astype(np.int64)
+                order = np.argsort(cl, kind="stable")
+                cls = cl[order]
+                uniq, starts = np.unique(cls, return_index=True)
+                sums = np.add.reduceat(SV[order], starts, axis=0)
+                inert = np.add.reduceat(SI[order], starts)
+                counts = np.diff(np.append(starts, len(cls)))
+                row = {
+                    "_j": np.full(len(uniq), j, dtype=np.int32),
+                    "_cl": uniq.astype(np.int32),
+                    "_n": counts.astype(np.int64),
+                    "_inert": inert,
+                }
+                for i in range(dsub):
+                    row[f"_s{i}"] = sums[:, i]
+                frames.append(pd.DataFrame(row))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return partials
+
+
+def pq_fit_fused(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    max_iter: int = PQ_ITERS,
+    sample_mod: int = 1,
+    timings: dict | None = None,
+) -> PQModel:
+    """The fused twin of :func:`pq_fit` (round 13, VERDICT r12 item 2):
+    the r12 path launches m×(seed + iterations) SEPARATE Spark jobs — at
+    the 1 M-vector auto geometry the 8 sub-fits' 32 interpreted-expression
+    iteration jobs over the ~333 k-row residual sample were a first-order
+    term of the 532.8 s fit wall. This path keeps the m seed picks (tiny
+    TakeOrdered jobs, exact same plan per subspace) but runs each Lloyd
+    ITERATION for all still-active subspaces in ONE Arrow pass emitting
+    per-cluster integer partial sums (``_pq_partials_fn``), so an
+    iteration costs one scan of the sample instead of m.
+
+    Bit-identity: seeds are the same per-subspace hash TakeOrdered; the
+    numpy assignment shares the expression path's association/tie-break
+    contract (pinned); fixed-point partials are integer-associative; empty
+    clusters keep their previous centroid; per-subspace convergence
+    deactivates that subspace exactly where its standalone fit would have
+    stopped. Codebooks AND KMeansModel metadata (n_iter, inertia history,
+    sizes, converged) are therefore equal by construction — asserted
+    exactly in tests/test_pq.py and fingerprint-checked at 1 M vectors in
+    BENCH_SCALE_r13 fit_opt_ab."""
+    import time as _time
+
+    from ..functions.hashing import md5_long
+    from .clustering import COMP_SCALE, INERTIA_SCALE, KMeansModel
+
+    dsub = DIM // m
+    base = (
+        df
+        if sample_mod <= 1
+        else df.filter(
+            md5_long(F.concat(F.lit("kms:"), F.col(id_col).cast("string"))) % sample_mod == 0
+        )
+    )
+    # same sampled-frame persist as kmeans_fit's (round 13): the m seed
+    # picks + every fused iteration re-read it (no-op when the caller —
+    # ivfpq_fit — already persisted the residual sample upstream)
+    persisted_base = None
+    if sample_mod > 1:
+        persisted_base = base.persist()
+        base = persisted_base
+
+    _t0 = _time.perf_counter()
+
+    def _mark(key: str) -> None:
+        nonlocal _t0
+        if timings is not None:
+            timings[key] = round(timings.get(key, 0.0) + _time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+
+    # per-subspace seeds: the exact kmeans_fit seed plan on the slice frame
+    centroids: list[list[list[float]]] = []
+    for j in range(m):
+        seed_rows = (
+            base.select(
+                F.col(id_col).alias("_sid"),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                .cast("array<double>")
+                .alias("_semb"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"pq{j}:"), F.col(id_col).cast("string"))), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("_h"),
+            )
+            .orderBy("_h", "_sid")
+            .limit(ksub)
+            .collect()
+        )
+        cb = [[float(x) for x in r["_semb"]] for r in seed_rows]
+        if len(cb) < ksub:
+            raise ValueError(f"corpus has only {len(cb)} rows; need k={ksub} seeds")
+        centroids.append(cb)
+    _mark("sub_seed_sec")
+
+    active = [True] * m
+    n_iter = [0] * m
+    inertia: list[list[float]] = [[] for _ in range(m)]
+    sizes: list[dict[int, int]] = [{} for _ in range(m)]
+    converged = [False] * m
+    schema = "_j int, _cl int, _n long, _inert long, " + ", ".join(
+        f"_s{i} long" for i in range(dsub)
+    )
+    for _ in range(max_iter):
+        if not any(active):
+            break
+        partial = base.select(F.col(vec_col).cast("array<double>").alias("_v")).mapInPandas(
+            _pq_partials_fn(centroids, list(active), "_v", dsub), schema
+        )
+        rows_all: dict[int, dict[int, object]] = {}
+        for r in (
+            partial.groupBy("_j", "_cl")
+            .agg(
+                F.sum("_n").alias("_n"),
+                F.sum(F.col("_inert").cast("decimal(38,0)")).alias("_inert"),
+                *[
+                    F.sum(F.col(f"_s{i}").cast("decimal(38,0)")).alias(f"_s{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .collect()
+        ):
+            rows_all.setdefault(r["_j"], {})[r["_cl"]] = r
+        _mark("sub_iter_sec")
+        for j in range(m):
+            if not active[j]:
+                continue
+            rows = rows_all.get(j, {})
+            n_iter[j] += 1
+            sizes[j] = {c: int(rows[c]["_n"]) for c in rows}
+            inertia[j].append(
+                sum(int(r["_inert"]) for r in rows.values()) / INERTIA_SCALE
+            )
+            new_cb = []
+            for c, old in enumerate(centroids[j]):
+                r = rows.get(c)
+                if r is None:  # empty cluster: keep the previous centroid
+                    new_cb.append(old)
+                    continue
+                n = int(r["_n"])
+                new_cb.append(
+                    [float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(dsub)]
+                )
+            if new_cb == centroids[j]:
+                converged[j] = True
+                active[j] = False
+            else:
+                centroids[j] = new_cb
+
+    if persisted_base is not None:
+        persisted_base.unpersist()
+    subs = [
+        KMeansModel(centroids[j], n_iter[j], inertia[j], sizes[j], converged[j])
+        for j in range(m)
+    ]
+    return PQModel([s.centroids for s in subs], subs)
+
+
+def _pq_fused_enabled() -> bool:
+    """Shares SPARK_GRAFT_FIT_FUSED with the coarse fused iteration —
+    one dial for the whole fit path (default ON; see
+    ``clustering._fit_fused_enabled``)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_FIT_FUSED", "1") != "0"
+
+
 def pq_fit(
     df: DataFrame,
     *,
@@ -79,15 +297,31 @@ def pq_fit(
     ksub: int = PQ_KSUB,
     max_iter: int = PQ_ITERS,
     sample_mod: int = 1,
+    timings: dict | None = None,
 ) -> PQModel:
     """Train the m sub-codebooks: subspace j is the Lloyd fit of
     ``vec[j·dsub : (j+1)·dsub]`` with seed tag ``pq{j}`` (so subspaces
     draw different seed rows). Each fit inherits ``kmeans_fit``'s
     determinism contract; ``sample_mod`` is the 100 TB knob — train on the
-    hash sample, encode everything."""
+    hash sample, encode everything. Default path since round 13 is the
+    FUSED iteration (one Arrow pass per iteration for all m subspaces —
+    bit-identical, see :func:`pq_fit_fused`); ``SPARK_GRAFT_FIT_FUSED=0``
+    opts back to the m independent ``kmeans_fit`` calls."""
+    if _pq_fused_enabled() and m > 1:
+        return pq_fit_fused(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            m=m,
+            ksub=ksub,
+            max_iter=max_iter,
+            sample_mod=sample_mod,
+            timings=timings,
+        )
     dsub = DIM // m
     codebooks, subs = [], []
     for j in range(m):
+        sub_t: dict = {}
         sub = df.select(
             F.col(id_col), F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub")
         )
@@ -99,9 +333,13 @@ def pq_fit(
             max_iter=max_iter,
             sample_mod=sample_mod,
             seed_tag=f"pq{j}",
+            timings=sub_t,
         )
         codebooks.append(fitted.centroids)
         subs.append(fitted)
+        if timings is not None:
+            for key, v in sub_t.items():
+                timings[f"sub_{key}"] = round(timings.get(f"sub_{key}", 0.0) + v, 3)
     return PQModel(codebooks, subs)
 
 
@@ -630,6 +868,7 @@ def ivfpq_fit(
     sample_mod: int | str = "auto",
     by_residual: bool = True,
     coarse_init: str = "auto",
+    timings: dict | None = None,
 ) -> IVFPQIndex:
     """Train both quantizers (VERDICT r8 item 4 — the composed 100 TB ANN
     stack FAISS spells IVFx,PQy): the coarse Lloyd fit partitions the
@@ -665,15 +904,27 @@ def ivfpq_fit(
     three resolve to the exact round-10 values at the driver fixture
     scales (n ≤ ~3.7 k → 8 cells, full fit, farthest), so every
     checked-in oracle literal is unchanged by construction."""
+    import time as _time
+
     from .clustering import assign_clusters
 
+    _t0 = _time.perf_counter()
+
+    def _mark(key: str) -> None:
+        nonlocal _t0
+        if timings is not None:
+            timings[key] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+
     n_vectors = df.count()
+    _mark("count_sec")
     if coarse_k is None:
         coarse_k = ivfpq_cells_for(n_vectors)
     if sample_mod == "auto":
         sample_mod = ivfpq_fit_sample_mod(n_vectors, coarse_k)
     if coarse_init == "auto":
         coarse_init = "farthest" if coarse_k <= FARTHEST_INIT_MAX_K else "hash"
+    coarse_t: dict = {}
     coarse = kmeans_fit(
         df,
         id_col=id_col,
@@ -683,7 +934,16 @@ def ivfpq_fit(
         sample_mod=sample_mod,
         seed_tag="ivfc",
         init=coarse_init,
+        timings=coarse_t,
     )
+    if timings is not None:
+        timings["coarse_detail"] = coarse_t
+        timings["coarse_n_iter"] = coarse.n_iter
+        # last pre-update inertia over the fit sample — the separation
+        # statistic the r13 overlap sweep records (inertia/total-SS → 1
+        # means cells explain nothing, i.e. isotropic geometry)
+        timings["coarse_final_inertia"] = coarse.inertia[-1] if coarse.inertia else None
+    _mark("coarse_fit_sec")
     # PQ training source: at sample_mod > 1 pre-filter by the SAME kms:
     # hash gate pq_fit's sub-fits apply (idempotent — the inner filter is
     # then a no-op subset), so the residual assignment below runs over the
@@ -712,6 +972,7 @@ def ivfpq_fit(
             persisted = pq_train.persist()
             persisted.count()
             pq_train = persisted
+    _mark("residual_sec")
     model = pq_fit(
         pq_train,
         id_col=id_col,
@@ -720,7 +981,9 @@ def ivfpq_fit(
         ksub=ksub,
         max_iter=max_iter,
         sample_mod=sample_mod,
+        timings=timings,
     )
+    _mark("pq_fit_sec")
     if persisted is not None:
         persisted.unpersist()
     # the full-frame count (taken once, up front — it also resolved the

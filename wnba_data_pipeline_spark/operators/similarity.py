@@ -1019,10 +1019,11 @@ def hamming_rerank(
 def q_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage compressed search as a driver row (round-12 eleventh
     rotation — the Hamming prefilter+rerank family's FIRST hard registry
-    slot): Hamming top-{HAM_PREFILTER_M} over the packed sign bits, exact
-    cosine rerank of only the shortlist. Output shape mirrors
-    ``q_sim_topk`` so the two rows document baseline vs compressed
-    side by side."""
+    slot): Hamming shortlist over the packed sign bits — corpus-relative,
+    max(HAM_PREFILTER_M, ceil(n / HAM_PREFILTER_FRAC)) per query via
+    ``ham_prefilter_m_for`` — then exact cosine rerank of only the
+    shortlist. Output shape mirrors ``q_sim_topk`` so the two rows
+    document baseline vs compressed side by side."""
     emb = load_table(spark, sf_dir, "embeddings")
     return hamming_rerank(emb, n_queries=N_QUERIES, k=TOP_K)
 

@@ -273,6 +273,7 @@ def run_curation_incremental(
     n_batches: int = 4,
     cc_max_iter: int = 25,
     batch_walls: list | None = None,
+    batch_stage_walls: list | None = None,
 ) -> DataFrame:
     """The funnel's INCREMENTAL mode (round 9, VERDICT r8 item 8) — the
     shape a production 100 TB pipeline actually runs daily: documents
@@ -330,6 +331,7 @@ def run_curation_incremental(
         delete_dir(spark, d)
     for i in range(n_batches):
         t0 = _time.perf_counter()
+        stages: dict | None = {} if batch_stage_walls is not None else None
         arriving = docs.filter(
             (F.col("doc_id") >= lo + i * span) & (F.col("doc_id") < lo + (i + 1) * span)
         )
@@ -348,7 +350,17 @@ def run_curation_incremental(
             .select(F.col("id").alias("doc_id"))
         )
         batch = gated.join(losers, "doc_id", "left_anti")
-        process_batch(spark, batch, i, corpus_dir, verdicts_dir, index_dir=index_dir)
+        if stages is not None:
+            # the batch-LOCAL dedup above is lazy — cluster_survivors
+            # evaluates the pair plan eagerly, so its wall is real; mark
+            # it before process_batch's own stage clock starts
+            stages["batch_local_dedup"] = round(_time.perf_counter() - t0, 2)
+        process_batch(
+            spark, batch, i, corpus_dir, verdicts_dir, index_dir=index_dir,
+            stage_seconds=stages,
+        )
+        if batch_stage_walls is not None:
+            batch_stage_walls.append(stages)
         if batch_walls is not None:
             batch_walls.append(round(_time.perf_counter() - t0, 2))
 

@@ -212,7 +212,7 @@ _INDEX_PARTS = (("hash", INDEX_HASH_SCHEMA), ("bands", INDEX_BANDS_SCHEMA), ("hh
 def write_index(kept: DataFrame, index_dir: str, batch_id: int) -> None:
     """Overwrite this batch's three index subdirs (idempotent per batch id,
     like the corpus write). The shingle computation — the expensive term —
-    is persisted across the bands/sh writes so it runs ONCE per batch, not
+    is persisted across the bands/hh writes so it runs ONCE per batch, not
     once per output tree (measured 14.3 s → per-batch-constant small at
     sf1 without it)."""
     from ..operators.dedup import banded_keys, shingle_docs
@@ -236,12 +236,32 @@ def read_index(
     spark: SparkSession, index_dir: str, *, exclude_batch: int | None = None
 ) -> dict[str, DataFrame]:
     """The accumulated signature index (empty-safe), own-batch excluded —
-    same replay contract as ``read_corpus``."""
+    same replay contract as ``read_corpus``.
+
+    A pre-round-12 on-disk index carries a legacy ``sh`` subtree (string
+    shingles) and NO ``hh`` — silently reading it as an empty hh frame
+    would drop every near-dup candidate in the verify join and verdict
+    real dups ``kept`` (ADVICE r12), so that layout RAISES here instead;
+    ``backfill_index`` (which ``process_batch`` always runs first)
+    rebuilds the hh slices from corpus text and is the documented
+    repair."""
     out: dict[str, DataFrame] = {}
     for part, schema in _INDEX_PARTS:
         dirs = _batch_dirs(
             spark, os.path.join(index_dir, part), exclude_batch=exclude_batch
         )
+        if part == "hh" and not dirs:
+            legacy = _batch_dirs(
+                spark, os.path.join(index_dir, "sh"), exclude_batch=exclude_batch
+            )
+            if legacy:
+                raise ValueError(
+                    f"signature index at {index_dir!r} has a legacy 'sh' subtree "
+                    "but no 'hh' slices (pre-round-12 layout) — reading it as-is "
+                    "would silently verdict near-dups as kept; run "
+                    "backfill_index(spark, corpus_dir, index_dir) (process_batch "
+                    "does this automatically) to rebuild the hh slices"
+                )
         out[part] = (
             spark.read.schema(schema).parquet(*dirs)
             if dirs
@@ -300,6 +320,7 @@ def process_batch(
     corpus_dir: str,
     verdicts_dir: str,
     index_dir: str | None = None,
+    stage_seconds: dict | None = None,
 ) -> None:
     """One micro-batch of the ingestion dedup: within-batch collapse →
     screen vs the accumulated corpus → overwrite this batch's verdict and
@@ -327,18 +348,33 @@ def process_batch(
     the index, so mid-stream enablement cannot silently un-screen the
     pre-index corpus (``backfill_index``; planted-gap test in
     tests/test_streaming.py)."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        # per-stage wall attribution for the r13 incremental-oscillation
+        # probe (a plain dict, zero cost when not passed)
+        nonlocal _t0
+        if stage_seconds is not None:
+            stage_seconds[stage] = round(_time.perf_counter() - _t0, 2)
+        _t0 = _time.perf_counter()
+
     if index_dir is not None:
         # the index IS the reference — enforce its completeness vs the
         # corpus first (cheap dir listings in the steady state), then skip
         # the corpus text listing/plan
         backfill_index(spark, corpus_dir, index_dir, exclude_batch=batch_id)
+        _mark("backfill_check")
         ref = spark.createDataFrame([], DOC_SCHEMA)
         ref_index = read_index(spark, index_dir, exclude_batch=batch_id)
     else:
         ref = read_corpus(spark, corpus_dir, exclude_batch=batch_id)
         ref_index = None
+    _mark("ref_read")
     batch, v = screen_batch(batch_df, ref, ref_index=ref_index)
     v.write.mode("overwrite").parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
+    _mark("screen_verdicts")
     kept = batch.join(
         spark.read.parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
         .filter(F.col("verdict") == "kept")
@@ -346,6 +382,7 @@ def process_batch(
         "doc_id",
     )
     kept.write.mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+    _mark("corpus_write")
     if index_dir is not None:
         write_index(
             spark.read.schema(DOC_SCHEMA).parquet(
@@ -354,6 +391,7 @@ def process_batch(
             index_dir,
             batch_id,
         )
+        _mark("index_write")
 
 
 def dedup_ingest_stream(
