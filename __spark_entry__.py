@@ -33,6 +33,7 @@ from wnba_data_pipeline_spark.operators import (  # noqa: E402
     quality,
     relational,
     similarity,
+    sketches,
     spans,
     temporal,
     text,
@@ -45,7 +46,7 @@ from wnba_data_pipeline_spark.streaming import events as streaming_events  # noq
 # rows-only ML family last.
 _MODULES = [
     relational, quality, multimodal, dedup, clustering, similarity, pq,
-    spans, temporal, text, streaming_events, ml,
+    sketches, spans, temporal, text, streaming_events, ml,
 ]
 
 

@@ -12,14 +12,16 @@ from __future__ import annotations
 
 import pytest
 
-from wnba_data_pipeline_spark.operators import dedup, pq, relational, similarity, text
+from wnba_data_pipeline_spark.operators import dedup, multimodal, pq, relational, similarity, text
 
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
 
 ROTATED = {
     "doc_fingerprint": (text.q_doc_fingerprint, text.ORACLE_DOC_FINGERPRINT),
-    "emb_near_dup": (similarity.q_emb_near_dup, similarity.ORACLE_EMB_NEAR_DUP),
+    # emb_near_dup parked here rounds 5-12; the round-13 TWELFTH rotation
+    # put it BACK in-registry (the exact baseline beside its banded/celled/
+    # compressed scale paths).
     "rank_global_marts": (relational.q_rank_global_marts, relational.ORACLE_RANK_GLOBAL_MARTS),
     "freshness_now": (relational.q_freshness_now, relational.ORACLE_FRESHNESS_NOW),
     "seeded_noise": (relational.q_seeded_noise, relational.ORACLE_SEEDED_NOISE),
@@ -90,6 +92,19 @@ ROTATED = {
     # test_contamination.py).
     "simhash_fingerprint": (dedup.q_simhash_fingerprint, dedup.ORACLE_SIMHASH),
     "url_domains": (text.q_url_domains, text.ORACLE_URL_DOMAINS),
+    # twelfth rotation (round 13): slots freed for hll_distinct_daily (the
+    # sketch family's first hash-exact driver row, operators/sketches.py)
+    # and emb_near_dup (returning). count_distinct_groups' D2 exact-distinct
+    # physics is tumbling_daily's in-registry count_distinct (incl. the
+    # split-distinct scale form) and the HLL row is its documented 100 TB
+    # swap; frame_sample's 1→N in-executor expansion is chunk_docs'
+    # in-registry explode shape beside multimodal_features' harder Arrow
+    # decode row.
+    "count_distinct_groups": (
+        relational.q_count_distinct_groups,
+        relational.ORACLE_COUNT_DISTINCT_GROUPS,
+    ),
+    "frame_sample": (multimodal.q_frame_sample, multimodal.ORACLE_FRAME_SAMPLE),
 }
 
 
@@ -118,9 +133,9 @@ def test_rotated_queries_stay_off_registry():
         "asof_attribution",
         "range_join_bins",
         "semantic_dedup",
-        # eighth rotation (round 9; url_domains re-rotated out in round 12)
+        # eighth rotation (round 9; url_domains re-rotated out in round 12,
+        # frame_sample re-rotated out in round 13)
         "ivfpq_search",
-        "frame_sample",
         # ninth rotation (round 10; simhash_fingerprint re-rotated out in
         # round 12)
         "heavy_hitters_cms",
@@ -131,5 +146,8 @@ def test_rotated_queries_stay_off_registry():
         # eleventh rotation (round 12)
         "hamming_rerank",
         "sim_topk",
+        # twelfth rotation (round 13)
+        "hll_distinct_daily",
+        "emb_near_dup",
     ):
         assert newcomer in qs

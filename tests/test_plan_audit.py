@@ -54,6 +54,11 @@ BNLJ_OK = {
     # bits (<> self-guard, 2 XOR+POPCNT per candidate) — the deliberate
     # compressed-domain pass; stage 2's float joins are equi-joins on the
     # m-row shortlist
+    "emb_near_dup",  # the LABELED all-pairs exact-cosine baseline
+    # (returned in the round-13 twelfth rotation): vec_a < vec_b non-equi
+    # self-join by construction — the ground truth every banded/celled/
+    # compressed similarity row is recall-graded against; its docstring
+    # names emb_near_dup_bucketed as the 100 TB path
 }
 
 

@@ -327,15 +327,16 @@ FROM r
 
 QUERIES = {
     "multimodal_features": q_multimodal_features,
-    # frame_sample rotated back IN (round-9 eighth rotation, VERDICT r8
-    # item 6): round 7 parked it off-registry while pq_rerank took the
-    # slot; the video-frame family now re-holds a hard driver row (the
-    # 1→N in-executor frame expansion is distinct plumbing from
-    # multimodal_features' 1→1 decode).
-    "frame_sample": q_frame_sample,
+    # frame_sample rotated OFF again (round-13 twelfth rotation; it held a
+    # row rounds 9-12 after the round-8 park): the multimodal family keeps
+    # its harder row (multimodal_features' Arrow decode+features pass), and
+    # frame_sample's 1→N in-executor expansion physics is chunk_docs'
+    # in-registry 1→N explode shape. Full hash-differential parity moves
+    # back to tests/test_offregistry_parity.py; the freed slot gives the
+    # portable-HLL sketch row its first driver slot
+    # (operators/sketches.py).
 }
 
 ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
-    "frame_sample": ORACLE_FRAME_SAMPLE,
 }

@@ -1823,7 +1823,14 @@ QUERIES = {
     # hash-differential parity check in tests/test_offregistry_parity.py.
     "topk_revenue": q_topk_revenue,
     "global_aggs": q_global_aggs,
-    "count_distinct_groups": q_count_distinct_groups,
+    # count_distinct_groups rotated OFF (round-13 twelfth rotation): its
+    # D2 expand+two-phase exact-distinct physics stays in-registry inside
+    # tumbling_daily (count_distinct per (day, type) group, incl. the
+    # split-distinct scale form), and the INCOMING hll_distinct_daily row
+    # (operators/sketches.py) is precisely the documented 100 TB swap this
+    # query's docstring names — the D2 family now documents exact AND
+    # sketch sides from the registry. Full hash-differential parity stays
+    # in tests/test_offregistry_parity.py.
     # count_distinct_approx (the HLL scale variant) is NOT registered: it is
     # no_oracle by construction and pytest-bounded (tests/test_approx.py);
     # keeping the registry at the driver's 50-query cap puts every
@@ -1855,7 +1862,6 @@ ORACLES = {
     "rank_partition_avg": ORACLE_RANK_PARTITION_AVG,
     "topk_revenue": ORACLE_TOPK_REVENUE,
     "global_aggs": ORACLE_GLOBAL_AGGS,
-    "count_distinct_groups": ORACLE_COUNT_DISTINCT_GROUPS,
     "dispersion_stats": ORACLE_DISPERSION_STATS,
     "quality_probe": ORACLE_QUALITY_PROBE,
     "scalar_funcs": ORACLE_SCALAR_FUNCS,

@@ -835,11 +835,11 @@ FROM q
 """
 
 
-# emb_near_dup (the all-pairs exact baseline) left OFF the capped registry
-# (round-5 rotation): emb_near_dup_bucketed returns the identical pair set
-# through the 100 TB LSH-banded plan and stays registered; the baseline
-# keeps oracle parity in tests/test_offregistry_parity.py and its
-# ground-truth role in tests/test_similarity_bucketed.py's recall gate.
+# emb_near_dup (the all-pairs exact baseline) was off-registry rounds 5-12
+# (emb_near_dup_bucketed returns the identical pair set through the 100 TB
+# LSH-banded plan); the round-13 TWELFTH rotation put it BACK in-registry —
+# see the QUERIES comment below. Its ground-truth role in
+# tests/test_similarity_bucketed.py's recall gate is unchanged.
 
 # ---------------------------------------------------------------------------
 # Binary (sign) embedding signatures + Hamming top-k
@@ -1247,6 +1247,15 @@ QUERIES = {
     # tests/test_offregistry_parity.py.
     "sim_topk": q_sim_topk,
     "hamming_rerank": q_hamming_rerank,
+    # round-13 TWELFTH rotation: emb_near_dup RETURNS after eight rounds
+    # off-registry (rotated out round 5) — the exact all-pairs cosine
+    # baseline re-holds a hard driver row beside the banded
+    # (emb_near_dup_bucketed), celled (sim_ivf), and compressed
+    # (hamming_rerank/ivfpq_search) paths it grounds: every similarity
+    # recall gate in the suite scores against THIS query's pair set.
+    # Slots freed by count_distinct_groups (relational.py) and
+    # frame_sample (multimodal.py) — see their registry comments.
+    "emb_near_dup": q_emb_near_dup,
 }
 
 ORACLES = {
@@ -1256,4 +1265,5 @@ ORACLES = {
     "hard_negatives_bucketed": _oracle_hard_negatives_bucketed(),
     "sim_topk": ORACLE_SIM_TOPK,
     "hamming_rerank": ORACLE_HAMMING_RERANK,
+    "emb_near_dup": ORACLE_EMB_NEAR_DUP,
 }
