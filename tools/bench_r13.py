@@ -111,6 +111,81 @@ def _codebook_fingerprint(index) -> str:
     return hashlib.md5(payload).hexdigest()
 
 
+def cmd_fit_matmul_ab() -> dict:
+    """The remaining fit wall is the coarse blocked left-fold argmin
+    (158.6 s of the 237.9 s fused fit at 1 M). This measures the OPT-IN
+    gemm kernel (SPARK_GRAFT_FIT_MATMUL — expanded ||x||²-2x·c+||c||²
+    form, NOT bit-identical) against the portable left-fold default:
+    fit wall, coarse-assignment label agreement on a 100 k sample (cells
+    correspond 1:1 across arms — same seeds, same traversal), and
+    end-to-end recall@10 against one shared exact truth. Decision input
+    for a future contract change, not a shipped default."""
+    spark = _session(10.0)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+    from wnba_data_pipeline_spark.operators.clustering import assign_clusters
+
+    emb = _fit_corpus(spark)
+    n_queries = 100
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    truth: dict = {}
+    for r in (
+        F.broadcast(q)
+        .join(emb.select("vec_id", "embedding"), F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("_d2", pq._sqdist_vec(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"))
+        .collect()
+    ):
+        truth.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    denom = sum(len(v) for v in truth.values())
+
+    sample = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    out: dict = {"arms": {}}
+    labels: dict = {}
+    for arm, flag in (("exact", "0"), ("matmul", "1")):
+        os.environ["SPARK_GRAFT_FIT_MATMUL"] = flag
+        timings: dict = {}
+        t0 = time.perf_counter()
+        index = pq.ivfpq_fit(emb, timings=timings)
+        fit_sec = round(time.perf_counter() - t0, 2)
+        corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+        corpus.count()
+        got: dict = {}
+        t0 = time.perf_counter()
+        for r in pq.ivfpq_search(corpus, q, index, k=10).collect():
+            got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        search_sec = round(time.perf_counter() - t0, 2)
+        labels[arm] = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_clusters(sample, index.coarse).select("vec_id", "cluster").collect()
+        }
+        out["arms"][arm] = {
+            "fit_sec": fit_sec,
+            "coarse_iter_sec": timings.get("coarse_detail", {}).get("iter_sec"),
+            "search_sec": search_sec,
+            "recall_at_10": round(
+                sum(len(truth[k] & got.get(k, set())) for k in truth) / denom, 4
+            ),
+            "fingerprint": _codebook_fingerprint(index),
+        }
+        corpus.unpersist()
+    os.environ.pop("SPARK_GRAFT_FIT_MATMUL", None)
+    a, b = labels["exact"], labels["matmul"]
+    same = sum(1 for k in a if a[k] == b.get(k))
+    out["label_agreement"] = round(same / len(a), 6)
+    out["fit_speedup"] = round(
+        out["arms"]["exact"]["fit_sec"] / max(out["arms"]["matmul"]["fit_sec"], 1e-9), 2
+    )
+    return out
+
+
 def cmd_fit_opt_ab() -> dict:
     spark = _session(10.0)
     from wnba_data_pipeline_spark.operators import pq
@@ -483,10 +558,16 @@ def cmd_connect_probe() -> dict:
 
 
 def main() -> None:
+    # one BLAS thread per python worker: 32 workers already saturate the
+    # cores, and nested OpenBLAS threading would oversubscribe (matters
+    # for the gemm experiment; harmless for the element-wise kernels)
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     cmd = sys.argv[1] if len(sys.argv) > 1 else "connect_probe"
     fn = {
         "fit_attrib": cmd_fit_attrib,
         "fit_opt_ab": cmd_fit_opt_ab,
+        "fit_matmul_ab": cmd_fit_matmul_ab,
         "ann_overlap_sweep": cmd_ann_overlap_sweep,
         "inc_attrib100": cmd_inc_attrib100,
         "stages100_spread": cmd_stages100_spread,

@@ -262,6 +262,21 @@ def _fit_fused_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_FIT_FUSED", "1") != "0"
 
 
+def _fit_matmul_enabled() -> bool:
+    """Opt-in EXPERIMENT dial (round 13 — default OFF): compute the fused
+    iteration's distance blocks via BLAS gemm using the expanded form
+    ||x−c||² = ||x||² − 2x·c + ||c||² instead of the left-fold
+    accumulation. NOT bit-identical — gemm associates differently, so a
+    Voronoi-boundary row can flip cells and the fixed-point sums shift in
+    the last ulp; centroids/codebooks then differ in trailing digits. The
+    contract therefore stays: every checked-in fixture, oracle, and the
+    default path use the left-fold kernel; this dial exists so
+    BENCH_SCALE_r13 fit_matmul_ab can MEASURE what the portability
+    contract costs at the 1 M geometry (wall, label agreement, end
+    recall) before any future round considers relaxing it."""
+    return os.environ.get("SPARK_GRAFT_FIT_MATMUL", "0") == "1"
+
+
 def _batch_partials_fn(centroids: list[list[float]], vec_col: str):
     """mapInPandas generator for the fused fit iteration: per Arrow batch,
     assign rows to nearest centroid (identical argmin/mind as
@@ -270,10 +285,13 @@ def _batch_partials_fn(centroids: list[list[float]], vec_col: str):
     partial sums of the fixed-point quantized components and inertia —
     the exact per-row quantities the r12 plan floored row-by-row in
     Catalyst, pre-reduced batch-locally (associative, so totals are
-    bit-identical)."""
+    bit-identical). ``SPARK_GRAFT_FIT_MATMUL=1`` (experiment, default
+    OFF — see ``_fit_matmul_enabled``) swaps the block distance kernel
+    for BLAS gemm; same blocking, same strict-< first-min merge."""
     import numpy as np
 
     KBLK = 512
+    matmul = _fit_matmul_enabled()  # captured at plan build, driver-side
 
     def partials(batches):
         import pandas as pd
@@ -281,24 +299,33 @@ def _batch_partials_fn(centroids: list[list[float]], vec_col: str):
         C = np.asarray(centroids, dtype=np.float64)  # k x dim
         k, dim = C.shape
         CT = np.ascontiguousarray(C.T)
+        c2 = (C * C).sum(axis=1) if matmul else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             XT = np.ascontiguousarray(X.T)
+            x2 = (X * X).sum(axis=1) if matmul else None
             best_d = np.full(len(X), np.inf)
             best_i = np.zeros(len(X), dtype=np.int64)
             for k0 in range(0, k, KBLK):
                 k1 = min(k0 + KBLK, k)
-                Db = np.zeros((len(X), k1 - k0))
-                for d in range(dim):  # left-fold association (see _batch_assign_fn)
-                    diff = XT[d][:, None] - CT[d][None, k0:k1]
-                    Db += diff * diff
+                if matmul:
+                    # expanded form via gemm: ||c||² − 2 X·Cᵀ (||x||² is
+                    # constant per row — added once after the argmin)
+                    Db = c2[None, k0:k1] - 2.0 * (X @ CT[:, k0:k1])
+                else:
+                    Db = np.zeros((len(X), k1 - k0))
+                    for d in range(dim):  # left-fold association (see _batch_assign_fn)
+                        diff = XT[d][:, None] - CT[d][None, k0:k1]
+                        Db += diff * diff
                 bi = Db.argmin(axis=1)  # first-min within the block
                 bd = Db[np.arange(len(X)), bi]
                 upd = bd < best_d  # strict <: earlier block wins ties ≡ first-min
                 best_d[upd] = bd[upd]
                 best_i[upd] = bi[upd] + k0
+            if matmul:
+                best_d = np.maximum(best_d + x2, 0.0)  # clamp gemm round-off
             # fixed-point quantization — identical per-element expression
             # as the r12 plan (floor(y + 0.5), both engines' contract)
             SV = np.floor(X * COMP_SCALE + 0.5).astype(np.int64)
