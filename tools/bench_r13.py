@@ -17,6 +17,11 @@ Subcommands (argv[1]):
                     path is integer-associative partial sums, a physical
                     switch), walls compared. Done-gate: fit ≤ half of
                     fit_attrib's with identical codebooks.
+  fit_matmul_ab     the gemm-kernel EXPERIMENT (SPARK_GRAFT_FIT_MATMUL,
+                    default OFF, not bit-identical): fit wall / coarse
+                    label agreement / end recall vs the portable left-fold
+                    kernel at 1 M — decision input for a future contract
+                    change, never a shipped default.
   ann_overlap_sweep VERDICT r12 item 1: map the ANN recall curve BETWEEN
                     the two measured extremes (isotropic sf100 0.479 vs the
                     ~7×-separated planted corpus 1.0). Planted 1 M-vector
@@ -439,17 +444,33 @@ def cmd_stages100_spread() -> dict:
         runs.setdefault("verify_hh", []).append(time.perf_counter() - t0)
         checks.setdefault("n_pairs", set()).add(n_p)
 
+        # components_survivors SUB-attribution (VERDICT r12 item 6: is the
+        # 88.7 s labeling or materialization?): (a) pair materialization
+        # through the production plan, (b) component labeling + survivor
+        # verdicts, (c) the corpus anti-join
         t0 = time.perf_counter()
-        pairs = dedup.minhash_pairs(corpus, shingled=shingled, verify="hh")
+        pairs = dedup.minhash_pairs(corpus, shingled=shingled, verify="hh").persist()
+        pairs.count()
+        runs.setdefault("cs_pairs_mat", []).append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
         losers = (
             cluster_survivors(pairs)
             .filter(~F.col("is_survivor"))
             .select(F.col("id").alias("doc_id"))
+            .persist()
         )
+        n_losers = losers.count()
+        runs.setdefault("cs_labeling", []).append(time.perf_counter() - t0)
+        checks.setdefault("n_losers", set()).add(n_losers)
+
+        t0 = time.perf_counter()
         n_surv = corpus.join(losers, "doc_id", "left_anti").count()
-        runs.setdefault("components_survivors", []).append(time.perf_counter() - t0)
+        runs.setdefault("cs_anti_join", []).append(time.perf_counter() - t0)
         checks.setdefault("n_survivors", set()).add(n_surv)
 
+        losers.unpersist()
+        pairs.unpersist()
         cand.unpersist()
         shingled.unpersist()
 

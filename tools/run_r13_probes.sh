@@ -8,8 +8,8 @@ set -u
 cd /root/repo
 OUT=/root/repo/.benchdata/r13_probes.jsonl
 : > "$OUT"
-# fold in the already-measured fit A/B + overlap sweep if present
-for f in r13_fit_opt_ab.json r13_ann_overlap.json; do
+# fold in the already-measured fit A/Bs + overlap sweep (+knee point) if present
+for f in r13_fit_opt_ab.json r13_ann_overlap.json r13_ann_overlap_knee.json r13_fit_matmul_ab.json; do
   [ -s "/root/repo/.benchdata/$f" ] && grep '^{' "/root/repo/.benchdata/$f" >> "$OUT"
 done
 for cmd in inc_attrib100 stages100_spread cand_join_ab funnel_guard connect_probe; do
