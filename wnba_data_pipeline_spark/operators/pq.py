@@ -821,7 +821,10 @@ class IVFPQIndex:
 #
 #   sigma_c/sigma_noise   separation (inertia/SS)   recall@10
 #   0.5                   0.77                      0.35   ← collapse
+#   0.75                  0.62                      0.884  ← the knee
 #   1.0                   0.48                      0.999
+#   2.0                   0.19                      1.0
+#   5.0                   0.04                      1.0
 #   (r12 isotropic sf100: separation → 1.0, recall 0.479 at 25% probed)
 #
 # The transition is sharp: once the coarse cells stop explaining the
