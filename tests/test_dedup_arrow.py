@@ -173,6 +173,22 @@ def test_verify_dial_validation():
         dedup.incremental_verdicts(None, None, ref_index={}, verify="sh")
 
 
+def test_grouped_candidates_equal_self_join(spark, monkeypatch):
+    """Round 13: the grouped (groupBy + within-bucket combinations)
+    candidate path — DEFAULT since the sf100 A/B measured 1.54× with
+    hash-identical sets — must emit exactly the self-join's candidates,
+    with the hot-bucket gate on and off."""
+    corpus = dedup.near_dup_corpus(spark, SF_ORACLE)
+    shingled = dedup.shingle_docs(corpus, hh_only=True)
+    for hot in (None, 0):
+        kw = {} if hot is None else {"hot_bucket_min": hot}
+        monkeypatch.setenv("SPARK_GRAFT_CAND_GROUPED", "0")
+        sj = sorted(tuple(r) for r in dedup.minhash_candidates(shingled, **kw).collect())
+        monkeypatch.setenv("SPARK_GRAFT_CAND_GROUPED", "1")
+        gp = sorted(tuple(r) for r in dedup.minhash_candidates(shingled, **kw).collect())
+        assert sj == gp and len(sj) > 0, f"hot_bucket_min={hot}"
+
+
 def test_hh_only_shingled_with_sh_verify_raises(spark):
     """A caller-supplied hh_only shingled frame with the default
     verify='sh' must get a descriptive ValueError, not an unresolved-

@@ -191,6 +191,48 @@ def cmd_fit_matmul_ab() -> dict:
     return out
 
 
+def cmd_encode_matmul_ab() -> dict:
+    """With the fused fit shipped, ENCODE is the ANN build wall (117-197 s
+    per sweep point at 1 M — the same k=4 000 argmin over the full corpus).
+    A/B the gemm dial on the encode pass: wall, cell/code identity across
+    arms (cells must agree unless a sub-ulp Voronoi tie flips; codes are
+    computed from identical residuals once cells agree)."""
+    spark = _session(10.0)
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+
+    emb = _fit_corpus(spark)
+    # one fixed index (left-fold fit — the shipped default) shared by arms
+    os.environ.pop("SPARK_GRAFT_FIT_MATMUL", None)
+    index = pq.ivfpq_fit(emb)
+    out: dict = {"n_cells": len(index.coarse), "arms": {}}
+    fps = {}
+    for arm, flag in (("exact", "0"), ("matmul", "1")):
+        os.environ["SPARK_GRAFT_FIT_MATMUL"] = flag
+        t0 = time.perf_counter()
+        enc = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index)
+        row = enc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("vec_id", "cell", F.col("codes").cast("array<string>").cast("string"))
+                % 1_000_003
+            ).alias("h"),
+        ).collect()[0]
+        out["arms"][arm] = {
+            "encode_sec": round(time.perf_counter() - t0, 2),
+            "n": int(row["n"]),
+            "fingerprint": int(row["h"] or 0),
+        }
+        fps[arm] = (int(row["n"]), int(row["h"] or 0))
+    os.environ.pop("SPARK_GRAFT_FIT_MATMUL", None)
+    out["cells_codes_identical"] = fps["exact"] == fps["matmul"]
+    out["speedup"] = round(
+        out["arms"]["exact"]["encode_sec"] / max(out["arms"]["matmul"]["encode_sec"], 1e-9), 2
+    )
+    return out
+
+
 def cmd_fit_opt_ab() -> dict:
     spark = _session(10.0)
     from wnba_data_pipeline_spark.operators import pq
@@ -589,6 +631,7 @@ def main() -> None:
         "fit_attrib": cmd_fit_attrib,
         "fit_opt_ab": cmd_fit_opt_ab,
         "fit_matmul_ab": cmd_fit_matmul_ab,
+        "encode_matmul_ab": cmd_encode_matmul_ab,
         "ann_overlap_sweep": cmd_ann_overlap_sweep,
         "inc_attrib100": cmd_inc_attrib100,
         "stages100_spread": cmd_stages100_spread,

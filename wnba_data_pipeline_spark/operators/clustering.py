@@ -198,7 +198,13 @@ def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, d
 
     Scale shape: zero-shuffle map stage; per-task memory is
     O(batch x k + k x dim) doubles — independent of corpus size, and the
-    centroid matrix rides to executors once per task via the closure."""
+    centroid matrix rides to executors once per task via the closure.
+
+    ``SPARK_GRAFT_FIT_MATMUL=1`` (the round-13 EXPERIMENT dial, default
+    OFF — contract notes at ``_fit_matmul_enabled``) swaps the block
+    kernel for BLAS gemm here too: the 1 M encode pass is the same argmin
+    at k=4 000 that dominated the fit, and the fit A/B measured the gemm
+    kernel 12.7× on it with 1.0 label agreement."""
     import numpy as np
 
     # centroid-column blocking (round 11): at the auto IVF-PQ geometry
@@ -212,11 +218,13 @@ def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, d
     # so cluster ids are bit-identical (the k=256 numpy-reference equality
     # test pins it).
     KBLK = 512
+    matmul = _fit_matmul_enabled()  # captured at plan build, driver-side
 
     def assign(batches):
         C = np.asarray(centroids, dtype=np.float64)  # k x dim
         k, dim = C.shape
         CT = np.ascontiguousarray(C.T)  # dim x k — contiguous per-d rows
+        c2 = (C * C).sum(axis=1) if matmul else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -225,16 +233,22 @@ def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, d
             D = np.empty((len(X), k))
             for k0 in range(0, k, KBLK):
                 k1 = min(k0 + KBLK, k)
-                Db = np.zeros((len(X), k1 - k0))
-                for d in range(dim):  # left-fold association, see docstring
-                    diff = XT[d][:, None] - CT[d][None, k0:k1]
-                    Db += diff * diff
+                if matmul:
+                    Db = c2[None, k0:k1] - 2.0 * (X @ CT[:, k0:k1])
+                else:
+                    Db = np.zeros((len(X), k1 - k0))
+                    for d in range(dim):  # left-fold association, see docstring
+                        diff = XT[d][:, None] - CT[d][None, k0:k1]
+                        Db += diff * diff
                 D[:, k0:k1] = Db
             cl = D.argmin(axis=1)  # first-min, same tie-break as array_position
             out = pdf.copy()
             out[out_col] = cl.astype(np.int32)
             if dist_col is not None:
-                out[dist_col] = D[np.arange(len(X)), cl]
+                md = D[np.arange(len(X)), cl]
+                if matmul:  # restore the true distance (+||x||², clamped)
+                    md = np.maximum(md + (X * X).sum(axis=1), 0.0)
+                out[dist_col] = md
             yield out
 
     return assign

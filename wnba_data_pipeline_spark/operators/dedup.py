@@ -651,16 +651,20 @@ def minhash_candidates(
         )
 
     def _grouped_pairs(side: DataFrame) -> DataFrame:
-        """Round-13 experiment (SPARK_GRAFT_CAND_GROUPED=1): within-bucket
-        pair generation via groupBy(band_key) + collect_list + a
-        combinations expression — ONE shuffle of the band table instead of
-        the self-join's two sides. Emits exactly the (doc_a < doc_b) pair
-        slots the self-join builds (ids sorted ascending per bucket, every
-        ordered pair once per bucket), so the downstream distinct yields
-        an identical candidate set (hash-compared in BENCH_SCALE_r13
-        cand_join_ab). Only ever applied to the COLD (non-hot-bucket)
-        side: a giant bucket's C(B,2) explode would land in one task, the
-        exact skew the salted branch exists for."""
+        """Within-bucket pair generation via groupBy(band_key) +
+        collect_list + a combinations expression — ONE shuffle of the band
+        table instead of the self-join's two sides. DEFAULT since round 13:
+        measured 36.7 s vs 56.7 s median-of-3 over the 11.7 M sf100 band
+        rows (1.54×), candidate sets hash-identical (BENCH_SCALE_r13
+        cand_join_ab; equality also pinned in tests/test_dedup_arrow.py).
+        Emits exactly the (doc_a < doc_b) pair slots the self-join builds
+        (ids sorted ascending per bucket, every ordered pair once per
+        bucket), so the downstream distinct yields an identical candidate
+        set. Only ever applied to the COLD (non-hot-bucket) side: bucket
+        size is bounded by the hot gate (≤ ~HOT_BUCKET_MIN rows → ≤ ~0.5 M
+        pairs per bucket task), while a giant bucket's C(B,2) explode
+        would land in one task — the exact skew the salted branch exists
+        for. ``SPARK_GRAFT_CAND_GROUPED=0`` opts back to the self-join."""
         ids = F.col("_ids")
         pair_structs = F.flatten(
             F.transform(
@@ -681,7 +685,7 @@ def minhash_candidates(
 
     cold_pairs = (
         _grouped_pairs
-        if os.environ.get("SPARK_GRAFT_CAND_GROUPED", "0") == "1"
+        if os.environ.get("SPARK_GRAFT_CAND_GROUPED", "1") != "0"
         else lambda side: _self_pairs(side, [])
     )
 
