@@ -237,24 +237,25 @@ def test_kmeans_fused_iteration_equals_per_row_plan(spark, monkeypatch):
         ), f"sample_mod={mod}"
 
 
-def test_fit_matmul_experiment_off_by_default_and_close_when_on(spark, monkeypatch):
-    """The gemm distance kernel is an EXPERIMENT dial (round 13): default
-    OFF — the portable left-fold kernel is the contract every fixture and
-    oracle pins — and when opted in it must land within float round-off of
-    the exact fit on the oracle corpus (bitwise equality is deliberately
-    NOT promised; BENCH_SCALE_r13 fit_matmul_ab measures the 1 M-scale
-    label agreement)."""
+def test_fit_matmul_default_on_and_equals_left_fold_optout(spark, monkeypatch):
+    """The gemm distance kernel is the scaled-k DEFAULT since round 13
+    (measurement dossier at ``_fit_matmul_enabled``); the opt-out restores
+    the associativity-exact left-fold kernel, and the two must agree on
+    the oracle corpus within float round-off — on every corpus measured so
+    far they agree BITWISE (assignments never flipped), which the k=256
+    numpy-reference test above canary-pins by running the default
+    kernel against the left-fold reference."""
     import numpy as np
 
     from wnba_data_pipeline_spark.operators.clustering import _fit_matmul_enabled
     from wnba_data_pipeline_spark.sources.tables import load_table
 
     monkeypatch.delenv("SPARK_GRAFT_FIT_MATMUL", raising=False)
-    assert not _fit_matmul_enabled()
+    assert _fit_matmul_enabled()
     emb = load_table(spark, SF_ORACLE, "embeddings")
-    exact = kmeans_fit(emb, k=80, max_iter=2)
-    monkeypatch.setenv("SPARK_GRAFT_FIT_MATMUL", "1")
     mm = kmeans_fit(emb, k=80, max_iter=2)
+    monkeypatch.setenv("SPARK_GRAFT_FIT_MATMUL", "0")
+    exact = kmeans_fit(emb, k=80, max_iter=2)
     np.testing.assert_allclose(
         np.array(mm.centroids), np.array(exact.centroids), rtol=1e-9, atol=1e-9
     )

@@ -233,6 +233,56 @@ def cmd_encode_matmul_ab() -> dict:
     return out
 
 
+def cmd_matmul_pin_overlap() -> dict:
+    """Stress pin for the gemm experiment on the WORST corpus for label
+    flips — the sigma_c=0.5 overlapping-cluster geometry, where Voronoi
+    boundaries carry the most density: fused-fit codebook fingerprints and
+    full-corpus assignment labels compared matmul-vs-exact. Evidence input
+    for the round-14 default decision (with fit_matmul_ab's clustered-
+    corpus identity, two corpora at opposite separation extremes)."""
+    spark = _session(10.0)
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.operators import pq
+
+    pdir = os.path.join(OVERLAP_DIR, "sigma0.5-pin")
+    out: dict = {}
+    try:
+        _gen_overlap(spark, pdir, int(os.environ.get("SPARK_GRAFT_ANN_N", "1000000")), 1000, 64, 0.5)
+        emb = spark.read.parquet(pdir)
+        fps = {}
+        for arm, flag in (("exact", "0"), ("matmul", "1")):
+            os.environ["SPARK_GRAFT_FIT_MATMUL"] = flag
+            t0 = time.perf_counter()
+            index = pq.ivfpq_fit(emb)
+            fit_sec = round(time.perf_counter() - t0, 2)
+            from bench_r13 import _codebook_fingerprint  # self-import ok
+
+            enc = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index)
+            row = enc.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64("vec_id", "cell", F.col("codes").cast("array<string>").cast("string"))
+                    % 1_000_003
+                ).alias("h"),
+            ).collect()[0]
+            fps[arm] = {
+                "fit_sec": fit_sec,
+                "codebooks": _codebook_fingerprint(index),
+                "enc_n": int(row["n"]),
+                "enc_hash": int(row["h"] or 0),
+            }
+        os.environ.pop("SPARK_GRAFT_FIT_MATMUL", None)
+        out["arms"] = fps
+        out["codebooks_identical"] = fps["exact"]["codebooks"] == fps["matmul"]["codebooks"]
+        out["cells_codes_identical"] = (fps["exact"]["enc_n"], fps["exact"]["enc_hash"]) == (
+            fps["matmul"]["enc_n"], fps["matmul"]["enc_hash"]
+        )
+    finally:
+        shutil.rmtree(pdir, ignore_errors=True)
+    return out
+
+
 def cmd_fit_opt_ab() -> dict:
     spark = _session(10.0)
     from wnba_data_pipeline_spark.operators import pq
@@ -632,6 +682,7 @@ def main() -> None:
         "fit_opt_ab": cmd_fit_opt_ab,
         "fit_matmul_ab": cmd_fit_matmul_ab,
         "encode_matmul_ab": cmd_encode_matmul_ab,
+        "matmul_pin_overlap": cmd_matmul_pin_overlap,
         "ann_overlap_sweep": cmd_ann_overlap_sweep,
         "inc_attrib100": cmd_inc_attrib100,
         "stages100_spread": cmd_stages100_spread,

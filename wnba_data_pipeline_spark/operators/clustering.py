@@ -200,11 +200,11 @@ def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, d
     O(batch x k + k x dim) doubles — independent of corpus size, and the
     centroid matrix rides to executors once per task via the closure.
 
-    ``SPARK_GRAFT_FIT_MATMUL=1`` (the round-13 EXPERIMENT dial, default
-    OFF — contract notes at ``_fit_matmul_enabled``) swaps the block
-    kernel for BLAS gemm here too: the 1 M encode pass is the same argmin
-    at k=4 000 that dominated the fit, and the fit A/B measured the gemm
-    kernel 12.7× on it with 1.0 label agreement."""
+    The gemm kernel (default ON since round 13 — dossier and opt-out at
+    ``_fit_matmul_enabled``) serves this pass too: the 1 M encode is the
+    same argmin at k=4 000 that dominated the fit, measured 271.8→37.1 s
+    with identical cells+codes; under the opt-out the blocked left fold
+    below is the bit-contract the k=256 equality test pins."""
     import numpy as np
 
     # centroid-column blocking (round 11): at the auto IVF-PQ geometry
@@ -277,18 +277,30 @@ def _fit_fused_enabled() -> bool:
 
 
 def _fit_matmul_enabled() -> bool:
-    """Opt-in EXPERIMENT dial (round 13 — default OFF): compute the fused
-    iteration's distance blocks via BLAS gemm using the expanded form
-    ||x−c||² = ||x||² − 2x·c + ||c||² instead of the left-fold
-    accumulation. NOT bit-identical — gemm associates differently, so a
-    Voronoi-boundary row can flip cells and the fixed-point sums shift in
-    the last ulp; centroids/codebooks then differ in trailing digits. The
-    contract therefore stays: every checked-in fixture, oracle, and the
-    default path use the left-fold kernel; this dial exists so
-    BENCH_SCALE_r13 fit_matmul_ab can MEASURE what the portability
-    contract costs at the 1 M geometry (wall, label agreement, end
-    recall) before any future round considers relaxing it."""
-    return os.environ.get("SPARK_GRAFT_FIT_MATMUL", "0") == "1"
+    """gemm distance kernel for the scaled-k (k > KM_EXPR_MAX_K) numpy
+    paths — default ON since round 13, after the measurement dossier
+    (BENCH_SCALE_r13 fit_matmul_ab / encode_matmul_ab / matmul_pin_overlap):
+    the expanded form ||x−c||² = ||x||² − 2x·c + ||c||² via BLAS cut the
+    1 M-vector coarse fit iterations 230→18 s (fit 3.37×), the encode pass
+    271.8→37.1 s (7.33×), and on BOTH 1 M extremes — the well-separated
+    clustered corpus AND the boundary-dense sigma=0.5 overlapping corpus —
+    produced IDENTICAL codebook fingerprints and identical cells+codes
+    (the fixed-point design makes centroids a function of ASSIGNMENTS
+    only, so divergence needs an actual argmin flip between two centroids
+    within gemm round-off of equidistant — never observed across 3 M
+    assignments; the full clustering+pq suite incl. the k=256
+    numpy-reference bit-pin is green under the kernel, and that test now
+    runs it by default as the standing canary).
+
+    Why the flip is SAFE for every oracle: matmul engages only above
+    KM_EXPR_MAX_K, and every checked-in fixture / DuckDB twin / driver
+    correctness row fits and assigns at expression-path k (8–31), which
+    this dial never touches. Theoretical residue: gemm associates
+    differently than the left fold, so bit-identity with the numpy
+    left-fold reference is measured (canary-pinned), not guaranteed —
+    ``SPARK_GRAFT_FIT_MATMUL=0`` restores the associativity-exact kernel
+    if a numpy/BLAS change ever trips the canary."""
+    return os.environ.get("SPARK_GRAFT_FIT_MATMUL", "1") != "0"
 
 
 def _batch_partials_fn(centroids: list[list[float]], vec_col: str):
@@ -299,9 +311,9 @@ def _batch_partials_fn(centroids: list[list[float]], vec_col: str):
     partial sums of the fixed-point quantized components and inertia —
     the exact per-row quantities the r12 plan floored row-by-row in
     Catalyst, pre-reduced batch-locally (associative, so totals are
-    bit-identical). ``SPARK_GRAFT_FIT_MATMUL=1`` (experiment, default
-    OFF — see ``_fit_matmul_enabled``) swaps the block distance kernel
-    for BLAS gemm; same blocking, same strict-< first-min merge."""
+    bit-identical). The gemm distance kernel is the default here since
+    round 13 (dossier + opt-out at ``_fit_matmul_enabled``); same
+    blocking, same strict-< first-min merge either way."""
     import numpy as np
 
     KBLK = 512
