@@ -20,8 +20,9 @@ Subcommands (argv[1]):
   fit_matmul_ab     the gemm-kernel EXPERIMENT (SPARK_GRAFT_FIT_MATMUL,
                     default OFF, not bit-identical): fit wall / coarse
                     label agreement / end recall vs the portable left-fold
-                    kernel at 1 M — decision input for a future contract
-                    change, never a shipped default.
+                    kernel at 1 M — the decision input that, with
+                    encode_matmul_ab and matmul_pin_overlap, led to the
+                    late-round default flip.
   ann_overlap_sweep VERDICT r12 item 1: map the ANN recall curve BETWEEN
                     the two measured extremes (isotropic sf100 0.479 vs the
                     ~7×-separated planted corpus 1.0). Planted 1 M-vector
@@ -123,8 +124,9 @@ def cmd_fit_matmul_ab() -> dict:
     form, NOT bit-identical) against the portable left-fold default:
     fit wall, coarse-assignment label agreement on a 100 k sample (cells
     correspond 1:1 across arms — same seeds, same traversal), and
-    end-to-end recall@10 against one shared exact truth. Decision input
-    for a future contract change, not a shipped default."""
+    end-to-end recall@10 against one shared exact truth. This block plus
+    encode_matmul_ab and matmul_pin_overlap formed the dossier behind the
+    late-round default flip (see clustering._fit_matmul_enabled)."""
     spark = _session(10.0)
     from pyspark.sql import Window
     from pyspark.sql import functions as F
