@@ -469,9 +469,12 @@ def kmeans_fit(
     # by every seed pick + iteration — persist it across the fit instead
     # of re-scanning + re-hashing the corpus each pass (round 13; values
     # unchanged, pure plan physics). A full-corpus fit (mod == 1) keeps
-    # the caller-owns-persistence contract from the module docstring.
+    # the caller-owns-persistence contract from the module docstring, and
+    # an ALREADY-cached input (ivfpq_fit's persisted residual sample
+    # feeding the per-subspace fits) is not re-persisted — the duplicate
+    # cache costs a fresh materialization pass for nothing.
     persisted_base = None
-    if sample_mod > 1:
+    if sample_mod > 1 and not df.is_cached:
         persisted_base = base.persist()
         base = persisted_base
     vec = F.col(vec_col)

@@ -172,10 +172,13 @@ def pq_fit_fused(
         )
     )
     # same sampled-frame persist as kmeans_fit's (round 13): the m seed
-    # picks + every fused iteration re-read it (no-op when the caller —
-    # ivfpq_fit — already persisted the residual sample upstream)
+    # picks + every fused iteration re-read it. Skipped when the caller —
+    # ivfpq_fit — already persisted the residual sample upstream: a second
+    # persist of the filtered copy duplicates the cache AND pays a fresh
+    # materialization pass (measured as a 20 s sub_seed_sec term in the
+    # shipped fit_attrib; the filter-over-cache reads are cheap).
     persisted_base = None
-    if sample_mod > 1:
+    if sample_mod > 1 and not df.is_cached:
         persisted_base = base.persist()
         base = persisted_base
 
