@@ -17,9 +17,10 @@ Subcommands (argv[1]):
                     path is integer-associative partial sums, a physical
                     switch), walls compared. Done-gate: fit ≤ half of
                     fit_attrib's with identical codebooks.
-  fit_matmul_ab     the gemm-kernel EXPERIMENT (SPARK_GRAFT_FIT_MATMUL,
-                    default OFF, not bit-identical): fit wall / coarse
-                    label agreement / end recall vs the portable left-fold
+  fit_matmul_ab     the gemm-kernel A/B (SPARK_GRAFT_FIT_MATMUL — was the
+                    opt-in experiment when this was measured; shipped
+                    default-ON since 2c34364): fit wall / coarse label
+                    agreement / end recall vs the portable left-fold
                     kernel at 1 M — the decision input that, with
                     encode_matmul_ab and matmul_pin_overlap, led to the
                     late-round default flip.
@@ -118,15 +119,17 @@ def _codebook_fingerprint(index) -> str:
 
 
 def cmd_fit_matmul_ab() -> dict:
-    """The remaining fit wall is the coarse blocked left-fold argmin
-    (158.6 s of the 237.9 s fused fit at 1 M). This measures the OPT-IN
-    gemm kernel (SPARK_GRAFT_FIT_MATMUL — expanded ||x||²-2x·c+||c||²
-    form, NOT bit-identical) against the portable left-fold default:
-    fit wall, coarse-assignment label agreement on a 100 k sample (cells
-    correspond 1:1 across arms — same seeds, same traversal), and
-    end-to-end recall@10 against one shared exact truth. This block plus
-    encode_matmul_ab and matmul_pin_overlap formed the dossier behind the
-    late-round default flip (see clustering._fit_matmul_enabled)."""
+    """The remaining fit wall was the coarse blocked left-fold argmin
+    (158.6 s of the 237.9 s fused fit at 1 M). This measured the gemm
+    kernel (SPARK_GRAFT_FIT_MATMUL — expanded ||x||²-2x·c+||c||² form,
+    not structurally bit-identical) against the portable left-fold, which
+    was the default at measurement time (the kernel shipped default-ON in
+    2c34364 on the strength of this block): fit wall, coarse-assignment
+    label agreement on a 100 k sample (cells correspond 1:1 across arms —
+    same seeds, same traversal), and end-to-end recall@10 against one
+    shared exact truth. This block plus encode_matmul_ab and
+    matmul_pin_overlap formed the dossier behind the late-round default
+    flip (see clustering._fit_matmul_enabled)."""
     spark = _session(10.0)
     from pyspark.sql import Window
     from pyspark.sql import functions as F

@@ -477,109 +477,114 @@ def kmeans_fit(
     if sample_mod > 1 and not df.is_cached:
         persisted_base = base.persist()
         base = persisted_base
-    vec = F.col(vec_col)
+    # persisted fit frame released even when the seed pick or an
+    # iteration job raises (ADVICE r13: a failed fit must not leak its
+    # cache for the rest of the session)
+    try:
+        vec = F.col(vec_col)
 
-    seed_rows = (
-        base.select(
-            F.col(id_col).alias("_sid"),
-            vec.cast("array<double>").alias("_semb"),
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed_tag}:"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
-            .cast("long")
-            .alias("_h"),
+        seed_rows = (
+            base.select(
+                F.col(id_col).alias("_sid"),
+                vec.cast("array<double>").alias("_semb"),
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed_tag}:"), F.col(id_col).cast("string"))), 1, 15), 16, 10)
+                .cast("long")
+                .alias("_h"),
+            )
+            .orderBy("_h", "_sid")
+            .limit(k)
+            .collect()
         )
-        .orderBy("_h", "_sid")
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(x) for x in r["_semb"]] for r in seed_rows]
-    _mark("seed_sec")
-    if len(centroids) < k:
-        raise ValueError(f"corpus has only {len(centroids)} rows; need k={k} seeds")
-    if init == "farthest":
-        # Gonzalez farthest-point traversal from the hash-smallest row:
-        # k-1 TakeOrdered passes, each picking argmax_x min_c d²(x, c)
-        # (deterministic tie-break on the lower id). Same fold-distance
-        # contract as assignment, so the traversal is bit-reproducible.
-        centroids = [centroids[0]]
-        cast_vec = vec.cast("array<double>")
-        for _ in range(k - 1):
-            d2 = F.least(*[_sqdist(cast_vec, c) for c in centroids]) if len(centroids) > 1 else _sqdist(cast_vec, centroids[0])
-            far = (
-                base.select(F.col(id_col).alias("_sid"), cast_vec.alias("_semb"), d2.alias("_d2"))
-                .orderBy(F.col("_d2").desc(), F.col("_sid").asc())
-                .limit(1)
-                .collect()[0]
-            )
-            centroids.append([float(x) for x in far["_semb"]])
-        _mark("farthest_init_sec")
-    elif init != "hash":
-        raise ValueError(f"unknown init: {init!r}")
-    dim = len(centroids[0])
-
-    inertia_hist: list[float] = []
-    sizes: dict[int, int] = {}
-    converged = False
-    n_iter = 0
-    fused = not _expr_path_ok(centroids) and _fit_fused_enabled()
-    for _ in range(max_iter):
-        n_iter += 1
-        if fused:
-            # fused iteration (round 13): argmin + fixed-point partial
-            # sums in ONE Arrow pass — bit-identical totals (integer
-            # partials are exactly associative; see _fit_fused_enabled)
-            schema = "_cl int, _n long, _inert long, " + ", ".join(
-                f"_s{i} long" for i in range(dim)
-            )
-            partial = base.select(vec.cast("array<double>").alias("_v")).mapInPandas(
-                _batch_partials_fn(centroids, "_v"), schema
-            )
-            rows = {
-                r["_cl"]: r
-                for r in partial.groupBy("_cl")
-                .agg(
-                    F.sum("_n").alias("_n"),
-                    F.sum(F.col("_inert").cast("decimal(38,0)")).alias("_inert"),
-                    *[
-                        F.sum(F.col(f"_s{i}").cast("decimal(38,0)")).alias(f"_s{i}")
-                        for i in range(dim)
-                    ],
+        centroids = [[float(x) for x in r["_semb"]] for r in seed_rows]
+        _mark("seed_sec")
+        if len(centroids) < k:
+            raise ValueError(f"corpus has only {len(centroids)} rows; need k={k} seeds")
+        if init == "farthest":
+            # Gonzalez farthest-point traversal from the hash-smallest row:
+            # k-1 TakeOrdered passes, each picking argmax_x min_c d²(x, c)
+            # (deterministic tie-break on the lower id). Same fold-distance
+            # contract as assignment, so the traversal is bit-reproducible.
+            centroids = [centroids[0]]
+            cast_vec = vec.cast("array<double>")
+            for _ in range(k - 1):
+                d2 = F.least(*[_sqdist(cast_vec, c) for c in centroids]) if len(centroids) > 1 else _sqdist(cast_vec, centroids[0])
+                far = (
+                    base.select(F.col(id_col).alias("_sid"), cast_vec.alias("_semb"), d2.alias("_d2"))
+                    .orderBy(F.col("_d2").desc(), F.col("_sid").asc())
+                    .limit(1)
+                    .collect()[0]
                 )
-                .collect()
-            }
-        else:
-            assigned = _assignment_df(base, vec_col, centroids)
-            # floor(y + 0.5), not F.round: see the module-docstring determinism
-            # contract (identical-by-construction with the numpy reference)
-            aggs = [
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(F.floor(F.col("_mind") * INERTIA_SCALE + F.lit(0.5)).cast("decimal(38,0)")).alias("_inert"),
-            ] + [
-                F.sum(
-                    F.floor(F.element_at("_v", i + 1) * COMP_SCALE + F.lit(0.5)).cast("decimal(38,0)")
-                ).alias(f"_s{i}")
-                for i in range(dim)
-            ]
-            rows = {r["_cl"]: r for r in assigned.groupBy("_cl").agg(*aggs).collect()}
-        _mark("iter_sec")
+                centroids.append([float(x) for x in far["_semb"]])
+            _mark("farthest_init_sec")
+        elif init != "hash":
+            raise ValueError(f"unknown init: {init!r}")
+        dim = len(centroids[0])
 
-        sizes = {j: int(rows[j]["_n"]) for j in rows}
-        inertia_hist.append(sum(int(r["_inert"]) for r in rows.values()) / INERTIA_SCALE)
-        new_centroids = []
-        for j, old in enumerate(centroids):
-            r = rows.get(j)
-            if r is None:  # empty cluster: keep the previous centroid
-                new_centroids.append(old)
-                continue
-            n = int(r["_n"])
-            new_centroids.append([float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(dim)])
-        if new_centroids == centroids:
-            converged = True
-            break
-        centroids = new_centroids
+        inertia_hist: list[float] = []
+        sizes: dict[int, int] = {}
+        converged = False
+        n_iter = 0
+        fused = not _expr_path_ok(centroids) and _fit_fused_enabled()
+        for _ in range(max_iter):
+            n_iter += 1
+            if fused:
+                # fused iteration (round 13): argmin + fixed-point partial
+                # sums in ONE Arrow pass — bit-identical totals (integer
+                # partials are exactly associative; see _fit_fused_enabled)
+                schema = "_cl int, _n long, _inert long, " + ", ".join(
+                    f"_s{i} long" for i in range(dim)
+                )
+                partial = base.select(vec.cast("array<double>").alias("_v")).mapInPandas(
+                    _batch_partials_fn(centroids, "_v"), schema
+                )
+                rows = {
+                    r["_cl"]: r
+                    for r in partial.groupBy("_cl")
+                    .agg(
+                        F.sum("_n").alias("_n"),
+                        F.sum(F.col("_inert").cast("decimal(38,0)")).alias("_inert"),
+                        *[
+                            F.sum(F.col(f"_s{i}").cast("decimal(38,0)")).alias(f"_s{i}")
+                            for i in range(dim)
+                        ],
+                    )
+                    .collect()
+                }
+            else:
+                assigned = _assignment_df(base, vec_col, centroids)
+                # floor(y + 0.5), not F.round: see the module-docstring determinism
+                # contract (identical-by-construction with the numpy reference)
+                aggs = [
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.floor(F.col("_mind") * INERTIA_SCALE + F.lit(0.5)).cast("decimal(38,0)")).alias("_inert"),
+                ] + [
+                    F.sum(
+                        F.floor(F.element_at("_v", i + 1) * COMP_SCALE + F.lit(0.5)).cast("decimal(38,0)")
+                    ).alias(f"_s{i}")
+                    for i in range(dim)
+                ]
+                rows = {r["_cl"]: r for r in assigned.groupBy("_cl").agg(*aggs).collect()}
+            _mark("iter_sec")
 
-    if persisted_base is not None:
-        persisted_base.unpersist()
-    return KMeansModel(centroids, n_iter, inertia_hist, sizes, converged)
+            sizes = {j: int(rows[j]["_n"]) for j in rows}
+            inertia_hist.append(sum(int(r["_inert"]) for r in rows.values()) / INERTIA_SCALE)
+            new_centroids = []
+            for j, old in enumerate(centroids):
+                r = rows.get(j)
+                if r is None:  # empty cluster: keep the previous centroid
+                    new_centroids.append(old)
+                    continue
+                n = int(r["_n"])
+                new_centroids.append([float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(dim)])
+            if new_centroids == centroids:
+                converged = True
+                break
+            centroids = new_centroids
+
+        return KMeansModel(centroids, n_iter, inertia_hist, sizes, converged)
+    finally:
+        if persisted_base is not None:
+            persisted_base.unpersist()
 
 
 def assign_clusters(

@@ -664,7 +664,12 @@ def minhash_candidates(
         size is bounded by the hot gate (≤ ~HOT_BUCKET_MIN rows → ≤ ~0.5 M
         pairs per bucket task), while a giant bucket's C(B,2) explode
         would land in one task — the exact skew the salted branch exists
-        for. ``SPARK_GRAFT_CAND_GROUPED=0`` opts back to the self-join."""
+        for. When the gate is DISABLED (``hot_bucket_min <= 0``) the
+        bound disappears, so that branch falls back to ``_self_pairs``
+        (round 14, VERDICT r13 item 5): the self-join streams a giant
+        bucket's pairs across join tasks instead of building them as one
+        collect_list + C(B,2) flatten in a single row.
+        ``SPARK_GRAFT_CAND_GROUPED=0`` opts back to the self-join."""
         ids = F.col("_ids")
         pair_structs = F.flatten(
             F.transform(
@@ -690,7 +695,12 @@ def minhash_candidates(
     )
 
     if hot_bucket_min <= 0:
-        return cold_pairs(banded).distinct()
+        # gate disabled → no bucket-size bound → the grouped path would
+        # materialize a giant bucket's whole C(B,2) pair array in ONE row
+        # (collect_list + flatten in a single task); the self-join spreads
+        # that work across join tasks, so it is the only safe shape here
+        # (VERDICT r13 item 5 / ADVICE r13)
+        return _self_pairs(banded, []).distinct()
     else:
         from ..functions.skew import HOT_SALTS, explode_salts, with_salt
 

@@ -95,8 +95,10 @@ def _hll_rank_cols(key):
 
 def _hll_estimate(regs: DataFrame, keys: list[str]) -> DataFrame:
     """Registers → (keys…, v_zero, hll_est): integer-scaled harmonic sum
-    (absent registers contribute 2^56 each), one long→double cast, one
-    division by the python-literal numerator — bit-identical cross-engine."""
+    (absent registers contribute ``1 << (HLL_W_BITS + 1)`` = 2^55 each —
+    the rank-0 term at the 2^55 fixed-point scale), one long→double cast,
+    one division by the python-literal numerator — bit-identical
+    cross-engine."""
     grouped = regs.groupBy(*keys) if keys else regs.groupBy()
     agg = grouped.agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - mb)")).alias("_s"),
