@@ -77,7 +77,11 @@ def _driver_components(sym: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, *, max_iter: int = 25, driver_max_edges: int = DRIVER_CC_MAX_EDGES
+    edges: DataFrame,
+    *,
+    max_iter: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
+    seam_seconds: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected pair set → (id, comp): every vertex labeled
     with the smallest vertex id reachable from it.
@@ -93,21 +97,52 @@ def connected_components(
     caller with a pathological pair set can raise it instead of aborting
     the funnel (round-4 ADVICE). Raises rather than returning a partial
     labeling on non-convergence.
+
+    ``seam_seconds``: pass a dict to receive per-seam wall seconds
+    (edge materialization / symmetrize / count / labeling) — the
+    BENCH_SCALE_r14 funnel_gap_attrib hook; zero cost when not passed.
     """
-    # Materialize the symmetric edge set ONCE before iterating: ``edges``
-    # usually arrives as a lazy pair pipeline (MinHash shingle+LSH+verify,
-    # or the SemDeDup fit+gram), and the per-round neighbor join would
-    # otherwise re-execute that whole pipeline every round — measured as
-    # the dominant cost of the sf1 curation near-dedup stage (the pair
-    # graph itself is tiny next to the corpus, so checkpointing it is
-    # cheap by construction).
-    sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .localCheckpoint()
-    )
-    if sym.count() <= driver_max_edges:
-        return _driver_components(sym)
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(key: str) -> None:
+        nonlocal _t0
+        if seam_seconds is not None:
+            seam_seconds[key] = round(_time.perf_counter() - _t0, 2)
+        _t0 = _time.perf_counter()
+
+    # Materialize the edge set ONCE before iterating: ``edges`` usually
+    # arrives as a lazy pair pipeline (MinHash shingle+LSH+verify, or the
+    # SemDeDup fit+gram), and the per-round neighbor join would otherwise
+    # re-execute that whole pipeline every round — measured as the
+    # dominant cost of the sf1 curation near-dedup stage (the pair graph
+    # itself is tiny next to the corpus, so checkpointing it is cheap by
+    # construction).
+    #
+    # Checkpoint the ONE-SIDED projection FIRST, then symmetrize from the
+    # checkpointed blocks (round 14, VERDICT r13 item 3): a union's two
+    # branches are separate subplans — Spark performs no cross-branch
+    # common-subexpression elimination — so symmetrizing the LAZY plan
+    # inside one checkpoint executed the entire upstream pair pipeline
+    # TWICE (once per branch). That double execution was the bulk of the
+    # sf100 funnel's 263 s-vs-~92 s end-to-end/stage-median gap (the stage
+    # probes pre-persisted their pairs, hiding it); measured directly in
+    # BENCH_SCALE_r14 funnel_gap_attrib, survivor hash unchanged.
+    one = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).localCheckpoint()
+    _mark("edges_checkpoint_sec")
+    sym = one.unionByName(
+        one.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    _mark("symmetrize_sec")
+    n_sym = sym.count()
+    _mark("count_sec")
+    if n_sym <= driver_max_edges:
+        out = _driver_components(sym)
+        _mark("labeling_sec")
+        return out
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
@@ -145,17 +180,24 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            _mark("labeling_sec")
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
 def cluster_survivors(
-    pairs: DataFrame, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iter: int = 25
+    pairs: DataFrame,
+    *,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+    seam_seconds: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs → (id, comp, is_survivor): close the pair set into
     components and keep the smallest id per component (the same
     keep-lowest policy as ``exact_survivors``). Join the result back to
-    the corpus and filter ``is_survivor`` to deduplicate transitively."""
+    the corpus and filter ``is_survivor`` to deduplicate transitively.
+    ``seam_seconds`` passes through to ``connected_components``."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    comps = connected_components(edges, max_iter=max_iter)
+    comps = connected_components(edges, max_iter=max_iter, seam_seconds=seam_seconds)
     return comps.withColumn("is_survivor", F.col("id") == F.col("comp"))

@@ -49,6 +49,7 @@ def run_curation(
     spark: SparkSession, sf_dir: str, base: str, as_of: str = DEFAULT_AS_OF,
     *, cc_max_iter: int = 25, near_dedup: str = "minhash",
     stage_seconds: dict | None = None,
+    near_dedup_seconds: dict | None = None,
     band_geometry: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Run the four-stage funnel over ``documents``; writes every stage to
@@ -70,6 +71,13 @@ def run_curation(
     ``stage_seconds``: pass a dict to receive per-stage wall seconds
     (each stage is write-materialized, so the walls are real work, not
     laziness artifacts) — the bench hook for BENCH_SCALE_r08.
+
+    ``near_dedup_seconds``: pass a dict to receive the near-dedup stage's
+    per-seam walls (shingle+advisory, pair materialization, symmetrize,
+    component labeling, anti-join+write) through the SAME plan the stage
+    ships — the BENCH_SCALE_r14 funnel_gap_attrib hook that closed the
+    263 s-vs-~92 s end-to-end/stage-median gap. Zero cost when not
+    passed; minhash path only.
 
     ``band_geometry``: optional (K, band_rows) override for the MinHash
     near-dup detector — the EXPLICIT dial for the candidate quadratic
@@ -120,6 +128,14 @@ def run_curation(
     # graph only (tiny next to the corpus); the corpus-side removal is one
     # anti-join on doc_id.
     deduped = read_table(spark, _p(base, "curation", "deduped"))
+    _nt = _time.perf_counter()
+
+    def _nmark(key: str) -> None:
+        nonlocal _nt
+        if near_dedup_seconds is not None:
+            near_dedup_seconds[key] = round(_time.perf_counter() - _nt, 2)
+        _nt = _time.perf_counter()
+
     shingled = None
     if near_dedup == "minhash":
         # persist ONE shingle computation across the pair plan's three
@@ -139,6 +155,7 @@ def run_curation(
             deduped.select("doc_id", "text"), hh_only=True
         ).persist()
         _geometry_advisory(shingled, band_geometry)
+        _nmark("shingle_advisory_sec")
         # verify="hh": the funnel's scale dial — exact Jaccard over the
         # md5-int64 arrays (13.6 s vs 46.7 s over 19.1 M sf100 candidates,
         # pair sets hash-identical; BENCH_SCALE_r12 stages100). The
@@ -146,7 +163,13 @@ def run_curation(
         pairs = minhash_pairs(
             deduped.select("doc_id", "text"), shingled=shingled, verify="hh", **geom_kw
         )
-        survivors = cluster_survivors(pairs, max_iter=cc_max_iter)
+        # cluster_survivors is eager through its checkpoints, so the cc
+        # seam walls below are real work (pair materialization runs ONCE
+        # inside edges_checkpoint_sec — see connected_components)
+        survivors = cluster_survivors(
+            pairs, max_iter=cc_max_iter, seam_seconds=near_dedup_seconds
+        )
+        _nmark("pairs_cc_total_sec")
     elif near_dedup == "semantic":
         survivors = _semantic_survivors(spark, sf_dir, deduped, cc_max_iter=cc_max_iter)
     else:
@@ -158,6 +181,7 @@ def run_curation(
     )
     near_deduped = deduped.join(losers, "doc_id", "left_anti")
     overwrite_table(near_deduped, _p(base, "curation", "near_deduped"))
+    _nmark("anti_join_write_sec")
     if shingled is not None:
         shingled.unpersist()
     _mark("near_dedup")
