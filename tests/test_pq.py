@@ -568,3 +568,65 @@ def test_ivfpq_search_large_geometry_equals_expression_path(spark, monkeypatch):
         corpus.unpersist()
     assert arrow == expr
     assert len(arrow) > 0
+
+
+def test_pq_fused_gemm_kernel_canary(spark, monkeypatch):
+    """Round 14 (ADVICE r13): above the expression-k bound
+    (ksub > KM_EXPR_MAX_K) `_pq_partials_fn` now honors the gemm dial the
+    same way `_batch_partials_fn` does, so the fused path and the opt-out
+    reference arm keep picking the SAME kernel at every ksub. Identity of
+    the gemm arm vs the left-fold arm is measured, not structural (the
+    expanded form associates differently) — this is its standing canary
+    at scaled ksub, mirroring the k=256 coarse-fit canary."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    meta = lambda mm: [  # noqa: E731
+        (s.n_iter, s.inertia, s.sizes, s.converged) for s in mm.sub_models
+    ]
+    monkeypatch.setenv("SPARK_GRAFT_FIT_MATMUL", "1")
+    gemm = pq.pq_fit_fused(emb, ksub=96, max_iter=2)
+    monkeypatch.setenv("SPARK_GRAFT_FIT_MATMUL", "0")
+    fold = pq.pq_fit_fused(emb, ksub=96, max_iter=2)
+    assert gemm.codebooks == fold.codebooks
+    assert meta(gemm) == meta(fold)
+
+
+def test_ivfpq_fused_encode_and_residual_bit_identical(spark, monkeypatch):
+    """Round 14 (VERDICT r13 item 4): above the expression-k bound the
+    encode defaults to ONE fused Arrow pass (cell + in-memory residual +
+    codes) instead of three Python round-trips, and the fit's residual
+    materialization fuses assign+subtract into one slim (id, residual)
+    pass. Both reuse the pinned kernels verbatim, so cells, codes, AND
+    fitted codebooks must be bit-identical to the three-stage opt-out —
+    asserted here at coarse_k=96 (> KM_EXPR_MAX_K, the smallest corpus
+    that exercises the fused branch) and fingerprint-compared at 1 M in
+    BENCH_SCALE_r14."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+
+    def _fit():
+        return pq.ivfpq_fit(emb, coarse_k=96)
+
+    def _enc(index):
+        return {
+            r["vec_id"]: (r["cell"], tuple(r["codes"]))
+            for r in pq.ivfpq_encode(emb.select("vec_id", "embedding"), index)
+            .select("vec_id", "cell", "codes")
+            .collect()
+        }
+
+    monkeypatch.setenv("SPARK_GRAFT_ENCODE_FUSED", "1")
+    idx_fused = _fit()
+    enc_fused = _enc(idx_fused)
+    monkeypatch.setenv("SPARK_GRAFT_ENCODE_FUSED", "0")
+    idx_base = _fit()
+    enc_base = _enc(idx_base)
+    assert idx_fused.coarse == idx_base.coarse
+    assert idx_fused.pq.codebooks == idx_base.pq.codebooks
+    assert enc_fused == enc_base
+    # the fused branch really engaged: the plan is ONE Arrow stage, not
+    # an assign stage feeding a residual udf feeding an encode stage
+    monkeypatch.setenv("SPARK_GRAFT_ENCODE_FUSED", "1")
+    plan = (
+        pq.ivfpq_encode(emb.select("vec_id", "embedding"), idx_fused)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1 and "ArrowEvalPython" not in plan

@@ -73,14 +73,29 @@ class PQModel:
 def _pq_partials_fn(codebooks: list, active: list[bool], vec_col: str, dsub: int):
     """mapInPandas generator for the FUSED sub-fit iteration: one pass over
     the (sampled) training frame computes, for every still-active subspace,
-    the numpy left-fold assignment (identical association/tie-break as the
-    expression path — the pinned ``_batch_assign_fn`` contract) and the
-    per-cluster INTEGER partial sums of the fixed-point quantized
-    components/inertia. Integer addition is exactly associative, so the
-    cross-batch decimal totals — and with them every centroid — are
-    bit-identical to the r12 per-subspace fits (differential-tested in
-    tests/test_pq.py)."""
+    the numpy assignment and the per-cluster INTEGER partial sums of the
+    fixed-point quantized components/inertia. Integer addition is exactly
+    associative, so the cross-batch decimal totals — and with them every
+    centroid — are bit-identical to the r12 per-subspace fits
+    (differential-tested in tests/test_pq.py).
+
+    Kernel choice mirrors the opt-out reference arm (round 14, ADVICE
+    r13): at ``ksub <= KM_EXPR_MAX_K`` (every fixture/oracle — the default
+    ksub is 16) the left-fold association reproduces the expression path
+    bit-for-bit BY CONSTRUCTION; above it the reference arm
+    (``SPARK_GRAFT_FIT_FUSED=0`` → ``kmeans_fit``) would itself run the
+    gemm kernel, so this path engages the same expanded-form BLAS kernel
+    under the same ``_fit_matmul_enabled`` dial (identity there is
+    MEASURED, canary-tested like ``_batch_partials_fn``'s, not
+    structural)."""
     import numpy as np
+
+    from .clustering import KM_EXPR_MAX_K, _fit_matmul_enabled
+
+    # captured at plan build, driver-side — same discipline as
+    # _batch_partials_fn; gemm only above the expression-k bound so the
+    # small-ksub equality contract stays structural
+    matmul = _fit_matmul_enabled() and len(codebooks[0]) > KM_EXPR_MAX_K
 
     def partials(batches):
         import pandas as pd
@@ -99,12 +114,21 @@ def _pq_partials_fn(codebooks: list, active: list[bool], vec_col: str, dsub: int
                 S = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
                 ST = np.ascontiguousarray(S.T)
                 CT = np.ascontiguousarray(C.T)
-                D = np.zeros((len(S), len(C)))
-                for d in range(dsub):  # left-fold association
-                    diff = ST[d][:, None] - CT[d][None, :]
-                    D += diff * diff
+                if matmul:
+                    # expanded form ||s−c||² = ||c||² − 2 s·c (+ ||s||²,
+                    # added after the argmin) — same kernel as
+                    # _batch_assign_fn/_batch_partials_fn's gemm arm
+                    c2 = (C * C).sum(axis=1)
+                    D = c2[None, :] - 2.0 * (S @ CT)
+                else:
+                    D = np.zeros((len(S), len(C)))
+                    for d in range(dsub):  # left-fold association
+                        diff = ST[d][:, None] - CT[d][None, :]
+                        D += diff * diff
                 cl = D.argmin(axis=1)  # first-min ≡ array_position
                 mind = D[np.arange(len(S)), cl]
+                if matmul:  # restore the true distance (clamp round-off)
+                    mind = np.maximum(mind + (S * S).sum(axis=1), 0.0)
                 SV = np.floor(S * COMP_SCALE + 0.5).astype(np.int64)
                 SI = np.floor(mind * INERTIA_SCALE + 0.5).astype(np.int64)
                 order = np.argsort(cl, kind="stable")
@@ -181,100 +205,104 @@ def pq_fit_fused(
     if sample_mod > 1 and not df.is_cached:
         persisted_base = base.persist()
         base = persisted_base
+    # released even when a seed pick or an iteration job raises
+    # (ADVICE r13 — same contract as kmeans_fit's)
+    try:
 
-    _t0 = _time.perf_counter()
-
-    def _mark(key: str) -> None:
-        nonlocal _t0
-        if timings is not None:
-            timings[key] = round(timings.get(key, 0.0) + _time.perf_counter() - _t0, 3)
         _t0 = _time.perf_counter()
 
-    # per-subspace seeds: the exact kmeans_fit seed plan on the slice frame
-    centroids: list[list[list[float]]] = []
-    for j in range(m):
-        seed_rows = (
-            base.select(
-                F.col(id_col).alias("_sid"),
-                F.slice(F.col(vec_col), j * dsub + 1, dsub)
-                .cast("array<double>")
-                .alias("_semb"),
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"pq{j}:"), F.col(id_col).cast("string"))), 1, 15
-                    ),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .alias("_h"),
-            )
-            .orderBy("_h", "_sid")
-            .limit(ksub)
-            .collect()
-        )
-        cb = [[float(x) for x in r["_semb"]] for r in seed_rows]
-        if len(cb) < ksub:
-            raise ValueError(f"corpus has only {len(cb)} rows; need k={ksub} seeds")
-        centroids.append(cb)
-    _mark("sub_seed_sec")
+        def _mark(key: str) -> None:
+            nonlocal _t0
+            if timings is not None:
+                timings[key] = round(timings.get(key, 0.0) + _time.perf_counter() - _t0, 3)
+            _t0 = _time.perf_counter()
 
-    active = [True] * m
-    n_iter = [0] * m
-    inertia: list[list[float]] = [[] for _ in range(m)]
-    sizes: list[dict[int, int]] = [{} for _ in range(m)]
-    converged = [False] * m
-    schema = "_j int, _cl int, _n long, _inert long, " + ", ".join(
-        f"_s{i} long" for i in range(dsub)
-    )
-    for _ in range(max_iter):
-        if not any(active):
-            break
-        partial = base.select(F.col(vec_col).cast("array<double>").alias("_v")).mapInPandas(
-            _pq_partials_fn(centroids, list(active), "_v", dsub), schema
-        )
-        rows_all: dict[int, dict[int, object]] = {}
-        for r in (
-            partial.groupBy("_j", "_cl")
-            .agg(
-                F.sum("_n").alias("_n"),
-                F.sum(F.col("_inert").cast("decimal(38,0)")).alias("_inert"),
-                *[
-                    F.sum(F.col(f"_s{i}").cast("decimal(38,0)")).alias(f"_s{i}")
-                    for i in range(dsub)
-                ],
-            )
-            .collect()
-        ):
-            rows_all.setdefault(r["_j"], {})[r["_cl"]] = r
-        _mark("sub_iter_sec")
+        # per-subspace seeds: the exact kmeans_fit seed plan on the slice frame
+        centroids: list[list[list[float]]] = []
         for j in range(m):
-            if not active[j]:
-                continue
-            rows = rows_all.get(j, {})
-            n_iter[j] += 1
-            sizes[j] = {c: int(rows[c]["_n"]) for c in rows}
-            inertia[j].append(
-                sum(int(r["_inert"]) for r in rows.values()) / INERTIA_SCALE
-            )
-            new_cb = []
-            for c, old in enumerate(centroids[j]):
-                r = rows.get(c)
-                if r is None:  # empty cluster: keep the previous centroid
-                    new_cb.append(old)
-                    continue
-                n = int(r["_n"])
-                new_cb.append(
-                    [float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(dsub)]
+            seed_rows = (
+                base.select(
+                    F.col(id_col).alias("_sid"),
+                    F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                    .cast("array<double>")
+                    .alias("_semb"),
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"pq{j}:"), F.col(id_col).cast("string"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("_h"),
                 )
-            if new_cb == centroids[j]:
-                converged[j] = True
-                active[j] = False
-            else:
-                centroids[j] = new_cb
+                .orderBy("_h", "_sid")
+                .limit(ksub)
+                .collect()
+            )
+            cb = [[float(x) for x in r["_semb"]] for r in seed_rows]
+            if len(cb) < ksub:
+                raise ValueError(f"corpus has only {len(cb)} rows; need k={ksub} seeds")
+            centroids.append(cb)
+        _mark("sub_seed_sec")
 
-    if persisted_base is not None:
-        persisted_base.unpersist()
+        active = [True] * m
+        n_iter = [0] * m
+        inertia: list[list[float]] = [[] for _ in range(m)]
+        sizes: list[dict[int, int]] = [{} for _ in range(m)]
+        converged = [False] * m
+        schema = "_j int, _cl int, _n long, _inert long, " + ", ".join(
+            f"_s{i} long" for i in range(dsub)
+        )
+        for _ in range(max_iter):
+            if not any(active):
+                break
+            partial = base.select(F.col(vec_col).cast("array<double>").alias("_v")).mapInPandas(
+                _pq_partials_fn(centroids, list(active), "_v", dsub), schema
+            )
+            rows_all: dict[int, dict[int, object]] = {}
+            for r in (
+                partial.groupBy("_j", "_cl")
+                .agg(
+                    F.sum("_n").alias("_n"),
+                    F.sum(F.col("_inert").cast("decimal(38,0)")).alias("_inert"),
+                    *[
+                        F.sum(F.col(f"_s{i}").cast("decimal(38,0)")).alias(f"_s{i}")
+                        for i in range(dsub)
+                    ],
+                )
+                .collect()
+            ):
+                rows_all.setdefault(r["_j"], {})[r["_cl"]] = r
+            _mark("sub_iter_sec")
+            for j in range(m):
+                if not active[j]:
+                    continue
+                rows = rows_all.get(j, {})
+                n_iter[j] += 1
+                sizes[j] = {c: int(rows[c]["_n"]) for c in rows}
+                inertia[j].append(
+                    sum(int(r["_inert"]) for r in rows.values()) / INERTIA_SCALE
+                )
+                new_cb = []
+                for c, old in enumerate(centroids[j]):
+                    r = rows.get(c)
+                    if r is None:  # empty cluster: keep the previous centroid
+                        new_cb.append(old)
+                        continue
+                    n = int(r["_n"])
+                    new_cb.append(
+                        [float(int(r[f"_s{i}"])) / (COMP_SCALE * n) for i in range(dsub)]
+                    )
+                if new_cb == centroids[j]:
+                    converged[j] = True
+                    active[j] = False
+                else:
+                    centroids[j] = new_cb
+
+    finally:
+        if persisted_base is not None:
+            persisted_base.unpersist()
     subs = [
         KMeansModel(centroids[j], n_iter[j], inertia[j], sizes[j], converged[j])
         for j in range(m)
@@ -1049,10 +1077,37 @@ def ivfpq_fit(
     pq_train, pq_vec_col = pq_src, vec_col
     persisted = None
     if by_residual:
-        asg = assign_clusters(pq_src, coarse.centroids, vec_col=vec_col, out_col="_ivfc")
-        pq_train = asg.withColumn(
-            "_res", _residual_any(F.col(vec_col), coarse.centroids, F.col("_ivfc"))
-        )
+        from .clustering import KM_EXPR_MAX_K
+
+        if len(coarse.centroids) > KM_EXPR_MAX_K and _encode_fused_enabled():
+            # fused assign+residual (round 14, VERDICT r13 item 4): ONE
+            # Arrow pass emitting just (id, residual) instead of the
+            # two-pass assign-then-subtract chain — and the persist below
+            # caches the slim (id, _res) frame rather than embedding +
+            # cell + _res (same kernels verbatim, so the residual doubles
+            # — and with them the codebooks — are bit-identical;
+            # fingerprint-asserted in BENCH_SCALE_r14 fit_resfuse_ab)
+            from pyspark.sql.types import (
+                ArrayType,
+                DoubleType,
+                StructField,
+                StructType,
+            )
+
+            id_field = next(f for f in pq_src.schema.fields if f.name == id_col)
+            schema = StructType(
+                [id_field, StructField("_res", ArrayType(DoubleType()))]
+            )
+            pq_train = pq_src.select(id_col, vec_col).mapInPandas(
+                _fused_residual_fn(coarse.centroids, vec_col, id_col), schema
+            )
+        else:
+            asg = assign_clusters(
+                pq_src, coarse.centroids, vec_col=vec_col, out_col="_ivfc"
+            )
+            pq_train = asg.withColumn(
+                "_res", _residual_any(F.col(vec_col), coarse.centroids, F.col("_ivfc"))
+            )
         pq_vec_col = "_res"
         if sample_mod > 1:
             # large-corpus regime: one residual materialization shared by
@@ -1061,25 +1116,154 @@ def ivfpq_fit(
             persisted.count()
             pq_train = persisted
     _mark("residual_sec")
-    model = pq_fit(
-        pq_train,
-        id_col=id_col,
-        vec_col=pq_vec_col,
-        m=m,
-        ksub=ksub,
-        max_iter=max_iter,
-        sample_mod=sample_mod,
-        timings=timings,
-    )
-    _mark("pq_fit_sec")
-    if persisted is not None:
-        persisted.unpersist()
+    try:
+        model = pq_fit(
+            pq_train,
+            id_col=id_col,
+            vec_col=pq_vec_col,
+            m=m,
+            ksub=ksub,
+            max_iter=max_iter,
+            sample_mod=sample_mod,
+            timings=timings,
+        )
+        _mark("pq_fit_sec")
+    finally:
+        # the shared residual cache is released even when the PQ fit
+        # raises (ADVICE r13 — same contract as kmeans_fit's)
+        if persisted is not None:
+            persisted.unpersist()
     # the full-frame count (taken once, up front — it also resolved the
     # auto geometry) — the corpus-size statistic the auto-rerank dial needs
     return IVFPQIndex(
         coarse.centroids, model, by_residual, n_vectors=n_vectors,
         separation=round(separation, 4) if separation is not None else None,
     )
+
+
+def _encode_fused_enabled() -> bool:
+    """Env gate for the single-pass fused encode (round 14, VERDICT r13
+    item 4) — default ON: at the auto geometry (cells > KM_EXPR_MAX_K) the
+    three-stage encode shipped in r13 paid THREE Python/Arrow round-trips
+    of the full corpus (cell assignment mapInPandas → residual pandas_udf
+    → codes mapInPandas), each serializing the 64-dim vectors both ways
+    plus the residual column once materialized into the plan. The fused
+    pass computes cell, residual (numpy-local, never crossing Arrow), and
+    codes in ONE mapInPandas — same kernels verbatim (``_batch_assign_fn``'s
+    blocked argmin incl. the gemm dial, ``_residual_udf``'s single IEEE
+    subtraction, ``pq_encode``'s per-subspace left fold), so cells and
+    codes are bit-identical (equality-pinned at coarse_k=96 in
+    tests/test_pq.py; fingerprint-compared at 1 M in BENCH_SCALE_r14
+    encode_fuse_ab). ``SPARK_GRAFT_ENCODE_FUSED=0`` opts back to the
+    three-stage plan. Fixture scales (cells ≤ KM_EXPR_MAX_K) stay on the
+    expression path untouched by construction."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ENCODE_FUSED", "1") != "0"
+
+
+def _fused_encode_fn(
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dsub: int,
+    by_residual: bool,
+    vec_col: str,
+    cell_col: str,
+    codes_col: str,
+):
+    """mapInPandas generator for the fused encode: per Arrow batch — the
+    blocked coarse argmin (verbatim ``_batch_assign_fn`` kernel: KBLK=512
+    column blocks, left fold per column or the gemm expansion under
+    ``_fit_matmul_enabled``, first-min ≡ array_position), the residual
+    subtraction (one IEEE op, ≡ ``_residual_udf``), and the per-subspace
+    left-fold code argmin (verbatim ``pq_encode`` pandas kernel)."""
+    import numpy as np
+
+    from .clustering import _fit_matmul_enabled
+
+    KBLK = 512
+    matmul = _fit_matmul_enabled()  # captured at plan build, driver-side
+
+    def encode(batches):
+        C = np.asarray(coarse, dtype=np.float64)  # k x dim
+        k, dim = C.shape
+        CT = np.ascontiguousarray(C.T)
+        c2 = (C * C).sum(axis=1) if matmul else None
+        CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            XT = np.ascontiguousarray(X.T)
+            D = np.empty((len(X), k))
+            for k0 in range(0, k, KBLK):
+                k1 = min(k0 + KBLK, k)
+                if matmul:
+                    Db = c2[None, k0:k1] - 2.0 * (X @ CT[:, k0:k1])
+                else:
+                    Db = np.zeros((len(X), k1 - k0))
+                    for d in range(dim):  # left-fold association
+                        diff = XT[d][:, None] - CT[d][None, k0:k1]
+                        Db += diff * diff
+                D[:, k0:k1] = Db
+            cl = D.argmin(axis=1)  # first-min ≡ array_position
+            R = X - C[cl] if by_residual else X
+            codes = np.zeros((len(R), len(CB)), dtype=np.int32)
+            for j, Cj in enumerate(CB):
+                S = R[:, j * dsub : (j + 1) * dsub]
+                Dj = np.zeros((len(S), len(Cj)))
+                for d in range(dsub):  # left-fold association (pq_encode kernel)
+                    diff = S[:, d, None] - Cj[None, :, d]
+                    Dj += diff * diff
+                codes[:, j] = Dj.argmin(axis=1)
+            out = pdf.copy()
+            out[cell_col] = cl.astype(np.int32)
+            out[codes_col] = list(codes)
+            yield out
+
+    return encode
+
+
+def _fused_residual_fn(coarse: list[list[float]], vec_col: str, id_col: str):
+    """mapInPandas generator for the fused fit-side residual pass: blocked
+    coarse argmin (verbatim ``_batch_assign_fn`` kernel incl. the gemm
+    dial) + the single-IEEE-op subtraction, emitting only (id, residual) —
+    the slim frame the PQ sub-fits persist and read."""
+    import numpy as np
+
+    from .clustering import _fit_matmul_enabled
+
+    KBLK = 512
+    matmul = _fit_matmul_enabled()  # captured at plan build, driver-side
+
+    def resid(batches):
+        import pandas as pd
+
+        C = np.asarray(coarse, dtype=np.float64)
+        k, dim = C.shape
+        CT = np.ascontiguousarray(C.T)
+        c2 = (C * C).sum(axis=1) if matmul else None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            XT = np.ascontiguousarray(X.T)
+            D = np.empty((len(X), k))
+            for k0 in range(0, k, KBLK):
+                k1 = min(k0 + KBLK, k)
+                if matmul:
+                    Db = c2[None, k0:k1] - 2.0 * (X @ CT[:, k0:k1])
+                else:
+                    Db = np.zeros((len(X), k1 - k0))
+                    for d in range(dim):  # left-fold association
+                        diff = XT[d][:, None] - CT[d][None, k0:k1]
+                        Db += diff * diff
+                D[:, k0:k1] = Db
+            cl = D.argmin(axis=1)  # first-min ≡ array_position
+            R = X - C[cl]
+            yield pd.DataFrame({id_col: pdf[id_col], "_res": list(R)})
+
+    return resid
 
 
 def ivfpq_encode(
@@ -1096,14 +1280,46 @@ def ivfpq_encode(
     nprobe/coarse_k of the files; locally the cell equi-join plays that
     role. A residual index encodes ``vec - centroid[cell]`` — still the
     same single map pass (the assignment provides the cell the residual
-    needs)."""
+    needs). Above the expression-k bound the default is the FUSED Arrow
+    pass (one Python round-trip instead of three — see
+    ``_encode_fused_enabled``)."""
     from .clustering import KM_EXPR_MAX_K, assign_clusters
 
     # above the expression-k bound the corpus is in the auto-geometry
     # (large-n) regime — take the Arrow encode path too: 128 interpreted
     # fold chains per row are the same cost class the round-11 signature
     # fix removed (bit-identical either way, equality-tested)
-    enc_path = "pandas" if len(index.coarse) > KM_EXPR_MAX_K else None
+    if len(index.coarse) > KM_EXPR_MAX_K:
+        if _encode_fused_enabled():
+            from pyspark.sql.types import (
+                ArrayType,
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            schema = StructType(
+                list(df.schema.fields)
+                + [
+                    StructField(cell_col, IntegerType()),
+                    StructField(codes_col, ArrayType(IntegerType())),
+                ]
+            )
+            return df.mapInPandas(
+                _fused_encode_fn(
+                    index.coarse,
+                    index.pq.codebooks,
+                    index.pq.dsub,
+                    index.by_residual,
+                    vec_col,
+                    cell_col,
+                    codes_col,
+                ),
+                schema,
+            )
+        enc_path = "pandas"
+    else:
+        enc_path = None
     assigned = assign_clusters(df, index.coarse, vec_col=vec_col, out_col=cell_col)
     if not index.by_residual:
         return pq_encode(assigned, index.pq, vec_col=vec_col, out_col=codes_col, path=enc_path)
