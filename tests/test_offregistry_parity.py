@@ -12,7 +12,16 @@ from __future__ import annotations
 
 import pytest
 
-from wnba_data_pipeline_spark.operators import dedup, multimodal, pq, relational, similarity, text
+from wnba_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    pq,
+    relational,
+    similarity,
+    temporal,
+    text,
+)
+from wnba_data_pipeline_spark.streaming import events as streaming_events
 
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
@@ -69,7 +78,9 @@ ROTATED = {
     # JSON surface stays covered by scalar_funcs + kpi_json (already in
     # this table); argmax_leader's max_by ordered-first physics is
     # advanced_metrics' D3 ordered-first.
-    "group_tail_n": (relational.q_group_tail_n, relational.ORACLE_GROUP_TAIL_N),
+    # group_tail_n parked here rounds 10-13; the round-14 THIRTEENTH
+    # rotation put it BACK in-registry (E5's only carrier — the
+    # longest-parked row).
     "json_extract_events": (relational.q_json_extract_events, relational.ORACLE_JSON_EXTRACT_EVENTS),
     "argmax_leader": (relational.q_argmax_leader, relational.ORACLE_ARGMAX_LEADER),
     # tenth rotation (round 11, VERDICT r10 item 5): slots freed for
@@ -105,6 +116,21 @@ ROTATED = {
         relational.ORACLE_COUNT_DISTINCT_GROUPS,
     ),
     "frame_sample": (multimodal.q_frame_sample, multimodal.ORACLE_FRAME_SAMPLE),
+    # thirteenth rotation (round 14, VERDICT r13 item 6): slots freed for
+    # hh_cms_vs_exact (the CMS accuracy audit's first driver row,
+    # operators/text.py) and group_tail_n (returning — E5's only carrier).
+    # range_agg_binjoin's two-table trailing-range physics is
+    # range_join_bins' (in-registry; same oracle SQL by construction, and
+    # the bin-join≡window twin equality stays pinned in
+    # tests/test_temporal.py); hopping_6h_batch's hopping-window physics
+    # is tumbling_daily's windowed agg + chunk_docs' 1→N expansion, with
+    # the stream≡batch twin in tests/test_streaming.py and the planted
+    # null-ts oracle in tests/test_oracle_parity.py.
+    "range_agg_binjoin": (temporal.range_agg_binjoin, temporal.ORACLE_RANGE_JOIN_BINS),
+    "hopping_6h_batch": (
+        streaming_events.hopping_6h_batch,
+        streaming_events.ORACLE_HOPPING_6H,
+    ),
 }
 
 
@@ -137,11 +163,10 @@ def test_rotated_queries_stay_off_registry():
         # frame_sample re-rotated out in round 13)
         "ivfpq_search",
         # ninth rotation (round 10; simhash_fingerprint re-rotated out in
-        # round 12)
+        # round 12, hopping_6h_batch re-rotated out in round 14)
         "heavy_hitters_cms",
-        "hopping_6h_batch",
-        # tenth rotation (round 11)
-        "range_agg_binjoin",
+        # tenth rotation (round 11; range_agg_binjoin re-rotated out in
+        # round 14)
         "pq_rerank",
         # eleventh rotation (round 12)
         "hamming_rerank",
@@ -149,5 +174,8 @@ def test_rotated_queries_stay_off_registry():
         # twelfth rotation (round 13)
         "hll_distinct_daily",
         "emb_near_dup",
+        # thirteenth rotation (round 14)
+        "hh_cms_vs_exact",
+        "group_tail_n",
     ):
         assert newcomer in qs

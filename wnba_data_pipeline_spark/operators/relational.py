@@ -1821,6 +1821,14 @@ QUERIES = {
     # and hopping_6h_batch (streaming/events.py — the one window family with
     # no driver row ever) get hard rows. All three keep the identical
     # hash-differential parity check in tests/test_offregistry_parity.py.
+    # group_tail_n RETURNS (round-14 thirteenth rotation, VERDICT r13
+    # item 6): E5's ONLY carrier — off-registry since round 10, the
+    # longest-parked row — takes back a hard driver slot; the freed slot
+    # comes from hopping_6h_batch (streaming/events.py — its hopping
+    # window physics is tumbling_daily's windowed agg + the explode
+    # expansion chunk_docs carries, and its stream≡batch twin + planted
+    # null-ts oracle stay pytest-pinned).
+    "group_tail_n": q_group_tail_n,
     "topk_revenue": q_topk_revenue,
     "global_aggs": q_global_aggs,
     # count_distinct_groups rotated OFF (round-13 twelfth rotation): its
@@ -1860,6 +1868,7 @@ ORACLES = {
     "join_multikey": ORACLE_JOIN_MULTIKEY,
     "rolling_5_10": _oracle_rolling((5, 10)),
     "rank_partition_avg": ORACLE_RANK_PARTITION_AVG,
+    "group_tail_n": ORACLE_GROUP_TAIL_N,
     "topk_revenue": ORACLE_TOPK_REVENUE,
     "global_aggs": ORACLE_GLOBAL_AGGS,
     "dispersion_stats": ORACLE_DISPERSION_STATS,

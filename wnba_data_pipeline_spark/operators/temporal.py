@@ -555,14 +555,17 @@ GROUP BY p.purchase_id, p.user_id, p.purchase_ts
 QUERIES = {
     "asof_attribution": q_asof_attribution,
     "range_join_bins": q_range_join_bins,
-    # round-11 tenth rotation: the TWO-TABLE bin-join range form holds its
-    # own driver row (same rows as range_join_bins by construction — the
-    # oracle SQL is shared — but a different physical operator:
-    # range_join's bucketed interval join, not the window difference)
-    "range_agg_binjoin": range_agg_binjoin,
+    # range_agg_binjoin held a driver row rounds 11-13 (tenth rotation: the
+    # TWO-TABLE bin-join range form — same rows as range_join_bins by
+    # construction, shared oracle SQL, different physical operator).
+    # Rotated OFF in the round-14 THIRTEENTH rotation (VERDICT r13
+    # item 6): range_join_bins keeps the family's hard driver row, and the
+    # bin-join arm keeps the identical hash-differential parity check in
+    # tests/test_offregistry_parity.py (plus the direct twin-equality pin
+    # in tests/test_temporal.py). Slot freed for hh_cms_vs_exact
+    # (operators/text.py — the CMS accuracy audit's first driver row).
 }
 ORACLES = {
     "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
     "range_join_bins": ORACLE_RANGE_JOIN_BINS,
-    "range_agg_binjoin": ORACLE_RANGE_JOIN_BINS,
 }

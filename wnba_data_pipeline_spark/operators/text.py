@@ -1376,6 +1376,94 @@ WITH tok AS (
 SELECT bigram, count(*) AS n FROM bg GROUP BY bigram HAVING count(*) >= {HH_MIN_COUNT}
 """
 
+
+def q_hh_cms_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-vs-exact ACCURACY AUDIT (round-14 thirteenth rotation, VERDICT
+    r13 item 6 — the sketch-vs-exact comparison the CMS family never put
+    under a hash-exact driver row): for every true heavy hitter, the exact
+    occurrence count next to the count-min ESTIMATE (min over the depth
+    hash rows of that term's bucket count) and the overcount — never
+    negative by the sketch's one-sided error bound, which this row makes a
+    cross-engine hash-verified fact rather than a pytest assertion.
+
+    The audit sketch uses the repo's cross-engine ``md5_long`` hash
+    contract (so DuckDB rebuilds the IDENTICAL depth×width cell table);
+    the production prefilter path (``heavy_hitters_cms``, in-registry)
+    keeps JVM xxhash64 — estimation physics is hash-agnostic, so auditing
+    the md5 sketch grades the same depth/width geometry. The exact side is
+    one unbounded-key hash agg — the LABELED audit baseline (same posture
+    as ``emb_near_dup``): production finds heavy hitters through the
+    sketch prefilter; this row exists to measure the sketch against truth.
+
+    100 TB posture: the cell table is ≤ depth×width rows regardless of
+    corpus (one bounded-key shuffle); the estimate join touches only heavy
+    terms × depth rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = _bigram_stream(docs)
+    buckets = F.array(
+        *[
+            F.pmod(
+                md5_long(F.concat(F.lit(f"cms{r}:"), F.col("bigram"))),
+                F.lit(CMS_WIDTH),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        occ.select(F.posexplode(buckets).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = (
+        occ.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .filter(F.col("n_exact") >= HH_MIN_COUNT)
+    )
+    return (
+        exact.select("bigram", "n_exact", F.posexplode(buckets).alias("r", "b"))
+        .join(cells, ["r", "b"])
+        .groupBy("bigram", "n_exact")
+        .agg(F.min("cell_n").alias("cms_est"))
+        .select(
+            "bigram",
+            "n_exact",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )
+
+
+def _oracle_hh_cms_vs_exact() -> str:
+    bucket = (
+        md5_long_sql("('cms' || CAST(r AS VARCHAR) || ':' || bigram)")
+        + f" % {CMS_WIDTH}"
+    )
+    return f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS words FROM documents WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(range(len(words) - 1),
+                               i -> words[i+1] || ' ' || words[i+2])) AS bigram
+  FROM tok
+), depth AS (
+  SELECT unnest(range({CMS_DEPTH})) AS r
+), cells AS (
+  SELECT r, bucket, count(*) AS cell_n FROM (
+    SELECT d.r AS r, {bucket} AS bucket FROM bg, depth d
+  ) GROUP BY r, bucket
+), exact AS (
+  SELECT bigram, count(*) AS n_exact FROM bg GROUP BY bigram HAVING count(*) >= {HH_MIN_COUNT}
+), est AS (
+  SELECT e.bigram, e.n_exact, min(c.cell_n) AS cms_est
+  FROM (SELECT bigram, n_exact, d.r AS r, {bucket} AS bucket FROM exact, depth d) e
+  JOIN cells c ON c.r = e.r AND c.bucket = e.bucket
+  GROUP BY e.bigram, e.n_exact
+)
+SELECT bigram, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n_exact AS BIGINT) AS overcount
+FROM est
+"""
+
 # Round-8 seventh rotation: lang_id_agreement and bigram_topk leave the
 # capped registry (both are single-shuffle aggregation shapes whose §2-row
 # coverage is duplicated by text_stats / text_corpus_rollup /
@@ -1420,6 +1508,14 @@ QUERIES = {
     # item 5): the count-min-sketch family's first driver row — see
     # q_heavy_hitters_cms for why the exact oracle is sound.
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    # hh_cms_vs_exact registered (round-14 thirteenth rotation, VERDICT
+    # r13 item 6): the CMS-vs-exact ACCURACY comparison — per heavy term,
+    # exact count, sketch estimate, and the (provably non-negative)
+    # overcount, hash-exact cross-engine via the md5_long audit sketch.
+    # Slot freed by range_agg_binjoin (operators/temporal.py — its
+    # two-table trailing-range physics is range_join_bins', which keeps
+    # its driver row; parity moves to tests/test_offregistry_parity.py).
+    "hh_cms_vs_exact": q_hh_cms_vs_exact,
 }
 
 ORACLES = {
@@ -1433,4 +1529,5 @@ ORACLES = {
     "unigram_ppl": ORACLE_UNIGRAM_PPL,
     "chunk_docs": ORACLE_CHUNK_DOCS,
     "heavy_hitters_cms": ORACLE_HEAVY_HITTERS_CMS,
+    "hh_cms_vs_exact": _oracle_hh_cms_vs_exact(),
 }

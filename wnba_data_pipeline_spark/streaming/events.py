@@ -190,8 +190,17 @@ FROM (
 GROUP BY win_start, event_type
 """
 
-QUERIES = {"hopping_6h_batch": hopping_6h_batch}
-ORACLES = {"hopping_6h_batch": ORACLE_HOPPING_6H}
+# hopping_6h_batch held the hopping-window family's driver row rounds
+# 10-13; rotated OFF in the round-14 THIRTEENTH rotation (VERDICT r13
+# item 6): its hopping physics is tumbling_daily's in-registry windowed
+# agg plus the 1→N expansion chunk_docs carries, the stream≡batch twin
+# stays pinned in tests/test_streaming.py, and the full hash-differential
+# parity check (incl. the planted null-ts oracle row in
+# tests/test_oracle_parity.py) moves to tests/test_offregistry_parity.py.
+# Slot freed for group_tail_n returning (operators/relational.py — E5's
+# only carrier, off-registry since round 10).
+QUERIES: dict = {}
+ORACLES: dict = {}
 
 
 def run_to_memory(df: DataFrame, table_name: str) -> None:
