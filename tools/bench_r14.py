@@ -287,62 +287,94 @@ def cmd_encode_fuse_ab() -> dict:
     out: dict = {"n_cells": len(index.coarse), "arms": {}}
     fps = {}
     trials = int(os.environ.get("SPARK_GRAFT_STAGE_TRIALS", "3"))
-    for arm, flag in (("three_stage", "0"), ("fused", "1")):
-        os.environ["SPARK_GRAFT_ENCODE_FUSED"] = flag
-        walls = []
-        for _ in range(trials):
+    walls: dict[str, list] = {"three_stage": [], "fused": []}
+    # arms INTERLEAVED per trial (round-14 fix: sequential arms measured
+    # monotonically growing walls — heap/page-cache drift, not the dial),
+    # and the WALL is persist+count (the r13 fit_attrib/encode methodology)
+    # with the identity fingerprint computed OFF the clock from the
+    # persisted frame — the first cut timed the fingerprint agg itself,
+    # whose codes→array<string>→string cast dominated both arms
+    for _ in range(trials):
+        for arm, flag in (("three_stage", "0"), ("fused", "1")):
+            os.environ["SPARK_GRAFT_ENCODE_FUSED"] = flag
+            enc = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
             t0 = time.perf_counter()
-            enc = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index)
+            n = enc.count()
+            walls[arm].append(round(time.perf_counter() - t0, 2))
             row = enc.agg(
-                F.count(F.lit(1)).alias("n"),
                 F.sum(
                     F.xxhash64(
                         "vec_id", "cell", F.col("codes").cast("array<string>").cast("string")
                     )
                     % 1_000_003
-                ).alias("h"),
+                ).alias("h")
             ).collect()[0]
-            walls.append(round(time.perf_counter() - t0, 2))
-        walls.sort()
-        out["arms"][arm] = {
-            "walls": walls,
-            "median_sec": walls[len(walls) // 2],
-            "n": int(row["n"]),
-            "fingerprint": int(row["h"] or 0),
-        }
-        fps[arm] = (int(row["n"]), int(row["h"] or 0))
+            fps[arm] = (int(n), int(row["h"] or 0))
+            enc.unpersist()
     os.environ.pop("SPARK_GRAFT_ENCODE_FUSED", None)
+    for arm in ("three_stage", "fused"):
+        ws = sorted(walls[arm])
+        out["arms"][arm] = {
+            "walls": ws,
+            "median_sec": ws[len(ws) // 2],
+            "min_sec": ws[0],
+            "n": fps[arm][0],
+            "fingerprint": fps[arm][1],
+        }
     out["cells_codes_identical"] = fps["three_stage"] == fps["fused"]
     out["speedup"] = round(
         out["arms"]["three_stage"]["median_sec"]
         / max(out["arms"]["fused"]["median_sec"], 1e-9),
         2,
     )
+    out["speedup_min"] = round(
+        out["arms"]["three_stage"]["min_sec"] / max(out["arms"]["fused"]["min_sec"], 1e-9), 2
+    )
     return out
 
 
 def cmd_fit_resfuse_ab() -> dict:
+    """Warm-up + interleaved arms (round-14 fix over the first cut: the
+    sequential chain-then-fused order measured JVM/page-cache warm-up, not
+    the fusion — coarse-iteration walls of IDENTICAL code differed 2.9×
+    between arms). One untimed warm-up fit, then chain/fused alternating
+    twice; per-arm minima compared, per-phase timings kept per trial."""
     spark = _session(10.0)
     from wnba_data_pipeline_spark.operators import pq
 
     emb = _fit_corpus(spark)
     out: dict = {"arms": {}}
-    for arm, flag in (("chain", "0"), ("fused", "1")):
-        os.environ["SPARK_GRAFT_ENCODE_FUSED"] = flag
-        timings: dict = {}
-        t0 = time.perf_counter()
-        index = pq.ivfpq_fit(emb, timings=timings)
-        out["arms"][arm] = {
-            "fit_sec": round(time.perf_counter() - t0, 2),
-            "timings": timings,
-            "fingerprint": _codebook_fingerprint(index),
-        }
     os.environ.pop("SPARK_GRAFT_ENCODE_FUSED", None)
+    t0 = time.perf_counter()
+    pq.ivfpq_fit(emb)  # untimed warm-up
+    out["warmup_sec"] = round(time.perf_counter() - t0, 2)
+    trials: dict[str, list] = {"chain": [], "fused": []}
+    fps: dict[str, str] = {}
+    for _ in range(2):
+        for arm, flag in (("chain", "0"), ("fused", "1")):
+            os.environ["SPARK_GRAFT_ENCODE_FUSED"] = flag
+            timings: dict = {}
+            t0 = time.perf_counter()
+            index = pq.ivfpq_fit(emb, timings=timings)
+            trials[arm].append(
+                {"fit_sec": round(time.perf_counter() - t0, 2), "timings": timings}
+            )
+            fps[arm] = _codebook_fingerprint(index)
+    os.environ.pop("SPARK_GRAFT_ENCODE_FUSED", None)
+    for arm in ("chain", "fused"):
+        best = min(trials[arm], key=lambda t: t["fit_sec"])
+        out["arms"][arm] = {
+            "fit_sec_min": best["fit_sec"],
+            "fit_sec_all": [t["fit_sec"] for t in trials[arm]],
+            "residual_sec_all": [t["timings"].get("residual_sec") for t in trials[arm]],
+            "best_timings": best["timings"],
+            "fingerprint": fps[arm],
+        }
     a, b = out["arms"]["chain"], out["arms"]["fused"]
     out["codebooks_identical"] = a["fingerprint"] == b["fingerprint"]
-    out["residual_sec_chain"] = a["timings"].get("residual_sec")
-    out["residual_sec_fused"] = b["timings"].get("residual_sec")
-    out["speedup_total"] = round(a["fit_sec"] / max(b["fit_sec"], 1e-9), 2)
+    out["residual_sec_min_chain"] = min(x for x in a["residual_sec_all"] if x is not None)
+    out["residual_sec_min_fused"] = min(x for x in b["residual_sec_all"] if x is not None)
+    out["speedup_total"] = round(a["fit_sec_min"] / max(b["fit_sec_min"], 1e-9), 2)
     return out
 
 

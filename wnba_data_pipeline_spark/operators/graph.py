@@ -127,8 +127,12 @@ def connected_components(
     # inside one checkpoint executed the entire upstream pair pipeline
     # TWICE (once per branch). That double execution was the bulk of the
     # sf100 funnel's 263 s-vs-~92 s end-to-end/stage-median gap (the stage
-    # probes pre-persisted their pairs, hiding it); measured directly in
-    # BENCH_SCALE_r14 funnel_gap_attrib, survivor hash unchanged.
+    # probes pre-persisted their pairs, hiding it). Measured in
+    # BENCH_SCALE_r14 funnel_gap_attrib: shipped sf100 batch funnel
+    # 327 → 187 s, near-dedup stage 263.4 → 121.2 s, survivor count AND
+    # hash identical to r13, and the seam walls now SUM to the stage wall
+    # (shingle+advisory 45.7 + one pair materialization 68.7 + labeling
+    # 3.8 + anti-join/write 1.6 ≈ 121).
     one = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).localCheckpoint()

@@ -848,27 +848,96 @@ class IVFPQIndex:
 
 # Recall-collapse advisory threshold (round 13, VERDICT r12 item 1 — the
 # ann_overlap_sweep measurement at 1 M vectors, 4 000 cells, auto
-# nprobe=63 ≈ 1.6% probed):
+# nprobe=63 ≈ 1.6% probed; σ ∈ {0.6, 0.65} added round 14, VERDICT r13
+# item 2 — ann_overlap_knee2, closing the previously unmeasured
+# 0.62→0.77 band):
 #
 #   sigma_c/sigma_noise   separation (inertia/SS)   recall@10
 #   0.5                   0.77                      0.35   ← collapse
+#   0.6                   0.71                      0.533  ← r14 point
+#   0.65                  0.68                      0.671  ← r14 point
 #   0.75                  0.62                      0.884  ← the knee
 #   1.0                   0.48                      0.999
 #   2.0                   0.19                      1.0
 #   5.0                   0.04                      1.0
 #   (r12 isotropic sf100: separation → 1.0, recall 0.479 at 25% probed)
 #
-# The transition is sharp: once the coarse cells stop explaining the
-# corpus's variance, a query's true neighbors are spread near-uniformly
-# across cells and NO sub-linear nprobe recovers recall — that is
-# coverage physics, not a dial defect. The honest production behavior is
-# therefore an ADVISORY, not a silent auto-escalation (the repo's
-# committed posture: data-dependent switches never silently change
-# values/cost): ivfpq_fit logs a warning naming the measured regime and
-# the explicit dials (raise nprobe toward cells — linear cost in the
-# probed fraction — or route this corpus to the exact / Hamming-rerank
-# baselines, which do not depend on cluster structure).
+# The 0.7 threshold is CONFIRMED by the r14 points: it sits exactly where
+# recall crosses ~0.6 under pure auto dials — at or past it (0.71 →
+# 0.533, 0.77 → 0.35) the index has entered the regime where √cells
+# probing loses a third or more of the true neighbors; just below it
+# (0.68 → 0.671, 0.62 → 0.884) recall climbs steeply toward the healthy
+# plateau. Once the coarse cells stop explaining the corpus's variance, a
+# query's true neighbors spread near-uniformly across cells and no
+# sub-linear nprobe recovers recall — that is coverage physics, not a
+# dial defect. The honest production behavior is therefore an ADVISORY,
+# not a silent auto-escalation (the repo's committed posture:
+# data-dependent switches never silently change values/cost): ivfpq_fit
+# logs a warning naming the measured regime and the explicit dials
+# (raise nprobe toward cells — linear cost in the probed fraction, curve
+# measured in BENCH_SCALE_r14 ann_escalation_sweep and wired into the
+# opt-in ``nprobe="auto-escalate"`` mode — or route this corpus to the
+# exact / Hamming-rerank baselines, which do not depend on cluster
+# structure).
 IVFPQ_SEPARATION_ADVISORY = 0.7
+
+# Opt-in escalation fraction for ``nprobe="auto-escalate"`` (round 14,
+# VERDICT r13 item 1): the probed fraction the escalated mode resolves to
+# when the index's recorded separation is at or past the advisory
+# threshold. 0.25 is the measured cost/recall shoulder of the
+# BENCH_SCALE_r14 ann_escalation_sweep curve at 1 M vectors / 4 000 cells
+# on the collapse-regime corpus (σ_c=0.5, separation 0.77):
+#
+#   probed frac   recall@10   search wall
+#   1.6% (auto)   0.35        ~13 s
+#   6%            0.634       26 s
+#   12%           0.787       81 s
+#   25%           0.927       93 s      ← this dial
+#   50%           0.989       203 s
+#
+# — the last point before the wall doubles for +0.06 recall. NEVER a
+# silent default: plain ``nprobe=None`` keeps the auto √cells dial
+# everywhere; the escalation engages only when a caller asks for it by
+# name.
+IVFPQ_ESCALATE_FRACTION = 0.25
+
+
+def ivfpq_resolve_nprobe(index: "IVFPQIndex", nprobe: int | str | None) -> int:
+    """Resolve the ``nprobe`` argument of ``ivfpq_search`` /
+    ``ivfpq_search_sql``: an int passes through; ``None`` is the auto
+    √cells dial; ``"auto-escalate"`` (round 14, VERDICT r13 item 1) is the
+    OPT-IN collapse-regime mode — when the index's recorded fit-time
+    separation statistic is ≥ ``IVFPQ_SEPARATION_ADVISORY`` it probes
+    ``IVFPQ_ESCALATE_FRACTION`` of the cells instead of √cells, the dial
+    the advisory names with the measured curve (BENCH_SCALE_r14
+    ann_escalation_sweep); below the threshold — or on a hand-built index
+    with no recorded separation — it is exactly the auto dial. Explicitly
+    opt-in: cost grows linearly with the probed fraction, so the caller
+    chooses it by name, never a data-dependent silent switch."""
+    if nprobe is None:
+        return ivfpq_nprobe_for(len(index.coarse))
+    if nprobe == "auto-escalate":
+        import math
+
+        base = ivfpq_nprobe_for(len(index.coarse))
+        if index.separation is not None and index.separation >= IVFPQ_SEPARATION_ADVISORY:
+            esc = max(base, math.ceil(IVFPQ_ESCALATE_FRACTION * len(index.coarse)))
+            import logging
+
+            logging.getLogger(__name__).info(
+                "nprobe='auto-escalate': recorded separation %.2f >= %.2f — "
+                "probing %d of %d cells (%.0f%%) instead of the auto %d "
+                "(measured curve: BENCH_SCALE_r14 ann_escalation_sweep)",
+                index.separation,
+                IVFPQ_SEPARATION_ADVISORY,
+                esc,
+                len(index.coarse),
+                100.0 * esc / len(index.coarse),
+                base,
+            )
+            return esc
+        return base
+    return int(nprobe)
 
 
 def _residual_col(vec: Column, centroids: list[list[float]], cell: Column) -> Column:
@@ -1055,12 +1124,17 @@ def ivfpq_fit(
                         "IVF-PQ coarse cells explain only %.0f%% of the fit "
                         "sample's variance (inertia/SS = %.2f ≥ %.2f) — on this "
                         "near-isotropic geometry the auto nprobe (%d of %d cells) "
-                        "measured recall@10 ≈ 0.35-0.48 at 1 M vectors "
-                        "(BENCH_SCALE_r13 ann_overlap_sweep): no sub-linear probe "
-                        "count recovers recall when neighbors spread uniformly "
-                        "across cells. Explicit dials: raise nprobe toward the "
-                        "cell count (cost grows with the probed fraction), or "
-                        "use the exact (sim_topk / emb_near_dup) or "
+                        "measured recall@10 ≈ 0.35-0.53 at 1 M vectors "
+                        "(BENCH_SCALE_r13/r14 overlap sweeps). Measured "
+                        "escalation curve at separation 0.77 (BENCH_SCALE_r14 "
+                        "ann_escalation_sweep, 1 M vectors): probing 6%% of "
+                        "cells → recall 0.634, 12%% → 0.787, 25%% → 0.927, "
+                        "50%% → 0.989 — cost grows ~linearly with the probed "
+                        "fraction (auto ~13 s → 93 s at 25%%). Explicit dials: "
+                        "pass nprobe='auto-escalate' to ivfpq_search (opt-in; "
+                        "probes 25%% of cells when the recorded separation is "
+                        "past this threshold), set nprobe yourself from the "
+                        "curve, or use the exact (sim_topk / emb_near_dup) or "
                         "Hamming-rerank paths, which do not rely on cluster "
                         "structure.",
                         100.0 * (1.0 - separation),
@@ -1086,7 +1160,12 @@ def ivfpq_fit(
             # caches the slim (id, _res) frame rather than embedding +
             # cell + _res (same kernels verbatim, so the residual doubles
             # — and with them the codebooks — are bit-identical;
-            # fingerprint-asserted in BENCH_SCALE_r14 fit_resfuse_ab)
+            # fingerprint-asserted in BENCH_SCALE_r14 fit_resfuse_ab).
+            # Measured ~neutral on wall at 1 M (residual 13.2 → 12.5 s
+            # best-vs-best, interleaved warm A/B — at the auto
+            # sample_mod the pass covers only ~n/3 rows, so one fewer
+            # Arrow hop buys little); kept default-ON for the identical
+            # values, one fewer stage, and the halved cache footprint.
             from pyspark.sql.types import (
                 ArrayType,
                 DoubleType,
@@ -1153,10 +1232,15 @@ def _encode_fused_enabled() -> bool:
     blocked argmin incl. the gemm dial, ``_residual_udf``'s single IEEE
     subtraction, ``pq_encode``'s per-subspace left fold), so cells and
     codes are bit-identical (equality-pinned at coarse_k=96 in
-    tests/test_pq.py; fingerprint-compared at 1 M in BENCH_SCALE_r14
-    encode_fuse_ab). ``SPARK_GRAFT_ENCODE_FUSED=0`` opts back to the
-    three-stage plan. Fixture scales (cells ≤ KM_EXPR_MAX_K) stay on the
-    expression path untouched by construction."""
+    tests/test_pq.py; fingerprints identical in EVERY 1 M run of
+    BENCH_SCALE_r14 encode_fuse_ab). Measured at 1 M / 4 000 cells:
+    best-vs-best 32.3 → 16.6 s (1.95×) in the interleaved persist+count
+    A/B, with heavy same-arm machine noise that session (fused walls
+    16.6-56.6 s) — the honest claim is never-worse values-identical with
+    up to ~2-3× when the machine cooperates (the knee-point encodes
+    measured 10.9 s best). ``SPARK_GRAFT_ENCODE_FUSED=0`` opts back to
+    the three-stage plan. Fixture scales (cells ≤ KM_EXPR_MAX_K) stay on
+    the expression path untouched by construction."""
     import os
 
     return os.environ.get("SPARK_GRAFT_ENCODE_FUSED", "1") != "0"
@@ -1359,7 +1443,7 @@ def ivfpq_search(
     cell_col: str = "cell",
     codes_col: str = "codes",
     k: int = PQ_TOP_K,
-    nprobe: int | None = None,
+    nprobe: int | str | None = None,
     rerank: int | str = "auto",
 ) -> DataFrame:
     """The composed search: each query probes its ``nprobe`` nearest coarse
@@ -1371,11 +1455,12 @@ def ivfpq_search(
     pairs are join-unique — no distinct needed. ``corpus_enc`` must carry
     id, raw vector (for the re-rank fetch), cell, and codes.
     ``rerank="auto"`` (default) widens the shortlist with the probed
-    candidate volume — see ``resolve_rerank``."""
+    candidate volume — see ``resolve_rerank``. ``nprobe`` may be an int,
+    ``None`` (auto √cells), or ``"auto-escalate"`` (opt-in collapse-regime
+    escalation — see ``ivfpq_resolve_nprobe``)."""
     from .clustering import probe_assignments
 
-    if nprobe is None:
-        nprobe = ivfpq_nprobe_for(len(index.coarse))
+    nprobe = ivfpq_resolve_nprobe(index, nprobe)
     rerank = resolve_rerank(index, nprobe, rerank)
 
     model, dsub = index.pq, index.pq.dsub
@@ -1469,7 +1554,7 @@ def ivfpq_search_sql(
     index: IVFPQIndex,
     *,
     k: int = PQ_TOP_K,
-    nprobe: int | None = None,
+    nprobe: int | str | None = None,
     rerank: int | str = "auto",
     n_queries: int = PQ_N_QUERIES,
 ) -> str:
@@ -1494,8 +1579,7 @@ def ivfpq_search_sql(
     ~m×ksub×dsub distance terms that reference it."""
     from .clustering import _sqdist_sql
 
-    if nprobe is None:
-        nprobe = ivfpq_nprobe_for(len(index.coarse))
+    nprobe = ivfpq_resolve_nprobe(index, nprobe)
     rerank = resolve_rerank(index, nprobe, rerank)
     model = index.pq
     dsub = model.dsub
