@@ -1233,14 +1233,18 @@ def _encode_fused_enabled() -> bool:
     subtraction, ``pq_encode``'s per-subspace left fold), so cells and
     codes are bit-identical (equality-pinned at coarse_k=96 in
     tests/test_pq.py; fingerprints identical in EVERY 1 M run of
-    BENCH_SCALE_r14 encode_fuse_ab). Measured at 1 M / 4 000 cells:
-    best-vs-best 32.3 → 16.6 s (1.95×) in the interleaved persist+count
-    A/B, with heavy same-arm machine noise that session (fused walls
-    16.6-56.6 s) — the honest claim is never-worse values-identical with
-    up to ~2-3× when the machine cooperates (the knee-point encodes
-    measured 10.9 s best). ``SPARK_GRAFT_ENCODE_FUSED=0`` opts back to
-    the three-stage plan. Fixture scales (cells ≤ KM_EXPR_MAX_K) stay on
-    the expression path untouched by construction."""
+    BENCH_SCALE_r14 encode_fuse_ab). Measured at 1 M / 4 000 cells
+    (5-trial interleaved persist+count A/B): on a CLEAN JVM the arms are
+    equal (~18.3 vs ~18.6 s — r13's 37.1 s encode claim was itself
+    session-drift-inflated), and both degrade as the session ages
+    (reused Python worker state), but the fused pass degrades far more
+    slowly — medians 19.8 s fused vs 37.4 s three-stage in the same JVM
+    (1.88×). The honest claim: values-identical, equal at best,
+    markedly more drift-robust in long sessions — which is what a
+    production build job actually runs in. ``SPARK_GRAFT_ENCODE_FUSED=0``
+    opts back to the three-stage plan. Fixture scales
+    (cells ≤ KM_EXPR_MAX_K) stay on the expression path untouched by
+    construction."""
     import os
 
     return os.environ.get("SPARK_GRAFT_ENCODE_FUSED", "1") != "0"
