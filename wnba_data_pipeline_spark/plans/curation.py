@@ -154,7 +154,7 @@ def run_curation(
         shingled = shingle_docs(
             deduped.select("doc_id", "text"), hh_only=True
         ).persist()
-        _geometry_advisory(shingled, band_geometry)
+        _geometry_advisory(shingled, band_geometry, seam_seconds=near_dedup_seconds)
         _nmark("shingle_advisory_sec")
         # verify="hh": the funnel's scale dial — exact Jaccard over the
         # md5-int64 arrays (13.6 s vs 46.7 s over 19.1 M sf100 candidates,
@@ -203,6 +203,7 @@ def _geometry_advisory(
     min_docs: int | None = None,
     pairs_per_doc: float | None = None,
     sample_mod: int | None = None,
+    seam_seconds: dict | None = None,
 ) -> None:
     """One-line log advisory (round 11, VERDICT r10 item 7) when the
     sampled candidate-pair estimate says the DEFAULT band geometry has
@@ -220,16 +221,25 @@ def _geometry_advisory(
         estimate_pair_volume,
     )
 
+    import time as _time
+
     min_docs = ADVISORY_MIN_DOCS if min_docs is None else min_docs
     pairs_per_doc = ADVISORY_PAIRS_PER_DOC if pairs_per_doc is None else pairs_per_doc
     if band_geometry is not None:
         return  # the caller already made the explicit choice
-    n_docs = shingled.count()  # shingled is persisted by the caller
+    _t0 = _time.perf_counter()
+    n_docs = shingled.count()  # shingled is persisted by the caller — this
+    # count IS its cache materialization (the Arrow shingle pass)
+    if seam_seconds is not None:
+        seam_seconds["shingle_mat_sec"] = round(_time.perf_counter() - _t0, 2)
     if n_docs < min_docs:
         return
+    _t0 = _time.perf_counter()
     est_pairs = estimate_pair_volume(
         shingled, **({} if sample_mod is None else {"sample_mod": sample_mod})
     )
+    if seam_seconds is not None:
+        seam_seconds["advisory_estimate_sec"] = round(_time.perf_counter() - _t0, 2)
     ratio = est_pairs / max(n_docs, 1)
     if ratio >= pairs_per_doc:
         logging.getLogger(__name__).warning(
