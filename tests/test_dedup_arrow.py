@@ -72,14 +72,44 @@ def test_arrow_signatures_multibyte(spark, monkeypatch):
     assert expr == arrow
 
 
-def test_arrow_auto_gate_threshold(monkeypatch):
+def test_arrow_default_on_with_opt_out(monkeypatch):
+    # round 14: the Arrow signature pass is the default at EVERY K (the
+    # r11 K>=32 gate was re-measured stale at sf100 — BENCH_SCALE_r14
+    # sig_arrow_ab, 4.12x on the default geometry); =0 is the opt-out
     monkeypatch.delenv("SPARK_GRAFT_SIG_ARROW", raising=False)
-    assert not dedup._sig_arrow_enabled(dedup.K_MINHASH)  # registry geometry stays expression
+    assert dedup._sig_arrow_enabled(dedup.K_MINHASH)
     assert dedup._sig_arrow_enabled(dedup.GEOMETRY_LARGE_N[0])
     monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "1")
     assert dedup._sig_arrow_enabled(8)
     monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
     assert not dedup._sig_arrow_enabled(64)
+
+
+def test_arrow_signatures_null_and_edge_texts(spark, monkeypatch):
+    """Round 14 (the default-ON flip's new edge): a NULL text shingles to
+    hh=[NULL]; the expression branch's array_min over all-NULLs is NULL
+    per hash, so every band key degrades to the bare 't' prefix. The
+    Arrow branch must emit byte-identical keys for those rows (all-NULL
+    signature), and identical keys everywhere else — incl. empty and
+    whitespace-only texts (whole-text shingle fallback)."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one two"),
+        (5, "alpha beta gamma delta alpha beta"),
+        (6, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = dedup.shingle_docs(docs)
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
+    expr = sorted(tuple(r) for r in dedup.banded_keys(shingled).collect())
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "1")
+    arrow = sorted(tuple(r) for r in dedup.banded_keys(shingled).collect())
+    assert expr == arrow
+    # the NULL-text rows really degrade to the bare band prefix
+    null_keys = {k for d, k in expr if d in (1, 6)}
+    assert null_keys == {str(t) for t in range(dedup.K_MINHASH // dedup.BAND_ROWS)}
 
 
 def _shingled_rows(spark, monkeypatch, flag, df):

@@ -378,6 +378,65 @@ def cmd_fit_resfuse_ab() -> dict:
     return out
 
 
+def cmd_sig_arrow_ab() -> dict:
+    """The funnel's biggest remaining near-dedup term is the candidate
+    step (~70-80 s at sf100), whose map side is the K=16 SIGNATURE pass —
+    interpreted higher-order expressions at the default geometry (the
+    Arrow numpy pass only engages at K ≥ 32, a round-11 decision measured
+    when K=48 was the question). Re-ask at the DEFAULT geometry:
+    ``SPARK_GRAFT_SIG_ARROW`` forced on/off, arms interleaved per trial,
+    candidate fingerprints compared (identical by the tested byte-identity
+    contract). Decision input for flipping the default at K=16."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF100)
+    trials = int(os.environ.get("SPARK_GRAFT_STAGE_TRIALS", "3"))
+    spark = _session(_sf(sf_dir))
+
+    from pyspark.sql import functions as F
+
+    from bench_r12 import _funnel_corpus
+    from wnba_data_pipeline_spark.operators import dedup
+
+    corpus = _funnel_corpus(spark, sf_dir)
+    shingled = dedup.shingle_docs(corpus, hh_only=True).persist()
+    shingled.count()
+    out: dict = {"sf_dir": sf_dir, "trials": trials, "arms": {}}
+    walls: dict[str, list] = {"expr": [], "arrow": []}
+    fps: dict = {}
+
+    def _fingerprint(cand):
+        row = cand.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("doc_a", "doc_b") % 1_000_003).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    for _ in range(trials):
+        for arm, flag in (("expr", "0"), ("arrow", "1")):
+            os.environ["SPARK_GRAFT_SIG_ARROW"] = flag
+            t0 = time.perf_counter()
+            fps[arm] = _fingerprint(dedup.minhash_candidates(shingled))
+            walls[arm].append(round(time.perf_counter() - t0, 2))
+    os.environ.pop("SPARK_GRAFT_SIG_ARROW", None)
+    for arm in ("expr", "arrow"):
+        ws = sorted(walls[arm])
+        out["arms"][arm] = {
+            "walls": ws,
+            "median_sec": ws[len(ws) // 2],
+            "min_sec": ws[0],
+            "n_candidates": fps[arm][0],
+            "cand_hash": fps[arm][1],
+        }
+    out["candidates_identical"] = fps["expr"] == fps["arrow"]
+    out["speedup_median"] = round(
+        out["arms"]["expr"]["median_sec"] / max(out["arms"]["arrow"]["median_sec"], 1e-9), 2
+    )
+    out["speedup_min"] = round(
+        out["arms"]["expr"]["min_sec"] / max(out["arms"]["arrow"]["min_sec"], 1e-9), 2
+    )
+    shingled.unpersist()
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     os.environ.setdefault("OMP_NUM_THREADS", "1")
@@ -389,6 +448,7 @@ def main() -> None:
         "inc_shipped100": cmd_inc_shipped100,
         "encode_fuse_ab": cmd_encode_fuse_ab,
         "fit_resfuse_ab": cmd_fit_resfuse_ab,
+        "sig_arrow_ab": cmd_sig_arrow_ab,
         "funnel_guard": cmd_funnel_guard,
         "connect_probe": cmd_connect_probe,
     }[cmd]

@@ -252,26 +252,40 @@ _SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%
 # (md5 hashes are 60-bit POSITIVE int64, so %/× match the JVM exactly;
 # overflow-free by the same a·(h%P) < 2^62 bound), so this is a PHYSICAL
 # switch like the hot-bucket gate, never a semantic dial: both branches
-# emit byte-identical signatures (tests/test_dedup_arrow.py). Auto-ON at
-# K ≥ ARROW_SIG_MIN_K where the interpreted cost dominates; the default
-# 16-hash geometry keeps the pure-expression plan (registry/oracle
-# queries untouched). SPARK_GRAFT_SIG_ARROW=1/0 forces the branch.
-ARROW_SIG_MIN_K = 32
+# emit byte-identical signatures (tests/test_dedup_arrow.py).
+#
+# DEFAULT AT EVERY K since round 14: the round-11 gate (Arrow only at
+# K ≥ ARROW_SIG_MIN_K = 32) was set when the SHARP geometry was the
+# question and the K=16 expression plan looked competitive — re-measured
+# at sf100 (BENCH_SCALE_r14 sig_arrow_ab, arms interleaved, 2.93 M docs,
+# DEFAULT 16×4 geometry) the Arrow pass wins 4.12× median / 2.96× min
+# (62.7 → 15.2 s) with hash-identical candidate sets and far lower
+# same-JVM drift (walls 14.1-15.3 s vs 41.6-80.0 s). Like the shingle
+# Arrow default (round 12) this makes pandas+pyarrow a worker dependency
+# of every banded consumer — already true via the shingle pass;
+# SPARK_GRAFT_SIG_ARROW=0 opts back to the pure-expression plan (which
+# needs only the JVM).
+ARROW_SIG_MIN_K = 32  # the historical round-11..13 auto gate (doc only)
 
 
 def _sig_arrow_enabled(k: int) -> bool:
-    v = os.environ.get("SPARK_GRAFT_SIG_ARROW")
-    if v == "1":
-        return True
-    if v == "0":
-        return False
-    return k >= ARROW_SIG_MIN_K
+    return os.environ.get("SPARK_GRAFT_SIG_ARROW", "1") != "0"
 
 
 def minhash_sig_udf(coeffs: list[tuple[int, int]]):
     """Arrow-batched signature column: ``hh`` (array<long> of md5 shingle
     hashes) → array<long> of the K universal-hash mins, all K computed in
-    one numpy pass per Arrow batch (see ARROW_SIG_MIN_K note)."""
+    one numpy pass per Arrow batch (see the default-ON note above
+    ``_sig_arrow_enabled``).
+
+    NULL-text rows (round 14 — required once this pass became the default
+    at every K): ``shingle_docs`` emits ``hh = [NULL]`` for a NULL text,
+    and the expression branch's ``array_min`` over an all-NULL array is
+    NULL per hash, so every band key degrades to the bare ``"t"`` prefix
+    (concat_ws skips NULLs). A row whose hash array contains a NULL
+    therefore gets an all-NULL signature here — byte-identical band keys
+    by the same concat_ws rule (differential row in
+    tests/test_dedup_arrow.py)."""
     import numpy as np
     import pandas as pd
 
@@ -283,7 +297,25 @@ def minhash_sig_udf(coeffs: list[tuple[int, int]]):
         n = len(hh)
         if n == 0:
             return pd.Series([], dtype=object)
-        arrs = [np.asarray(v, dtype=np.int64) for v in hh]
+        arrs, null_rows = [], []
+        for v in hh:
+            va = np.asarray(v)
+            # a NULL element (NULL-text doc) arrives as a float64 array
+            # with NaN or an object array with None — never as int64
+            # (rows WITHOUT nulls keep their exact int64 dtype, which the
+            # byte-identity differentials pin). Expression-path
+            # semantics for such a row: all mins NULL (see docstring).
+            if va.dtype == object:
+                has_null = any(x is None for x in va)
+            elif va.dtype.kind == "f":
+                has_null = bool(np.isnan(va).any())
+            else:
+                has_null = False
+            if has_null:
+                null_rows.append(len(arrs))
+                arrs.append(np.zeros(1, dtype=np.int64))  # placeholder segment
+            else:
+                arrs.append(va.astype(np.int64, copy=False))
         lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
         if (lens == 0).any():
             # shingles are never empty (whole-text fallback in _shingles);
@@ -297,7 +329,10 @@ def minhash_sig_udf(coeffs: list[tuple[int, int]]):
         sigs = np.empty((n, k), dtype=np.int64)
         for i in range(k):
             sigs[:, i] = np.minimum.reduceat((A[i] * r + B[i]) % P, starts)
-        return pd.Series(list(sigs))
+        out = list(sigs)
+        for idx in null_rows:
+            out[idx] = [None] * k
+        return pd.Series(out)
 
     # explicit form (not the type-hint decorator): pandas is imported
     # function-locally, so string annotations would not resolve
@@ -326,8 +361,10 @@ def banded_keys(
 ) -> DataFrame:
     """(doc_id, sh[, hh]) → exploded (doc_id, band_key) — the shared
     signature+band map behind ``minhash_pairs`` and the incremental
-    screen. Picks the Arrow signature pass at K ≥ ARROW_SIG_MIN_K (or via
-    SPARK_GRAFT_SIG_ARROW); both branches emit identical band keys."""
+    screen. The Arrow signature pass is the DEFAULT at every K since
+    round 14 (4.12× at sf100 on the default geometry — see the
+    ``_sig_arrow_enabled`` note); ``SPARK_GRAFT_SIG_ARROW=0`` opts back
+    to the expression plan. Both branches emit identical band keys."""
     coeffs = COEFFS if coeffs is None else coeffs
     band_rows = BAND_ROWS if band_rows is None else band_rows
     n_bands = len(coeffs) // band_rows
