@@ -311,3 +311,26 @@ def test_geometry_advisory_fires_and_respects_explicit_dial(spark, caplog):
         assert not caplog.records
     finally:
         shingled.unpersist()
+
+
+def test_near_dedup_seam_hook_contract(spark, tmp_path):
+    """Round 14: the funnel_gap_attrib probe keys on these seam names —
+    pin the contract so a rename breaks a test, not a bench round. The
+    tiny corpus stays below the advisory's min_docs bar, so the estimate
+    seam is absent by design (count-only) while every structural seam is
+    present; values must be real non-negative walls."""
+    src = _plant_dups(spark, tmp_path)
+    base = str(tmp_path / "wh-seams")
+    seams: dict = {}
+    curation.run_curation(spark, src, base, near_dedup_seconds=seams)
+    assert {
+        "shingle_mat_sec",
+        "shingle_advisory_sec",
+        "edges_checkpoint_sec",
+        "symmetrize_sec",
+        "count_sec",
+        "labeling_sec",
+        "pairs_cc_total_sec",
+        "anti_join_write_sec",
+    } <= set(seams)
+    assert all(v >= 0 for v in seams.values())
