@@ -75,14 +75,15 @@ def test_arrow_signatures_multibyte(spark, monkeypatch):
 def test_arrow_default_on_with_opt_out(monkeypatch):
     # round 14: the Arrow signature pass is the default at EVERY K (the
     # r11 K>=32 gate was re-measured stale at sf100 — BENCH_SCALE_r14
-    # sig_arrow_ab, 4.12x on the default geometry); =0 is the opt-out
+    # sig_arrow_ab, 4.12x on the default geometry); =0 is the opt-out.
+    # Round 15 (VERDICT r14 item 5): the dead ``k`` parameter is gone —
+    # the env flag is the only gate.
     monkeypatch.delenv("SPARK_GRAFT_SIG_ARROW", raising=False)
-    assert dedup._sig_arrow_enabled(dedup.K_MINHASH)
-    assert dedup._sig_arrow_enabled(dedup.GEOMETRY_LARGE_N[0])
+    assert dedup._sig_arrow_enabled()
     monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "1")
-    assert dedup._sig_arrow_enabled(8)
+    assert dedup._sig_arrow_enabled()
     monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
-    assert not dedup._sig_arrow_enabled(64)
+    assert not dedup._sig_arrow_enabled()
 
 
 def test_arrow_signatures_null_and_edge_texts(spark, monkeypatch):
@@ -91,7 +92,17 @@ def test_arrow_signatures_null_and_edge_texts(spark, monkeypatch):
     per hash, so every band key degrades to the bare 't' prefix. The
     Arrow branch must emit byte-identical keys for those rows (all-NULL
     signature), and identical keys everywhere else — incl. empty and
-    whitespace-only texts (whole-text shingle fallback)."""
+    whitespace-only texts (whole-text shingle fallback).
+
+    Round 15 (ADVICE r14 high+medium): the frame is COALESCED TO ONE
+    PARTITION so the NULL rows share an Arrow batch with the real docs —
+    an element-level null anywhere in a batch makes pyarrow deliver the
+    whole batch's list values as float64, silently corrupting the
+    sibling rows' 60-bit hashes in the int64 cast. The r14 version of
+    this test spread its 6 rows across default-parallelism partitions,
+    never exercised that path, and passed against the broken code; this
+    version fails against r14 HEAD (32 diverging keys for docs 2/3) and
+    pins banded_keys' plan-side list-level-NULL collapse."""
     rows = [
         (1, None),
         (2, ""),
@@ -101,7 +112,7 @@ def test_arrow_signatures_null_and_edge_texts(spark, monkeypatch):
         (6, None),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    shingled = dedup.shingle_docs(docs)
+    shingled = dedup.shingle_docs(docs).coalesce(1)
     monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
     expr = sorted(tuple(r) for r in dedup.banded_keys(shingled).collect())
     monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "1")
@@ -109,6 +120,36 @@ def test_arrow_signatures_null_and_edge_texts(spark, monkeypatch):
     assert expr == arrow
     # the NULL-text rows really degrade to the bare band prefix
     null_keys = {k for d, k in expr if d in (1, 6)}
+    assert null_keys == {str(t) for t in range(dedup.K_MINHASH // dedup.BAND_ROWS)}
+    # and the real docs' keys carry actual signature values (not the
+    # degraded prefix) — the corruption mode produced WRONG values, so
+    # also pin that every non-NULL doc emits N_BANDS fully-formed keys
+    for d in (2, 3, 4, 5):
+        keys = [k for dd, k in expr if dd == d]
+        assert len(keys) == dedup.N_BANDS
+        assert all(k.count(":") == dedup.BAND_ROWS for k in keys)
+
+
+def test_arrow_signatures_whole_null_sh_fallback(spark, monkeypatch):
+    """ADVICE r14 low: a frame WITHOUT a materialized ``hh`` whose ``sh``
+    is a literal NULL array reaches banded_keys' computed-hh fallback —
+    ``F.transform(NULL, md5_long)`` is NULL, which arrived in the r14 UDF
+    as ``np.asarray(None)`` (a 0-d object array) and crashed the
+    per-row null scan with TypeError. The plan-side collapse now turns it
+    into the all-NULL signature row; both branches must agree. One
+    partition so the NULL row shares the real docs' Arrow batch."""
+    rows = [
+        (1, None),
+        (2, ["alpha beta gamma", "beta gamma delta"]),
+        (3, ["solo shingle"]),
+    ]
+    shingled = spark.createDataFrame(rows, "doc_id long, sh array<string>").coalesce(1)
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "0")
+    expr = sorted(tuple(r) for r in dedup.banded_keys(shingled).collect())
+    monkeypatch.setenv("SPARK_GRAFT_SIG_ARROW", "1")
+    arrow = sorted(tuple(r) for r in dedup.banded_keys(shingled).collect())
+    assert expr == arrow
+    null_keys = {k for d, k in expr if d == 1}
     assert null_keys == {str(t) for t in range(dedup.K_MINHASH // dedup.BAND_ROWS)}
 
 

@@ -255,7 +255,7 @@ _SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%
 # emit byte-identical signatures (tests/test_dedup_arrow.py).
 #
 # DEFAULT AT EVERY K since round 14: the round-11 gate (Arrow only at
-# K ≥ ARROW_SIG_MIN_K = 32) was set when the SHARP geometry was the
+# K ≥ 32) was set when the SHARP geometry was the
 # question and the K=16 expression plan looked competitive — re-measured
 # at sf100 (BENCH_SCALE_r14 sig_arrow_ab, arms interleaved, 2.93 M docs,
 # DEFAULT 16×4 geometry) the Arrow pass wins 4.12× median / 2.96× min
@@ -265,10 +265,12 @@ _SIG_SQL = "[" + ", ".join(f"list_min(list_transform(hh, h -> ({a}*(h%{P})+{b})%
 # of every banded consumer — already true via the shingle pass;
 # SPARK_GRAFT_SIG_ARROW=0 opts back to the pure-expression plan (which
 # needs only the JVM).
-ARROW_SIG_MIN_K = 32  # the historical round-11..13 auto gate (doc only)
+# (The historical round-11..13 auto gate "Arrow only at K >= 32" is
+# retired — VERDICT r14 item 5: the flag below is the only gate, there is
+# no K threshold anymore.)
 
 
-def _sig_arrow_enabled(k: int) -> bool:
+def _sig_arrow_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_SIG_ARROW", "1") != "0"
 
 
@@ -278,14 +280,23 @@ def minhash_sig_udf(coeffs: list[tuple[int, int]]):
     one numpy pass per Arrow batch (see the default-ON note above
     ``_sig_arrow_enabled``).
 
-    NULL-text rows (round 14 — required once this pass became the default
-    at every K): ``shingle_docs`` emits ``hh = [NULL]`` for a NULL text,
-    and the expression branch's ``array_min`` over an all-NULL array is
-    NULL per hash, so every band key degrades to the bare ``"t"`` prefix
-    (concat_ws skips NULLs). A row whose hash array contains a NULL
-    therefore gets an all-NULL signature here — byte-identical band keys
-    by the same concat_ws rule (differential row in
-    tests/test_dedup_arrow.py)."""
+    NULL rows (round 15, ADVICE r14 high — the round-14 element-level
+    handling was WRONG batch-wide): when an Arrow batch's flattened list
+    values contain ANY null, pyarrow converts the ENTIRE batch's values to
+    float64 — so the 60-bit md5 hashes of the *sibling non-NULL rows* lose
+    their low bits in the int64 cast and their band keys silently diverge
+    from the expression branch (reproduced with the NULL differential
+    corpus coalesced to one partition). Precision is lost before this UDF
+    ever sees the data, so the fix is PLAN-SIDE: ``banded_keys`` collapses
+    a null-containing ``hh`` to a list-level NULL (list-level nulls keep
+    sibling rows exact int64 — only element-level nulls poison the values
+    buffer). Here a ``None`` row gets the all-NULL signature, which
+    degrades every band key to the bare ``"t"`` prefix (concat_ws skips
+    NULLs) — byte-identical to the expression branch's ``array_min`` over
+    a NULL/all-NULL array (differential rows, single-partition so NULL and
+    real docs share one batch, in tests/test_dedup_arrow.py). A float64
+    batch whose values exceed 2^53 can now only mean a caller bypassed the
+    collapse — refuse loudly rather than emit corrupt signatures."""
     import numpy as np
     import pandas as pd
 
@@ -299,16 +310,34 @@ def minhash_sig_udf(coeffs: list[tuple[int, int]]):
             return pd.Series([], dtype=object)
         arrs, null_rows = [], []
         for v in hh:
+            # list-level NULL (banded_keys' plan-side collapse of any
+            # null-containing array, incl. a NULL ``sh`` through the
+            # computed-hh fallback): all-NULL signature. Checked FIRST —
+            # np.asarray(None) is a 0-d object array that crashes every
+            # later branch (ADVICE r14 low).
+            if v is None:
+                null_rows.append(len(arrs))
+                arrs.append(np.zeros(1, dtype=np.int64))  # placeholder segment
+                continue
             va = np.asarray(v)
-            # a NULL element (NULL-text doc) arrives as a float64 array
-            # with NaN or an object array with None — never as int64
-            # (rows WITHOUT nulls keep their exact int64 dtype, which the
-            # byte-identity differentials pin). Expression-path
-            # semantics for such a row: all mins NULL (see docstring).
+            # element-level nulls should never reach here (the plan-side
+            # collapse above) — but a direct caller bypassing banded_keys
+            # could deliver them, and then pyarrow has ALREADY degraded
+            # the whole batch's values to float64 (see docstring). Treat
+            # a null-containing row as all-NULL like the expression path,
+            # and refuse loudly if sibling rows lost int64 precision.
             if va.dtype == object:
                 has_null = any(x is None for x in va)
             elif va.dtype.kind == "f":
                 has_null = bool(np.isnan(va).any())
+                if not has_null and va.size and np.abs(va).max() >= 2.0**53:
+                    raise ValueError(
+                        "minhash_sig_udf: float64 hash batch above 2^53 — "
+                        "int64 precision was lost in the Arrow transfer "
+                        "(an element-level NULL elsewhere in this batch); "
+                        "collapse null-containing arrays to a list-level "
+                        "NULL plan-side as banded_keys does"
+                    )
             else:
                 has_null = False
             if has_null:
@@ -368,8 +397,31 @@ def banded_keys(
     coeffs = COEFFS if coeffs is None else coeffs
     band_rows = BAND_ROWS if band_rows is None else band_rows
     n_bands = len(coeffs) // band_rows
-    hh = F.col("hh") if "hh" in shingled.columns else F.transform(F.col("sh"), md5_long)
-    if _sig_arrow_enabled(len(coeffs)):
+    # NULL collapse (round 15, ADVICE r14 high): an ELEMENT-level null in
+    # ``hh`` poisons the Arrow transfer of its whole batch — pyarrow
+    # converts the batch's flattened values to float64 and sibling rows'
+    # 60-bit hashes silently lose their low bits in the int64 cast.
+    # Collapse null-containing arrays to a LIST-level NULL (which keeps
+    # sibling rows exact int64) before either branch. Null hashes only
+    # arise as the whole array [NULL] (a NULL/<=0-word text shingles to a
+    # single NULL entry and md5_long of a non-null string is never NULL),
+    # so testing element 0 is O(1)-exact: hh NULL → NULL stays NULL,
+    # [NULL] → NULL, real arrays untouched. Semantics are unchanged in
+    # BOTH branches — array_min over NULL ≡ array_min over [NULL] ≡ NULL —
+    # verified byte-identical in tests/test_dedup_arrow.py with NULL and
+    # real docs forced into one Arrow batch.
+    if "hh" in shingled.columns:
+        hh = F.when(
+            F.col("hh").getItem(0).isNull(), F.lit(None).cast("array<bigint>")
+        ).otherwise(F.col("hh"))
+    else:
+        # condition on sh (not the computed hh) so the md5 transform is
+        # not a subexpression of both the when() condition and its else
+        # branch (no CSE across higher-order functions → 2× md5)
+        hh = F.when(
+            F.col("sh").getItem(0).isNull(), F.lit(None).cast("array<bigint>")
+        ).otherwise(F.transform(F.col("sh"), md5_long))
+    if _sig_arrow_enabled():
         sigged = shingled.select(id_col, minhash_sig_udf(coeffs)(hh).alias("sig"))
         return sigged.select(
             id_col,
@@ -673,9 +725,9 @@ def minhash_candidates(
     (see the ``minhash_pairs`` docstring for the gate's anatomy)."""
     if hot_bucket_min is None:
         hot_bucket_min = HOT_BUCKET_MIN
-    # signature+band map: expression plan at the default 16-hash geometry,
-    # Arrow numpy pass at K >= ARROW_SIG_MIN_K (see banded_keys) — the
-    # round-11 fix that makes GEOMETRY_LARGE_N actually pay at sf100
+    # signature+band map: Arrow numpy pass at every K since round 14
+    # (see banded_keys) — the round-11 fix that makes GEOMETRY_LARGE_N
+    # actually pay at sf100
     banded = banded_keys(shingled, coeffs=coeffs, band_rows=band_rows)
 
     def _self_pairs(side: DataFrame, extra_keys: list[str]) -> DataFrame:
