@@ -363,9 +363,35 @@ def run_curation_incremental(
 
     for d in (corpus_dir, verdicts_dir, index_dir):
         delete_dir(spark, d)
+    # Round 15 (VERDICT r14 item 1 — why the incremental funnel never
+    # inherited the batch funnel's 3.4× near-dedup win): the per-batch
+    # plan re-EXECUTED its upstream repeatedly. (a) minhash_pairs without
+    # a pre-persisted shingled frame shingles the batch once per consumer
+    # (band explode + both verify joins) inside the one checkpointed pair
+    # execution — the batch funnel persists its shingled frame for
+    # exactly this reason; (b) the gated scan (documents read + quality
+    # score + sample gate) and the local anti-join are subplans of
+    # screen_batch's verdict branches AND the kept write — Spark performs
+    # no cross-branch CSE, so they re-ran ~6× per batch (the swinging
+    # 23.5–93.9 s batch_local_dedup / 10.4–81.8 s screen_verdicts walls
+    # in BENCH_SCALE_r14 inc_shipped100). Persist the gated batch, its
+    # shingles, and the local-survivor frame for the batch's lifetime —
+    # a PHYSICAL switch (values identical; A/B'd survivor-hash-equal in
+    # BENCH_SCALE_r15 inc_seam_attrib); SPARK_GRAFT_INC_PERSIST=0 opts
+    # back to the r14 plan. Seam walls land in ``batch_stage_walls``.
+    inc_persist = os.environ.get("SPARK_GRAFT_INC_PERSIST", "1") != "0"
+    _ts = 0.0
     for i in range(n_batches):
         t0 = _time.perf_counter()
+        _ts = t0
         stages: dict | None = {} if batch_stage_walls is not None else None
+
+        def _smark(key: str) -> None:
+            nonlocal _ts
+            if stages is not None:
+                stages[key] = round(_time.perf_counter() - _ts, 2)
+            _ts = _time.perf_counter()
+
         arriving = docs.filter(
             (F.col("doc_id") >= lo + i * span) & (F.col("doc_id") < lo + (i + 1) * span)
         )
@@ -374,25 +400,42 @@ def run_curation_incremental(
                 F.col("quality_score") >= QUALITY_MIN
             )
         ).select("doc_id", "text")
+        to_unpersist = []
         # same hh verify as the batch funnel's near-dup stage AND the
         # corpus screen below — increment-equals-batch requires one
         # detector end to end
-        pairs = minhash_pairs(gated, verify="hh")
+        if inc_persist:
+            gated = gated.persist()
+            shingled = shingle_docs(gated, hh_only=True).persist()
+            to_unpersist += [gated, shingled]
+            shingled.count()  # materializes both caches (one Arrow pass)
+            _smark("local_shingle_sec")
+            pairs = minhash_pairs(gated, shingled=shingled, verify="hh")
+        else:
+            pairs = minhash_pairs(gated, verify="hh")
         losers = (
-            cluster_survivors(pairs, max_iter=cc_max_iter)
+            cluster_survivors(pairs, max_iter=cc_max_iter, seam_seconds=stages)
             .filter(~F.col("is_survivor"))
             .select(F.col("id").alias("doc_id"))
         )
+        _smark("local_pairs_cc_sec")
         batch = gated.join(losers, "doc_id", "left_anti")
+        if inc_persist:
+            batch = batch.persist()
+            to_unpersist.append(batch)
+            batch.count()
+            _smark("local_batch_mat_sec")
         if stages is not None:
-            # the batch-LOCAL dedup above is lazy — cluster_survivors
-            # evaluates the pair plan eagerly, so its wall is real; mark
-            # it before process_batch's own stage clock starts
+            # total for continuity with the r13/r14 probes (the seam
+            # marks above sum to it); cluster_survivors evaluates the
+            # pair plan eagerly, so these walls are real work
             stages["batch_local_dedup"] = round(_time.perf_counter() - t0, 2)
         process_batch(
             spark, batch, i, corpus_dir, verdicts_dir, index_dir=index_dir,
             stage_seconds=stages,
         )
+        for df in to_unpersist:
+            df.unpersist()
         if batch_stage_walls is not None:
             batch_stage_walls.append(stages)
         if batch_walls is not None:

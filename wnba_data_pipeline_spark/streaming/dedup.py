@@ -373,25 +373,44 @@ def process_batch(
         ref_index = None
     _mark("ref_read")
     batch, v = screen_batch(batch_df, ref, ref_index=ref_index)
-    v.write.mode("overwrite").parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
-    _mark("screen_verdicts")
-    kept = batch.join(
-        spark.read.parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
-        .filter(F.col("verdict") == "kept")
-        .select("doc_id"),
-        "doc_id",
-    )
-    kept.write.mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
-    _mark("corpus_write")
-    if index_dir is not None:
-        write_index(
-            spark.read.schema(DOC_SCHEMA).parquet(
-                os.path.join(corpus_dir, f"batch={batch_id}")
-            ),
-            index_dir,
-            batch_id,
+    # Persist the within-batch survivor frame for this batch's lifetime
+    # (round 15, VERDICT r14 item 1): it is a subplan of the verdict
+    # frame's THREE screen branches (content hash, band keys, verify
+    # payload — incremental_verdicts) AND the kept/corpus write, and
+    # Spark performs no cross-branch CSE — without the cache the whole
+    # upstream batch plan (in the incremental funnel: documents scan +
+    # quality/sample gates + the batch-local dedup anti-join) re-executed
+    # once per branch, the bulk of the swinging screen_verdicts walls in
+    # BENCH_SCALE_r14 inc_shipped100. Purely physical (verdicts and kept
+    # docs byte-identical — the existing streaming differentials plus the
+    # survivor-hash A/B in BENCH_SCALE_r15 inc_seam_attrib);
+    # SPARK_GRAFT_INC_PERSIST=0 opts back to the uncached plan.
+    cache_on = os.environ.get("SPARK_GRAFT_INC_PERSIST", "1") != "0"
+    if cache_on:
+        batch = batch.persist()
+    try:
+        v.write.mode("overwrite").parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
+        _mark("screen_verdicts")
+        kept = batch.join(
+            spark.read.parquet(os.path.join(verdicts_dir, f"batch={batch_id}"))
+            .filter(F.col("verdict") == "kept")
+            .select("doc_id"),
+            "doc_id",
         )
-        _mark("index_write")
+        kept.write.mode("overwrite").parquet(os.path.join(corpus_dir, f"batch={batch_id}"))
+        _mark("corpus_write")
+        if index_dir is not None:
+            write_index(
+                spark.read.schema(DOC_SCHEMA).parquet(
+                    os.path.join(corpus_dir, f"batch={batch_id}")
+                ),
+                index_dir,
+                batch_id,
+            )
+            _mark("index_write")
+    finally:
+        if cache_on:
+            batch.unpersist()
 
 
 def dedup_ingest_stream(
