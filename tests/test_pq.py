@@ -655,6 +655,72 @@ def test_auto_escalate_nprobe_resolution(ivfpq_index):
     assert pq.ivfpq_resolve_nprobe(hot, 7) == 7
 
 
+def test_auto_escalate_engaged_branch_improves_recall(spark):
+    """Round 15 (VERDICT r14 item 2): exercise the ENGAGED escalation
+    branch end to end — not just the resolver. A planted collapse-regime
+    corpus (cluster centers sigma 0.5 vs unit noise — the geometry whose
+    1 M-vector point measured separation 0.77 / recall 0.35 in
+    BENCH_SCALE_r14 ann_escalation_sweep) must (a) record a fit-time
+    separation at or past the 0.7 advisory, (b) resolve
+    ``nprobe="auto-escalate"`` to the measured 25%-of-cells dial (above
+    the auto √cells probe), and (c) STRICTLY improve recall@10 over the
+    default dial through a real ``ivfpq_search`` — the branch the r14
+    suite left to the bench probe. Fully deterministic: seeded corpus,
+    bit-deterministic fit."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Window
+
+    n, n_clusters, dim, n_queries, k_at = 3000, 100, 64, 40, 10
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0.0, 0.5, (n_clusters, dim))
+    rows = []
+    for vid in range(n):
+        r = np.random.default_rng(vid * 2654435761 % (2**63) + 17)
+        v = centers[vid % n_clusters] + r.normal(0.0, 1.0, dim)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    index = pq.ivfpq_fit(emb, coarse_k=64)
+    assert index.separation is not None
+    assert index.separation >= pq.IVFPQ_SEPARATION_ADVISORY  # (a) engaged
+    cells = len(index.coarse)
+    auto = pq.ivfpq_nprobe_for(cells)
+    esc = pq.ivfpq_resolve_nprobe(index, "auto-escalate")
+    assert esc == max(auto, math.ceil(pq.IVFPQ_ESCALATE_FRACTION * cells))
+    assert esc > auto  # (b) the resolved probe really is the 25% dial
+
+    corpus = pq.ivfpq_encode(emb.select("vec_id", "embedding"), index).persist()
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("_d2").asc(), F.col("vec_id").asc())
+    truth: dict = {}
+    for r in (
+        F.broadcast(q)
+        .join(emb.select("vec_id", "embedding"), F.col("q_vec_id") != F.col("vec_id"))
+        .withColumn("_d2", pq._sqdist_vec(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_at)
+        .select("q_vec_id", F.col("vec_id").alias("n_vec_id"))
+        .collect()
+    ):
+        truth.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+    denom = sum(len(v) for v in truth.values())
+
+    def _recall(nprobe) -> float:
+        got: dict = {}
+        for r in pq.ivfpq_search(corpus, q, index, k=k_at, nprobe=nprobe).collect():
+            got.setdefault(r["q_vec_id"], set()).add(r["n_vec_id"])
+        return sum(len(truth[qid] & got.get(qid, set())) for qid in truth) / denom
+
+    recall_default = _recall(None)
+    recall_escalated = _recall("auto-escalate")
+    corpus.unpersist()
+    assert recall_escalated > recall_default  # (c) escalation buys recall
+
+
 def test_auto_escalate_search_matches_default_at_fixture_scale(spark, ivfpq_index):
     # at the 8-cell fixture geometry the escalated count equals the auto
     # floor, so the search (and its SQL twin render) must be unchanged —

@@ -1714,6 +1714,13 @@ def oracle_ivfpq(sf_name: str = "sf0.01") -> str:
 # pq_rerank RETURNS to the registry (round-11 tenth rotation): the ADC +
 # exact-rerank contract gets its own hard driver row again alongside the
 # composed ivfpq_search (which subsumed it during rounds 9-10).
-QUERIES = {"ivfpq_search": q_ivfpq_search, "pq_rerank": q_pq_rerank}
+# pq_rerank rotates OFF again (round-15 FOURTEENTH rotation, VERDICT r14
+# item 4) — same coverage argument as round 9: its ADC shortlist + exact
+# rerank runs inside the in-registry ivfpq_search's probed-cell path, and
+# hamming_rerank keeps the prefilter+exact-rerank shape in-registry too.
+# The freed slot carries hll_vs_exact (operators/sketches.py — the sketch
+# family's accuracy audit). Identical hash-differential parity stays in
+# tests/test_offregistry_parity.py (per-SF codebook rendering included).
+QUERIES = {"ivfpq_search": q_ivfpq_search}
 ORACLE_PQ_RERANK = oracle_pq_rerank("sf0.01")
-ORACLES = {"ivfpq_search": oracle_ivfpq("sf0.01"), "pq_rerank": ORACLE_PQ_RERANK}
+ORACLES = {"ivfpq_search": oracle_ivfpq("sf0.01")}

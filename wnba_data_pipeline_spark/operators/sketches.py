@@ -173,9 +173,104 @@ SELECT day, v_zero, hll_est FROM total
 """
 
 
+HLL_RSD = 1.04 / (HLL_M ** 0.5)  # the classic HLL relative standard
+# deviation at m = 64 registers (≈ 13%); the audit row below publishes
+# each day's error against TWICE this bound
+
+
+def q_hll_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL ACCURACY AUDIT (round 15, VERDICT r14 item 4 — the
+    ``hh_cms_vs_exact`` pattern applied to the distinct-count family):
+    per day — and for the register-merged all-days row — the EXACT
+    distinct (user, event_type) count, the portable-HLL estimate rebuilt
+    through the same cross-engine fixed-point pipeline as
+    ``hll_distinct_daily``, the signed relative error, and whether it
+    sits inside 2× the documented rsd (1.04/√64 ≈ 13% — Flajolet et al.
+    2007, public). Unlike the CMS row there is no one-sided bound to
+    prove (HLL error is two-sided); what the hash verifies cross-engine
+    is the ESTIMATOR ITSELF plus its measured error — the accuracy table
+    a 100 TB deployment publishes before swapping exact distincts for
+    sketch state (the documented D2 swap). Every term is hash-exact by
+    the same construction as ``hll_distinct_daily``: integer registers,
+    integer-scaled harmonic sum, one double division, and the error
+    arithmetic runs over those identical doubles in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+    bucket, rank = _hll_rank_cols(key)
+    r = ev.select(
+        F.col("ts").cast("date").cast("string").alias("day"), key.alias("k"), bucket, rank
+    )
+    regs = r.groupBy("day", "bucket").agg(F.max("rank").alias("mb"))
+    est = _hll_estimate(regs, ["day"]).select("day", "hll_est")
+    merged = regs.groupBy("bucket").agg(F.max("mb").alias("mb"))
+    est = est.unionByName(
+        _hll_estimate(merged, []).select(F.lit("ALL").alias("day"), "hll_est")
+    )
+    exact = r.groupBy("day").agg(F.count_distinct("k").alias("exact_distinct"))
+    exact = exact.unionByName(
+        r.agg(F.count_distinct("k").alias("exact_distinct")).select(
+            F.lit("ALL").alias("day"), "exact_distinct"
+        )
+    )
+    err = (F.col("hll_est") - F.col("exact_distinct")) / F.col("exact_distinct")
+    return est.join(exact, "day").select(
+        "day",
+        "exact_distinct",
+        "hll_est",
+        F.round(err, 6).alias("rel_err"),
+        (F.abs(err) <= F.lit(2 * HLL_RSD)).alias("within_2rsd"),
+    )
+
+
+ORACLE_HLL_VS_EXACT = f"""
+WITH hashed AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         (CAST(user_id AS VARCHAR) || ':' || event_type) AS k,
+         {md5_long_sql("(CAST(user_id AS VARCHAR) || ':' || event_type)")} AS h
+  FROM events
+), br AS (
+  SELECT day, CAST(h % {HLL_M} AS INT) AS bucket,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {HLL_W_BITS + 1}
+              ELSE {HLL_W_BITS + 1} - length(bin(h >> {HLL_P})) END AS mb_row
+  FROM hashed
+), regs AS (
+  SELECT day, bucket, max(mb_row) AS mb FROM br GROUP BY day, bucket
+), est AS (
+  SELECT day,
+         round({_HLL_NUM!r} / CAST(sum(1::BIGINT << ({HLL_W_BITS + 1} - mb))
+               + ({HLL_M} - count(*)) * (1::BIGINT << {HLL_W_BITS + 1}) AS DOUBLE), 4) AS hll_est
+  FROM regs GROUP BY day
+  UNION ALL
+  SELECT 'ALL' AS day,
+         round({_HLL_NUM!r} / CAST(sum(1::BIGINT << ({HLL_W_BITS + 1} - mb))
+               + ({HLL_M} - count(*)) * (1::BIGINT << {HLL_W_BITS + 1}) AS DOUBLE), 4) AS hll_est
+  FROM (SELECT bucket, max(mb) AS mb FROM regs GROUP BY bucket)
+), ex AS (
+  SELECT day, count(DISTINCT k) AS exact_distinct FROM hashed GROUP BY day
+  UNION ALL
+  SELECT 'ALL' AS day, count(DISTINCT k) AS exact_distinct FROM hashed
+)
+SELECT est.day, exact_distinct, hll_est,
+       round((hll_est - exact_distinct) / exact_distinct, 6) AS rel_err,
+       (abs(hll_est - exact_distinct) / exact_distinct) <= {2 * HLL_RSD!r} AS within_2rsd
+FROM est JOIN ex USING (day)
+"""
+
+
 # Round-13 TWELFTH rotation: the portable HLL gets the sketch family's
 # first hash-exact driver row (alongside emb_near_dup returning in
 # similarity.py); count_distinct_groups (relational.py) and frame_sample
 # (multimodal.py) rotate out with full parity kept off-registry.
-QUERIES = {"hll_distinct_daily": q_hll_distinct_daily}
-ORACLES = {"hll_distinct_daily": ORACLE_HLL_DISTINCT_DAILY}
+# Round-15 FOURTEENTH rotation (VERDICT r14 item 4): hll_vs_exact — the
+# family's accuracy audit (exact vs estimate vs the documented rsd bound,
+# the hh_cms_vs_exact pattern) — takes the slot freed by pq_rerank, whose
+# ADC+exact-rerank physics runs INSIDE the in-registry ivfpq_search's
+# probed-cell path (and whose parity stays pinned off-registry).
+QUERIES = {
+    "hll_distinct_daily": q_hll_distinct_daily,
+    "hll_vs_exact": q_hll_vs_exact,
+}
+ORACLES = {
+    "hll_distinct_daily": ORACLE_HLL_DISTINCT_DAILY,
+    "hll_vs_exact": ORACLE_HLL_VS_EXACT,
+}
