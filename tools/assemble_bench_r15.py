@@ -1,0 +1,183 @@
+"""Assemble BENCH_SCALE_r15.json from the raw probe lines in
+.benchdata/r15_probes.jsonl (written by tools/run_r15_probes.sh — one
+JSON object per bench_r15.py invocation; the A/B probes emit one tagged
+line per fresh-JVM trial).
+
+Beyond the r12 funnel_guard hard gate, this round's assembler:
+  - folds the tagged inc_seam_attrib_* trials into one A/B block with
+    per-arm walls + per-seam medians and REFUSES to emit if the survivor
+    fingerprints differ across arms (persist is physical, not semantic);
+  - folds the tagged encode_trial_* trials into encode_ab_cleanjvm with
+    per-arm spreads and the same fingerprint-identity gate;
+  - diffs stages100_spread against the r14 post-flip baseline
+    (BENCH_SCALE_r14 stages100_spread_postflip) and flags any stage whose
+    r15 median exceeds the r14 published max (VERDICT r14 item 6).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+RAW = REPO / ".benchdata" / "r15_probes.jsonl"
+OUT = REPO / "BENCH_SCALE_r15.json"
+R14 = REPO / "BENCH_SCALE_r14.json"
+
+
+def _fold_trials(doc: dict, prefix: str) -> dict | None:
+    """Collect {prefix}_{arm}_t{N} lines into {arm: [trial, ...]}."""
+    arms: dict[str, list[dict]] = {}
+    for k in sorted(doc):
+        if not k.startswith(prefix + "_"):
+            continue
+        tag = k[len(prefix) + 1 :]  # e.g. persist_t1
+        arm = tag.rsplit("_t", 1)[0]
+        arms.setdefault(arm, []).append(doc[k])
+    return arms or None
+
+
+def _spread(vals: list[float]) -> dict:
+    return {
+        "min": min(vals),
+        "median": round(statistics.median(vals), 2),
+        "max": max(vals),
+        "all": vals,
+    }
+
+
+def main() -> None:
+    doc: dict = {
+        "round": 15,
+        "methodology": (
+            "A/B probes run ONE FRESH JVM PER TRIAL with arms interleaved "
+            "(VERDICT r14 item 3 — the r14 lesson that same-JVM walls degrade "
+            "monotonically with trial index and bury arm effects); plans built "
+            "once per trial; /dev/shm spark-local cleaned between invocations. "
+            "inc_seam_attrib runs the sf100 incremental funnel (5 batches, "
+            "2.93M gated docs) with per-seam walls wired through the "
+            "batch-local dedup pass, persist arm (round-15 per-batch persist "
+            "of the gated scan / shingles / within-batch survivors — the "
+            "batch funnel's shingle-persist discipline applied per batch) vs "
+            "the r14 plan that re-executed those subplans across the screen "
+            "union's branches; survivor count+hash must be identical across "
+            "arms. encode_trial is the clean-JVM re-pin of r14's "
+            "encode_fuse_ab (fused single-Arrow-pass IVF-PQ encode vs the "
+            "three-stage chain), codes fingerprint-compared. stages100_spread "
+            "re-runs the r13/r14 per-stage ladder; this assembler diffs each "
+            "stage median against BENCH_SCALE_r14 stages100_spread_postflip "
+            "and flags medians past the r14 published max (VERDICT r14 item "
+            "6). funnel_guard EXECUTES the ladder guard test and GATES this "
+            "file's emission."
+        ),
+    }
+    if not RAW.exists():
+        print(f"REFUSED: {RAW} missing — run tools/run_r15_probes.sh first", file=sys.stderr)
+        sys.exit(1)
+    for line in RAW.read_text().splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            doc.update(json.loads(line))
+        except json.JSONDecodeError:
+            continue
+
+    # --- fold the incremental A/B
+    inc = _fold_trials(doc, "inc_seam_attrib")
+    if inc:
+        fps = {
+            (t["survivors"], t["survivor_hash"])
+            for ts in inc.values()
+            for t in ts
+            if "survivors" in t
+        }
+        if len(fps) > 1:
+            print(f"REFUSED: incremental survivor fingerprints differ across arms: {fps}", file=sys.stderr)
+            sys.exit(1)
+        block: dict = {"survivor_fingerprints_identical": True}
+        if fps:
+            block["survivors"], block["survivor_hash"] = next(iter(fps))
+        for arm, ts in inc.items():
+            walls = [t["incremental_total_sec"] for t in ts if "incremental_total_sec" in t]
+            entry: dict = {"total_sec": _spread(walls) if walls else None, "trials": len(ts)}
+            # per-seam medians across all batches of all trials
+            seams: dict[str, list[float]] = {}
+            for t in ts:
+                for bw in t.get("batch_stage_sec") or []:
+                    for seam, sec in bw.items():
+                        if isinstance(sec, (int, float)):
+                            seams.setdefault(seam, []).append(float(sec))
+            if seams:
+                entry["seam_sec_per_batch"] = {s: _spread(v) for s, v in seams.items()}
+            block[arm] = entry
+        if {"persist", "r14plan"} <= set(inc):
+            p = statistics.median([t["incremental_total_sec"] for t in inc["persist"]])
+            r = statistics.median([t["incremental_total_sec"] for t in inc["r14plan"]])
+            block["speedup_vs_r14_plan"] = round(r / max(p, 1e-9), 2)
+        doc["inc_seam_attrib"] = block
+
+    # --- fold the encode A/B
+    enc = _fold_trials(doc, "encode_trial")
+    if enc:
+        fps = {t["fingerprint"] for ts in enc.values() for t in ts if "fingerprint" in t}
+        if len(fps) > 1:
+            print(f"REFUSED: encode fingerprints differ across arms: {fps}", file=sys.stderr)
+            sys.exit(1)
+        block = {"codes_fingerprints_identical": True, "fingerprint": next(iter(fps)) if fps else None}
+        for arm, ts in enc.items():
+            block[arm] = {
+                "encode_wall_sec": _spread([t["encode_wall_sec"] for t in ts]),
+                "fit_sec": _spread([t["fit_sec"] for t in ts]),
+                "n": ts[0].get("n"),
+                "trials": len(ts),
+            }
+        if {"fused", "staged"} <= set(enc):
+            f = statistics.median([t["encode_wall_sec"] for t in enc["fused"]])
+            s = statistics.median([t["encode_wall_sec"] for t in enc["staged"]])
+            block["fused_speedup"] = round(s / max(f, 1e-9), 2)
+        doc["encode_ab_cleanjvm"] = block
+
+    # --- stage regression diff vs the r14 post-flip baseline
+    stages = doc.get("stages100_spread")
+    if isinstance(stages, dict) and R14.exists():
+        base = json.loads(R14.read_text()).get("stages100_spread_postflip", {})
+        base_stage = base.get("stage", {})
+        diff: dict = {"baseline": "BENCH_SCALE_r14.stages100_spread_postflip", "flags": []}
+        for name, st in (stages.get("stage") or {}).items():
+            b = base_stage.get(name)
+            if not b:
+                continue
+            d = {
+                "r15_median": st["median"],
+                "r14_median": b["median"],
+                "r14_max": b["max"],
+                "delta_vs_r14_median_pct": round(100 * (st["median"] - b["median"]) / max(b["median"], 1e-9), 1),
+            }
+            if st["median"] > b["max"]:
+                d["FLAG"] = "r15 median exceeds r14 published max"
+                diff["flags"].append(name)
+            diff[name] = d
+        base_counts = base.get("counts", {})
+        diff["counts_match_r14"] = all(
+            stages.get("counts", {}).get(k) == v for k, v in base_counts.items()
+        )
+        doc["stage_regression_vs_r14"] = diff
+
+    guard = doc.get("funnel_guard")
+    if not isinstance(guard, dict) or guard.get("passed") is not True:
+        print(
+            "REFUSED: no passing funnel_guard block in the probe lines "
+            f"(got: {guard!r}) — the ladder guard must RUN and PASS every round "
+            "(VERDICT r11 item 7). Run `python tools/bench_r15.py funnel_guard`.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    OUT.write_text(json.dumps(doc, indent=1) + "\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
