@@ -334,3 +334,24 @@ def test_near_dedup_seam_hook_contract(spark, tmp_path):
         "anti_join_write_sec",
     } <= set(seams)
     assert all(v >= 0 for v in seams.values())
+
+
+def test_inc_persist_auto_mode_is_span_keyed():
+    """Round 15: per-batch persist pays only when plan re-execution
+    dominates materialization (sf100 batches), and COSTS 3x at tiny
+    spans (the r15 sf0.1 smoke A/B) -- the auto mode keys on the batch
+    span; an explicit SPARK_GRAFT_INC_PERSIST (the probe arm switch)
+    always wins."""
+    from wnba_data_pipeline_spark.plans.curation import (
+        INC_PERSIST_MIN_BATCH,
+        _should_persist_batches,
+    )
+
+    assert _should_persist_batches(INC_PERSIST_MIN_BATCH, None) is True
+    assert _should_persist_batches(INC_PERSIST_MIN_BATCH - 1, None) is False
+    assert _should_persist_batches(1_000_000, None) is True  # the sf100 regime
+    assert _should_persist_batches(1_000, None) is False  # the sf0.1 regime
+    # explicit arm pins beat the span heuristic in both directions
+    assert _should_persist_batches(1_000, "1") is True
+    assert _should_persist_batches(1_000_000, "0") is False
+    assert _should_persist_batches(1_000, "") is False  # empty env = unset

@@ -38,6 +38,27 @@ from ..sources.tables import load_table
 QUALITY_MIN = 0.5  # composite quality-score gate (doc_stats)
 DEFAULT_AS_OF = "2001-09-01 00:00:00"
 
+# Per-batch persist pays for itself only when re-EXECUTING the batch's
+# upstream plan costs more than materializing it: at sf100 (~590 k gated
+# docs/batch) the uncached plan re-ran ~6× per batch (BENCH_SCALE_r14
+# inc_shipped100's swinging walls), while at sf0.1 (~1 k docs/batch) the
+# eager materialization jobs cost 3× the recompute they saved (measured
+# 154.8 s vs 46.4 s, r15 smoke A/B — tiny batches are per-job-floor
+# bound). The auto mode keys on the driver-side batch SPAN (an upper
+# bound on gated batch size, known without a count job); the threshold
+# sits well under the sf100 regime and well over the per-job-floor one.
+INC_PERSIST_MIN_BATCH = 50_000
+
+
+def _should_persist_batches(span: int, env: str | None) -> bool:
+    """Resolve the incremental funnel's per-batch persist mode: an explicit
+    SPARK_GRAFT_INC_PERSIST (the A/B probes' arm switch) always wins;
+    otherwise persist exactly when batches are big enough that plan
+    re-execution dominates materialization cost."""
+    if env is not None and env != "":
+        return env != "0"
+    return span >= INC_PERSIST_MIN_BATCH
+
 STAGES = ("corpus", "quality_kept", "sampled", "deduped", "near_deduped", "packed")
 
 
@@ -377,9 +398,10 @@ def run_curation_incremental(
     # in BENCH_SCALE_r14 inc_shipped100). Persist the gated batch, its
     # shingles, and the local-survivor frame for the batch's lifetime —
     # a PHYSICAL switch (values identical; A/B'd survivor-hash-equal in
-    # BENCH_SCALE_r15 inc_seam_attrib); SPARK_GRAFT_INC_PERSIST=0 opts
-    # back to the r14 plan. Seam walls land in ``batch_stage_walls``.
-    inc_persist = os.environ.get("SPARK_GRAFT_INC_PERSIST", "1") != "0"
+    # BENCH_SCALE_r15 inc_seam_attrib); SPARK_GRAFT_INC_PERSIST forces an
+    # arm, otherwise the span-keyed auto mode picks (see
+    # _should_persist_batches). Seam walls land in ``batch_stage_walls``.
+    inc_persist = _should_persist_batches(span, os.environ.get("SPARK_GRAFT_INC_PERSIST"))
     _ts = 0.0
     for i in range(n_batches):
         t0 = _time.perf_counter()
@@ -432,7 +454,7 @@ def run_curation_incremental(
             stages["batch_local_dedup"] = round(_time.perf_counter() - t0, 2)
         process_batch(
             spark, batch, i, corpus_dir, verdicts_dir, index_dir=index_dir,
-            stage_seconds=stages,
+            stage_seconds=stages, persist=inc_persist,
         )
         for df in to_unpersist:
             df.unpersist()

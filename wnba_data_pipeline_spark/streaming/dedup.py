@@ -321,6 +321,7 @@ def process_batch(
     verdicts_dir: str,
     index_dir: str | None = None,
     stage_seconds: dict | None = None,
+    persist: bool | None = None,
 ) -> None:
     """One micro-batch of the ingestion dedup: within-batch collapse →
     screen vs the accumulated corpus → overwrite this batch's verdict and
@@ -384,8 +385,14 @@ def process_batch(
     # BENCH_SCALE_r14 inc_shipped100. Purely physical (verdicts and kept
     # docs byte-identical — the existing streaming differentials plus the
     # survivor-hash A/B in BENCH_SCALE_r15 inc_seam_attrib);
-    # SPARK_GRAFT_INC_PERSIST=0 opts back to the uncached plan.
-    cache_on = os.environ.get("SPARK_GRAFT_INC_PERSIST", "1") != "0"
+    # SPARK_GRAFT_INC_PERSIST=0 opts back to the uncached plan; the
+    # incremental funnel passes its span-keyed auto decision via
+    # ``persist`` (plans.curation._should_persist_batches).
+    cache_on = (
+        os.environ.get("SPARK_GRAFT_INC_PERSIST", "1") != "0"
+        if persist is None
+        else persist
+    )
     if cache_on:
         batch = batch.persist()
     try:
