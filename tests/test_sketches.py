@@ -145,3 +145,30 @@ def test_portable_hll_small_range_correction_in_python(spark):
     assert abs(corrected - exact) <= abs(raw - exact) or abs(corrected - exact) / exact < 3.5 * HLL_RSD, (
         raw, corrected, exact, v,
     )
+
+
+def test_quantile_hist_audit_matches_oracle(spark, duck):
+    # the quantile family's audit row (round 15, prepared off-registry as
+    # the r16 rotation candidate): same hash-differential gate the driver
+    # applies to registered queries
+    from .oracle_compare import compare
+
+    compare(
+        sketches.q_quantile_hist_vs_exact(spark, SF_ORACLE),
+        duck.sql(sketches.ORACLE_QUANTILE_HIST_VS_EXACT).df(),
+        "quantile_hist_vs_exact",
+    )
+
+
+def test_quantile_hist_audit_semantics(spark):
+    # 21 rows (20 sources + merged ALL), every tested SF in-domain, and
+    # the fixed 16-wide geometry holds the p50 estimate within one bin of
+    # the exact median for every group -- the measured-accuracy fact the
+    # audit publishes
+    rows = {r["grp"]: r for r in sketches.q_quantile_hist_vs_exact(spark, SF_ORACLE).collect()}
+    assert len(rows) == 21 and "ALL" in rows
+    assert all(r["in_domain"] for r in rows.values())
+    assert all(r["within_bin"] for r in rows.values())
+    assert rows["ALL"]["n_docs"] == sum(
+        r["n_docs"] for g, r in rows.items() if g != "ALL"
+    )

@@ -274,3 +274,124 @@ ORACLES = {
     "hll_distinct_daily": ORACLE_HLL_DISTINCT_DAILY,
     "hll_vs_exact": ORACLE_HLL_VS_EXACT,
 }
+
+
+# ---------------------------------------------------------------------------
+# mergeable equi-width histogram — the quantile family's audit row
+# (round 15; the hh_cms_vs_exact / hll_vs_exact pattern applied to
+# quantiles, prepared off-registry as the r16 rotation candidate)
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+HIST_WIDTH = 16  # fixed [0, 1024) domain over documents.n_chars — covers
+# every tested SF (max 577 at sf0.1) with headroom; out-of-domain values
+# clamp into the last bin and the audit publishes in_domain per group so
+# a clamped median can never masquerade as a bounded one
+HIST_HI = HIST_BINS * HIST_WIDTH
+
+
+def q_quantile_hist_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTILE ACCURACY AUDIT: per document source — and for the ALL
+    row MERGED from the per-source bin counts, never a re-scan — the
+    exact median of n_chars, the p50 estimate read off a fixed-geometry
+    equi-width histogram (64 bins × width 16 over [0, 1024)), the
+    absolute error, and whether it sits within one bin width. The
+    histogram IS the mergeable quantile sketch a 100 TB deployment
+    stores: B int64 counts per partition/day, added bin-wise to answer
+    any rollup — the same state-not-rescan economics as the HLL rows,
+    with a DETERMINISTIC error dial (bin width) instead of a
+    probabilistic one. Every term is cross-engine exact: bin indices are
+    clamped integer divisions, the rank is integer arithmetic
+    (r = floor((n+1)/2), the lower-median rank), the estimate is one
+    integer-to-double midpoint, and the exact median interpolates two
+    int data points identically in both engines (the dispersion_stats
+    D8 contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.select(
+        F.col("source").alias("grp"),
+        F.least(
+            F.floor(F.col("n_chars") / F.lit(HIST_WIDTH)), F.lit(HIST_BINS - 1)
+        ).cast("int").alias("bin"),
+        F.col("n_chars"),
+    )
+    per_grp = binned.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = per_grp.groupBy("bin").agg(F.sum("cnt").alias("cnt")).select(
+        F.lit("ALL").alias("grp"), "bin", "cnt"
+    )
+    hist = per_grp.unionByName(merged)
+    from pyspark.sql import Window
+
+    w_cum = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp", "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    r = F.floor((F.col("n") + 1) / 2)
+    est = cum.filter(F.col("cum") >= r).groupBy("grp").agg(
+        F.min("bin").alias("p50_bin"), F.first("n").alias("n_docs")
+    )
+    est = est.select(
+        "grp", "n_docs",
+        ((F.col("p50_bin") + F.lit(0.5)) * F.lit(HIST_WIDTH)).alias("hist_p50"),
+    )
+    exact = binned.groupBy("grp").agg(
+        F.median("n_chars").alias("exact_median"),
+        (F.max("n_chars") < F.lit(HIST_HI)).alias("in_domain"),
+    )
+    exact = exact.unionByName(
+        binned.agg(
+            F.median("n_chars").alias("exact_median"),
+            (F.max("n_chars") < F.lit(HIST_HI)).alias("in_domain"),
+        ).select(F.lit("ALL").alias("grp"), "exact_median", "in_domain")
+    )
+    err = F.abs(F.col("hist_p50") - F.col("exact_median"))
+    return est.join(exact, "grp").select(
+        "grp", "n_docs", "exact_median", "hist_p50",
+        F.round(err, 6).alias("abs_err"),
+        (err <= F.lit(float(HIST_WIDTH))).alias("within_bin"),
+        "in_domain",
+    )
+
+
+ORACLE_QUANTILE_HIST_VS_EXACT = f"""
+WITH binned AS (
+  SELECT source AS grp,
+         least(CAST(floor(n_chars / {HIST_WIDTH}.0) AS INT), {HIST_BINS - 1}) AS bin,
+         n_chars
+  FROM documents
+), per_grp AS (
+  SELECT grp, bin, count(*) AS cnt FROM binned GROUP BY grp, bin
+), hist AS (
+  SELECT * FROM per_grp
+  UNION ALL
+  SELECT 'ALL' AS grp, bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM per_grp GROUP BY bin
+), cum AS (
+  SELECT grp, bin,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM hist
+), est AS (
+  SELECT grp, min(bin) AS p50_bin, CAST(first(n) AS BIGINT) AS n_docs
+  FROM cum WHERE cum >= floor((n + 1) / 2.0) GROUP BY grp
+), ex AS (
+  SELECT source AS grp, median(n_chars) AS exact_median,
+         (max(n_chars) < {HIST_HI}) AS in_domain
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'ALL' AS grp, median(n_chars) AS exact_median,
+         (max(n_chars) < {HIST_HI}) AS in_domain
+  FROM documents
+)
+SELECT est.grp, n_docs,
+       CAST(exact_median AS DOUBLE) AS exact_median,
+       (p50_bin + 0.5) * {HIST_WIDTH} AS hist_p50,
+       round(abs((p50_bin + 0.5) * {HIST_WIDTH} - exact_median), 6) AS abs_err,
+       (abs((p50_bin + 0.5) * {HIST_WIDTH} - exact_median) <= {HIST_WIDTH}.0) AS within_bin,
+       in_domain
+FROM est JOIN ex USING (grp)
+"""
