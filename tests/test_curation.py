@@ -355,3 +355,31 @@ def test_inc_persist_auto_mode_is_span_keyed():
     assert _should_persist_batches(1_000, "1") is True
     assert _should_persist_batches(1_000_000, "0") is False
     assert _should_persist_batches(1_000, "") is False  # empty env = unset
+
+
+def test_inc_persist_arms_keep_identical_survivors(spark, tmp_path, monkeypatch):
+    """Round 15: the per-batch persist is PHYSICAL, never semantic — the
+    suite-side twin of the BENCH_SCALE_r15 assembler gate that refuses to
+    emit if the sf100 arms' survivor fingerprints differ. Both explicit
+    arms (SPARK_GRAFT_INC_PERSIST=1 / =0, the probe switch that overrides
+    the span-keyed auto mode in either direction) must keep exactly the
+    same survivor set and the same packed layout."""
+    src = _plant_dups(spark, tmp_path)
+    outs = {}
+    for arm in ("1", "0"):
+        monkeypatch.setenv("SPARK_GRAFT_INC_PERSIST", arm)
+        base = str(tmp_path / f"wh_inc_arm{arm}")
+        curation.run_curation_incremental(spark, src, base, n_batches=3)
+        outs[arm] = {
+            "ids": {
+                r["doc_id"]
+                for r in read_table(spark, f"{base}/curation_inc/near_deduped")
+                .select("doc_id")
+                .collect()
+            },
+            "packed": sorted(
+                map(tuple, read_table(spark, f"{base}/curation_inc/packed").collect())
+            ),
+        }
+    assert outs["1"]["ids"] == outs["0"]["ids"]
+    assert outs["1"]["packed"] == outs["0"]["packed"]
