@@ -76,14 +76,24 @@ def main() -> None:
     if not RAW.exists():
         print(f"REFUSED: {RAW} missing — run tools/run_r15_probes.sh first", file=sys.stderr)
         sys.exit(1)
+    stages_runs: list[dict] = []
     for line in RAW.read_text().splitlines():
         line = line.strip()
         if not line.startswith("{"):
             continue
         try:
-            doc.update(json.loads(line))
+            obj = json.loads(line)
         except json.JSONDecodeError:
             continue
+        # the per-stage ladder probe may run more than once (the first r15
+        # run immediately followed six encode trials and showed the
+        # documented same-JVM trial-index degradation; a second run on a
+        # quiet machine was appended) — keep EVERY run and let the
+        # regression diff pool all trials instead of silently taking the
+        # last line
+        if "stages100_spread" in obj:
+            stages_runs.append(obj.pop("stages100_spread"))
+        doc.update(obj)
 
     # --- fold the incremental A/B
     inc = _fold_trials(doc, "inc_seam_attrib")
@@ -114,9 +124,31 @@ def main() -> None:
                 entry["seam_sec_per_batch"] = {s: _spread(v) for s, v in seams.items()}
             block[arm] = entry
         if {"persist", "r14plan"} <= set(inc):
-            p = statistics.median([t["incremental_total_sec"] for t in inc["persist"]])
-            r = statistics.median([t["incremental_total_sec"] for t in inc["r14plan"]])
-            block["speedup_vs_r14_plan"] = round(r / max(p, 1e-9), 2)
+            p_walls = [t["incremental_total_sec"] for t in inc["persist"]]
+            r_walls = [t["incremental_total_sec"] for t in inc["r14plan"]]
+            block["speedup_vs_r14_plan_arm_medians"] = round(
+                statistics.median(r_walls) / max(statistics.median(p_walls), 1e-9), 2
+            )
+            # the arms ran INTERLEAVED (persist_tN immediately followed by
+            # r14plan_tN in a fresh JVM each) precisely so that the
+            # session-level environmental drift both arms ride (walls grew
+            # ~1.4x across the campaign in BOTH arms) cancels pairwise —
+            # the per-pair ratio is the drift-robust effect estimate
+            pairs = {
+                f"t{i + 1}": round(r / max(p, 1e-9), 2)
+                for i, (p, r) in enumerate(zip(p_walls, r_walls))
+            }
+            block["interleaved_pair_ratio"] = {
+                **pairs,
+                "median": round(statistics.median(pairs.values()), 2),
+            }
+            block["note"] = (
+                "persist_t1 (729 s) ran concurrently with a verify session in the "
+                "same round and is kept raw but polluted — its pair ratio 0.76 "
+                "inverts; the clean pairs (t2 1.42x, t3 1.36x) agree with the "
+                "seam sums (compute seams flat across trials; the swing lives in "
+                "screen_verdicts/index_write, sub-attributed by the *_seams arms)."
+            )
         doc["inc_seam_attrib"] = block
 
     # --- fold the encode A/B
@@ -140,12 +172,64 @@ def main() -> None:
             block["fused_speedup"] = round(s / max(f, 1e-9), 2)
         doc["encode_ab_cleanjvm"] = block
 
+    # --- fold the fresh-JVM stage trials (stage_trial_t{N} — one ladder
+    # trial per JVM; the forward-looking r16 baseline, free of the
+    # same-JVM trial-index degradation the pooled probe below carries)
+    fresh_keys = sorted(k for k in doc if k.startswith("stage_trial_"))
+    if fresh_keys:
+        fresh: dict = {
+            "methodology": "one fresh JVM per ladder trial (r14 item-3 lesson applied to the stage ladder)",
+            "trials": len(fresh_keys),
+            "stage": {},
+            "counts": {},
+        }
+        for k in fresh_keys:
+            r = doc.pop(k)
+            fresh["sf_dir"] = r.get("sf_dir")
+            fresh["n_docs"] = r.get("n_docs")
+            for name, st in (r.get("stage") or {}).items():
+                fresh["stage"].setdefault(name, []).extend(st.get("all", []))
+            for ck, v in (r.get("counts") or {}).items():
+                fresh["counts"].setdefault(ck, set()).update(v)
+        fresh["stage"] = {n: _spread(v) for n, v in fresh["stage"].items()}
+        fresh["counts"] = {ck: sorted(v) for ck, v in fresh["counts"].items()}
+        fresh["counts_stable_across_trials"] = all(
+            len(v) == 1 for v in fresh["counts"].values()
+        )
+        doc["stages100_fresh_jvm"] = fresh
+
     # --- stage regression diff vs the r14 post-flip baseline
-    stages = doc.get("stages100_spread")
+    stages: dict | None = None
+    if stages_runs:
+        doc["stages100_spread_runs"] = stages_runs
+        # pool every trial of every run into one spread per stage; the
+        # regression flag fires on the POOLED median so a single
+        # drift-degraded trial (or run) cannot flag on its own
+        pooled: dict = {
+            "runs": len(stages_runs),
+            "sf_dir": stages_runs[0].get("sf_dir"),
+            "n_docs": stages_runs[0].get("n_docs"),
+            "trials": sum(r.get("trials", 0) for r in stages_runs),
+            "stage": {},
+            "counts": {},
+        }
+        for r in stages_runs:
+            for name, st in (r.get("stage") or {}).items():
+                pooled["stage"].setdefault(name, []).extend(st.get("all", []))
+            for k, v in (r.get("counts") or {}).items():
+                pooled["counts"].setdefault(k, set()).update(v)
+        pooled["stage"] = {n: _spread(v) for n, v in pooled["stage"].items()}
+        pooled["counts"] = {k: sorted(v) for k, v in pooled["counts"].items()}
+        pooled["counts_stable_across_runs"] = all(
+            len(v) == 1 for v in pooled["counts"].values()
+        )
+        doc["stages100_spread"] = pooled
+        stages = pooled
     if isinstance(stages, dict) and R14.exists():
         base = json.loads(R14.read_text()).get("stages100_spread_postflip", {})
         base_stage = base.get("stage", {})
         diff: dict = {"baseline": "BENCH_SCALE_r14.stages100_spread_postflip", "flags": []}
+        fresh = doc.get("stages100_fresh_jvm", {}).get("stage", {})
         for name, st in (stages.get("stage") or {}).items():
             b = base_stage.get(name)
             if not b:
@@ -156,6 +240,13 @@ def main() -> None:
                 "r14_max": b["max"],
                 "delta_vs_r14_median_pct": round(100 * (st["median"] - b["median"]) / max(b["median"], 1e-9), 1),
             }
+            # the r14 baseline's trial 1 was ITS fresh-JVM wall (one JVM,
+            # three trials, documented monotonic degradation) — the
+            # apples-to-apples partner for this round's fresh-JVM trials
+            if b.get("all"):
+                d["r14_trial1_fresh_jvm"] = b["all"][0]
+            if name in fresh:
+                d["r15_fresh_jvm_median"] = fresh[name]["median"]
             if st["median"] > b["max"]:
                 d["FLAG"] = "r15 median exceeds r14 published max"
                 diff["flags"].append(name)
@@ -164,6 +255,14 @@ def main() -> None:
         diff["counts_match_r14"] = all(
             stages.get("counts", {}).get(k) == v for k, v in base_counts.items()
         )
+        if diff["flags"] and fresh:
+            diff["flag_context"] = (
+                "pooled medians mix same-JVM trials 2-3, whose monotonic "
+                "degradation ran far steeper this session than r14's (e.g. "
+                "verify_hh 11.8 -> 64.7 -> 103.1 s within one JVM); judge the "
+                "flags against the r15_fresh_jvm_median column, whose "
+                "apples-to-apples partner is r14_trial1_fresh_jvm"
+            )
         doc["stage_regression_vs_r14"] = diff
 
     guard = doc.get("funnel_guard")

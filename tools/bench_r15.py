@@ -147,17 +147,31 @@ def cmd_encode_trial() -> dict:
     }
 
 
+def cmd_stage_trial() -> dict:
+    """ONE trial of the per-stage ladder under a FRESH JVM (the runner
+    invokes this once per trial) — the fresh-JVM-per-trial methodology the
+    A/B probes adopted this round, applied to the stage ladder whose
+    same-JVM trials 2-3 show the documented monotonic degradation (r15
+    first run: verify_hh 11.8 → 64.7 → 103.1 s within one JVM). The
+    same-JVM stages100_spread still runs for apples-to-apples regression
+    diffing against the r14 baseline; this block is the forward-looking
+    r16 baseline."""
+    os.environ["SPARK_GRAFT_STAGE_TRIALS"] = "1"
+    return cmd_stages100_spread()
+
+
 COMMANDS = {
     "inc_seam_attrib": cmd_inc_seam_attrib,
     "encode_trial": cmd_encode_trial,
     "stages100_spread": cmd_stages100_spread,
+    "stage_trial": cmd_stage_trial,
     "funnel_guard": cmd_funnel_guard,
     "connect_probe": cmd_connect_probe,
 }
 
 # subcommands that run once per arm/trial in a fresh JVM — their output
 # key carries the trial tag so the jsonl assembler keeps every line
-TAGGED = {"inc_seam_attrib", "encode_trial"}
+TAGGED = {"inc_seam_attrib", "encode_trial", "stage_trial"}
 
 
 def main() -> None:
