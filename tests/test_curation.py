@@ -383,3 +383,49 @@ def test_inc_persist_arms_keep_identical_survivors(spark, tmp_path, monkeypatch)
         }
     assert outs["1"]["ids"] == outs["0"]["ids"]
     assert outs["1"]["packed"] == outs["0"]["packed"]
+
+
+def test_screen_branch_replan_vs_persist_plan_mechanism(spark, tmp_path):
+    """Round 15, wall-free pin of the incremental-persist mechanism (the
+    sf100 A/B walls ride a measured host-level session drift larger than
+    the ~1.4x effect — BENCH_SCALE_r15 session_drift_evidence — so the
+    MECHANISM is pinned at the plan level instead): the screen's verdict
+    frame references the arriving batch's plan from several union
+    branches, Spark performs no cross-branch CSE, and therefore WITHOUT a
+    persist the batch's source scan appears as a separate FileScan in
+    every branch (re-executed per branch at run time), while the persist
+    process_batch applies replaces every reference with an
+    InMemoryTableScan of one cached materialization."""
+    from wnba_data_pipeline_spark.streaming import dedup as sdedup
+
+    src = str(tmp_path / "batch_src.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa"),
+         (3, "alpha beta gamma delta epsilon")],
+        sdedup.DOC_SCHEMA,
+    ).write.parquet(src)
+    batch_df = spark.read.schema(sdedup.DOC_SCHEMA).parquet(src)
+    ref = spark.createDataFrame([], sdedup.DOC_SCHEMA)
+
+    def _plan(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # arm 1: the r14 plan (no persist) — the batch parquet scan appears
+    # once PER BRANCH of the verdict union, none of them cached
+    _, v_replan = sdedup.screen_batch(batch_df, ref)
+    plan = _plan(v_replan)
+    n_scans = plan.count("batch_src.parquet")
+    assert n_scans >= 3, f"expected >=3 branch scans of the batch source, got {n_scans}"
+    assert "InMemoryTableScan" not in plan
+    # arm 2: what process_batch does with persist on — the survivors
+    # frame is cached, and every branch reference resolves to an
+    # InMemoryTableScan of the single materialization
+    survivors, v_persist = sdedup.screen_batch(batch_df, ref)
+    survivors.persist()
+    try:
+        plan2 = _plan(v_persist)
+        assert plan2.count("InMemoryTableScan") >= 2, plan2[:2000]
+    finally:
+        survivors.unpersist()

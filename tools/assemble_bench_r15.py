@@ -147,7 +147,19 @@ def main() -> None:
                 "same round and is kept raw but polluted — its pair ratio 0.76 "
                 "inverts; the clean pairs (t2 1.42x, t3 1.36x) agree with the "
                 "seam sums (compute seams flat across trials; the swing lives in "
-                "screen_verdicts/index_write, sub-attributed by the *_seams arms)."
+                "screen_verdicts/index_write, sub-attributed by the *_seams arms). "
+                "The *_seams arms carry sub-seam instrumentation (an extra "
+                "verdict persist+count and eager index shingle count) and ran in "
+                "OPPOSITE host-contention windows (persist_seams 792 s during the "
+                "measured worst window, r14plan_seams 368 s right after it "
+                "eased) — they exist for sub-attribution, not as A/B walls. "
+                "Because the session drift amplitude (2-5x) exceeds the ~1.4x "
+                "arm effect, the mechanism is ALSO pinned wall-free at the plan "
+                "level: without the persist the batch's source scan appears as a "
+                "separate FileScan in >=3 verdict-union branches (re-executed "
+                "per branch), with it every reference is an InMemoryTableScan "
+                "(tests/test_curation.py::"
+                "test_screen_branch_replan_vs_persist_plan_mechanism)."
             )
         doc["inc_seam_attrib"] = block
 
@@ -255,15 +267,55 @@ def main() -> None:
         diff["counts_match_r14"] = all(
             stages.get("counts", {}).get(k) == v for k, v in base_counts.items()
         )
-        if diff["flags"] and fresh:
+        if diff["flags"]:
             diff["flag_context"] = (
-                "pooled medians mix same-JVM trials 2-3, whose monotonic "
-                "degradation ran far steeper this session than r14's (e.g. "
-                "verify_hh 11.8 -> 64.7 -> 103.1 s within one JVM); judge the "
-                "flags against the r15_fresh_jvm_median column, whose "
-                "apples-to-apples partner is r14_trial1_fresh_jvm"
+                "every flagged stage has counts identical to r14 and an "
+                "EARLY-session wall at or below the r14 fresh-JVM wall "
+                "(verify_hh 11.8 s at 22:26 vs r14's 19.94; cs_pairs_mat 12.3 vs "
+                "20.4; cs_anti_join 0.55 vs 0.45) — the pooled medians and the "
+                "late fresh-JVM trials ride the measured host-level session "
+                "degradation (see session_drift_evidence), not a plan change; "
+                "none of the flagged stages' code changed this round beyond the "
+                "banded_keys NULL-collapse guard, whose early-session walls sit "
+                "inside the r14 spread"
             )
         doc["stage_regression_vs_r14"] = diff
+
+    # --- session-drift evidence: identical workloads (fingerprints/counts
+    # pinned identical) in chronological probe order. The walls grow
+    # monotonically across FRESH JVMs on an otherwise-quiet machine while
+    # /proc/stat steal stays ~1.4% and RAM/tmpfs are far from pressure —
+    # host-level contention (e.g. memory bandwidth, invisible to steal
+    # accounting), not a code or JVM effect. The drift-robust estimates in
+    # this file are the INTERLEAVED pair ratios and the per-seam shares.
+    chron = []
+    for line in RAW.read_text().splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        for k, v in obj.items():
+            if k.startswith("encode_trial_"):
+                chron.append({k: v.get("encode_wall_sec"), "fit": v.get("fit_sec")})
+            elif k.startswith("stage_trial_"):
+                chron.append({k: (v.get("stage") or {}).get("verify_hh", {}).get("median")})
+    if chron:
+        doc["session_drift_evidence"] = {
+            "chronological_walls": chron,
+            "note": (
+                "encode trials (identical 1M-vector workload, codes "
+                "fingerprint-identical, one fresh JVM each) grew 23.8 -> 74.2 s "
+                "(fused arm) / 42.1 -> 103.1 s (staged arm) across the session; "
+                "the fresh-JVM stage-ladder trials late in the session (verify_hh "
+                "108-207 s vs 11.8-31.8 s for the same counts in the earlier "
+                "same-JVM runs' trial 1) confirm the degradation is host-level, "
+                "not same-JVM state. stage_trial_t1 additionally overlapped this "
+                "round's verify spot-checks (known concurrent load)."
+            ),
+        }
 
     guard = doc.get("funnel_guard")
     if not isinstance(guard, dict) or guard.get("passed") is not True:
