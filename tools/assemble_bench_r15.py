@@ -159,7 +159,19 @@ def main() -> None:
                 "separate FileScan in >=3 verdict-union branches (re-executed "
                 "per branch), with it every reference is an InMemoryTableScan "
                 "(tests/test_curation.py::"
-                "test_screen_branch_replan_vs_persist_plan_mechanism)."
+                "test_screen_branch_replan_vs_persist_plan_mechanism). "
+                "A fourth clean-window pair (persist_t4 617 vs r14plan_t4 550, "
+                "ratio 0.89) inverts again — the WALL-level verdict at sf100 on "
+                "this single-node testbed is UNRESOLVED (drift >= effect), and "
+                "honestly so: with the whole corpus page-cached, re-executing "
+                "the gated scan ~6x costs only CPU, while the persist pays "
+                "three cache materializations against a 48g heap. At production "
+                "scale the arriving batch does NOT sit in RAM and each "
+                "re-execution is a disk/network pass over the arrival volume — "
+                "the plan-level re-execution count, not this testbed's walls, "
+                "is the 100 TB-relevant fact. The span-keyed auto mode plus the "
+                "explicit SPARK_GRAFT_INC_PERSIST switch keep both regimes one "
+                "dial away; values are arm-independent everywhere."
             )
         doc["inc_seam_attrib"] = block
 
