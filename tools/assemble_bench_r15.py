@@ -269,6 +269,11 @@ def main() -> None:
             # apples-to-apples partner for this round's fresh-JVM trials
             if b.get("all"):
                 d["r14_trial1_fresh_jvm"] = b["all"][0]
+            # the first trial of the FIRST same-JVM run (22:26, before the
+            # measured degradation) is this round's cleanest fresh-JVM wall
+            run1 = stages_runs[0].get("stage", {}).get(name, {}).get("all") or []
+            if run1:
+                d["r15_run1_trial1_early"] = run1[0]
             if name in fresh:
                 d["r15_fresh_jvm_median"] = fresh[name]["median"]
             if st["median"] > b["max"]:
