@@ -93,6 +93,10 @@ def main() -> None:
         # last line
         if "stages100_spread" in obj:
             stages_runs.append(obj.pop("stages100_spread"))
+        if "host_meter_standalone" in obj:
+            doc.setdefault("host_meter_readings", []).append(
+                obj.pop("host_meter_standalone")
+            )
         doc.update(obj)
 
     # --- fold the incremental A/B
@@ -337,7 +341,17 @@ def main() -> None:
                 "108-207 s vs 11.8-31.8 s for the same counts in the earlier "
                 "same-JVM runs' trial 1) confirm the degradation is host-level, "
                 "not same-JVM state. stage_trial_t1 additionally overlapped this "
-                "round's verify spot-checks (known concurrent load)."
+                "round's verify spot-checks (known concurrent load). ROOT CAUSE "
+                "MEASURED at 01:27: single-threaded memory bandwidth oscillated "
+                "0.07 / 5.73 / 0.36 GB/s across three back-to-back 64 MiB "
+                "copies (host_meter_readings; a normal core sustains 10-20) "
+                "while cache-resident 1k matmul stayed a stable ~160-190 ms — "
+                "intermittent memory-bandwidth starvation, which is exactly why "
+                "the bandwidth-bound stages (shuffle/hash/scan: verify_hh, "
+                "candidates, screen compute) degraded 5-10x while compute-bound "
+                "seams moved far less. bench_r15.py now stamps "
+                "host_meter_before/after onto every probe line so r16 walls "
+                "carry their own bandwidth context."
             ),
         }
 

@@ -71,6 +71,32 @@ def _tag() -> str:
     return os.environ.get("SPARK_GRAFT_TRIAL_TAG", "t0")
 
 
+def _host_meter() -> dict:
+    """~1.5 s host-health microbenchmark stamped onto every probe line
+    (round 15: identical fingerprinted workloads drifted 2-5x across the
+    session while steal stayed ~1.4% — a memory-bandwidth figure beside
+    each wall makes that attribution quantitative next time). Single
+    threaded on purpose: per-core bandwidth is what the degraded Spark
+    tasks actually saw."""
+    import numpy as np
+
+    a = np.ones(2**23, dtype=np.float64)  # 64 MiB — bounded even at the
+    # 0.1 GB/s floor this round actually measured (1 GiB took 46 s there)
+    t0 = time.perf_counter()
+    b = a * 1.000001
+    copy_s = time.perf_counter() - t0
+    m = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.perf_counter()
+    (m @ m).sum()
+    mm_s = time.perf_counter() - t0
+    del a, b
+    return {
+        # read 64 MiB + write 64 MiB
+        "membw_gbps": round(0.125 / max(copy_s, 1e-9), 2),
+        "matmul_1k_ms": round(mm_s * 1000, 1),
+    }
+
+
 def cmd_inc_seam_attrib() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF100)
     n_batches = int(os.environ.get("SPARK_GRAFT_INC_BATCHES", "5"))
@@ -178,7 +204,11 @@ def main() -> None:
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     cmd = sys.argv[1] if len(sys.argv) > 1 else "connect_probe"
+    meter_before = _host_meter()
     result = COMMANDS[cmd]()
+    if isinstance(result, dict):
+        result["host_meter_before"] = meter_before
+        result["host_meter_after"] = _host_meter()
     key = f"{cmd}_{_tag()}" if cmd in TAGGED else cmd
     print(json.dumps({key: result}))
 
