@@ -10,16 +10,14 @@ to registered queries runs here against the same DuckDB twins.
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
 from wnba_data_pipeline_spark.operators import (
     dedup,
     multimodal,
-    pq,
     relational,
     similarity,
+    sketches,
     temporal,
     text,
 )
@@ -27,10 +25,6 @@ from wnba_data_pipeline_spark.streaming import events as streaming_events
 
 from .conftest import SF_ORACLE
 from .oracle_compare import compare
-
-# sf-specific fixture renderings (fitted-codebook literals differ per
-# scale — same handling test_oracle_parity gives the in-registry rows)
-_SF_NAME = os.path.basename(SF_ORACLE.rstrip("/"))
 
 ROTATED = {
     "doc_fingerprint": (text.q_doc_fingerprint, text.ORACLE_DOC_FINGERPRINT),
@@ -137,16 +131,14 @@ ROTATED = {
         streaming_events.hopping_6h_batch,
         streaming_events.ORACLE_HOPPING_6H,
     ),
-    # fourteenth rotation (round 15, VERDICT r14 item 4): slot freed for
     # hll_vs_exact (the sketch family's accuracy audit — exact distinct vs
     # the portable-HLL estimate vs 2x the documented rsd, the
-    # hh_cms_vs_exact pattern; operators/sketches.py). pq_rerank rotates
-    # back out on the round-9 coverage argument: its ADC shortlist + exact
-    # rerank runs INSIDE ivfpq_search's probed-cell path and
-    # hamming_rerank keeps the prefilter+exact-rerank shape, both
-    # in-registry. Oracle rendered per-SF below (the fitted-codebook
-    # literals are scale-specific, like semantic_dedup's).
-    "pq_rerank": (pq.q_pq_rerank, pq.oracle_pq_rerank(_SF_NAME)),
+    # hh_cms_vs_exact pattern; operators/sketches.py) was drafted as the
+    # fourteenth-rotation candidate during the interrupted round-15
+    # build; round 15 shipped as an OPTIMIZATION round (registry frozen
+    # at the r14 set), so it is parity-gated here instead, ready for a
+    # future rotation.
+    "hll_vs_exact": (sketches.q_hll_vs_exact, sketches.ORACLE_HLL_VS_EXACT),
 }
 
 
@@ -182,7 +174,8 @@ def test_rotated_queries_stay_off_registry():
         # round 12, hopping_6h_batch re-rotated out in round 14)
         "heavy_hitters_cms",
         # tenth rotation (round 11; range_agg_binjoin re-rotated out in
-        # round 14, pq_rerank re-rotated out in round 15)
+        # round 14)
+        "pq_rerank",
         # eleventh rotation (round 12)
         "hamming_rerank",
         "sim_topk",
@@ -192,7 +185,5 @@ def test_rotated_queries_stay_off_registry():
         # thirteenth rotation (round 14)
         "hh_cms_vs_exact",
         "group_tail_n",
-        # fourteenth rotation (round 15)
-        "hll_vs_exact",
     ):
         assert newcomer in qs

@@ -22,8 +22,7 @@ _ORACLES = dict(entrymod.oracle_sql())
 _SF_NAME = os.path.basename(SF_ORACLE.rstrip("/"))
 if _SF_NAME != "sf0.01":
     _ORACLES["semantic_dedup"] = clustering.oracle_semantic_dedup(_SF_NAME)
-    # pq_rerank rotated off-registry in round 15 — its per-SF rendering
-    # moved to tests/test_offregistry_parity.py
+    _ORACLES["pq_rerank"] = pq.oracle_pq_rerank(_SF_NAME)
     _ORACLES["ivfpq_search"] = pq.oracle_ivfpq(_SF_NAME)
 
 

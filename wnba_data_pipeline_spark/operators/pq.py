@@ -1714,13 +1714,11 @@ def oracle_ivfpq(sf_name: str = "sf0.01") -> str:
 # pq_rerank RETURNS to the registry (round-11 tenth rotation): the ADC +
 # exact-rerank contract gets its own hard driver row again alongside the
 # composed ivfpq_search (which subsumed it during rounds 9-10).
-# pq_rerank rotates OFF again (round-15 FOURTEENTH rotation, VERDICT r14
-# item 4) — same coverage argument as round 9: its ADC shortlist + exact
-# rerank runs inside the in-registry ivfpq_search's probed-cell path, and
-# hamming_rerank keeps the prefilter+exact-rerank shape in-registry too.
-# The freed slot carries hll_vs_exact (operators/sketches.py — the sketch
-# family's accuracy audit). Identical hash-differential parity stays in
-# tests/test_offregistry_parity.py (per-SF codebook rendering included).
-QUERIES = {"ivfpq_search": q_ivfpq_search}
+# Round 15 shipped as an OPTIMIZATION round: the registry is frozen at
+# the r14 set (no declared query may disappear), so pq_rerank STAYS
+# in-registry; the drafted fourteenth rotation (hll_vs_exact in,
+# pq_rerank out) is parked in tests/test_offregistry_parity.py for a
+# future build round.
+QUERIES = {"ivfpq_search": q_ivfpq_search, "pq_rerank": q_pq_rerank}
 ORACLE_PQ_RERANK = oracle_pq_rerank("sf0.01")
-ORACLES = {"ivfpq_search": oracle_ivfpq("sf0.01")}
+ORACLES = {"ivfpq_search": oracle_ivfpq("sf0.01"), "pq_rerank": ORACLE_PQ_RERANK}

@@ -261,19 +261,15 @@ FROM est JOIN ex USING (day)
 # first hash-exact driver row (alongside emb_near_dup returning in
 # similarity.py); count_distinct_groups (relational.py) and frame_sample
 # (multimodal.py) rotate out with full parity kept off-registry.
-# Round-15 FOURTEENTH rotation (VERDICT r14 item 4): hll_vs_exact — the
-# family's accuracy audit (exact vs estimate vs the documented rsd bound,
-# the hh_cms_vs_exact pattern) — takes the slot freed by pq_rerank, whose
-# ADC+exact-rerank physics runs INSIDE the in-registry ivfpq_search's
-# probed-cell path (and whose parity stays pinned off-registry).
-QUERIES = {
-    "hll_distinct_daily": q_hll_distinct_daily,
-    "hll_vs_exact": q_hll_vs_exact,
-}
-ORACLES = {
-    "hll_distinct_daily": ORACLE_HLL_DISTINCT_DAILY,
-    "hll_vs_exact": ORACLE_HLL_VS_EXACT,
-}
+# hll_vs_exact — the family's accuracy audit (exact vs estimate vs the
+# documented rsd bound, the hh_cms_vs_exact pattern) — was drafted as the
+# fourteenth-rotation candidate during the interrupted round-15 build.
+# Round 15 shipped as an OPTIMIZATION round (registry frozen at the
+# r14 set: no query may disappear), so it stays OFF-registry with the
+# identical hash-differential parity gate in
+# tests/test_offregistry_parity.py, ready for a future rotation.
+QUERIES = {"hll_distinct_daily": q_hll_distinct_daily}
+ORACLES = {"hll_distinct_daily": ORACLE_HLL_DISTINCT_DAILY}
 
 
 # ---------------------------------------------------------------------------
