@@ -16,6 +16,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _disable_thp_madvise() -> None:
+    """Opt this process tree out of transparent-hugepage backing
+    (PR_SET_THP_DISABLE, inherited across fork/exec — covers the JVM and
+    every Python worker it spawns) and numpy's MADV_HUGEPAGE madvise.
+
+    Round-15 root cause of the r14/r15 "host drift": on this testbed
+    (THP=madvise) a 2 MiB hugepage allocation intermittently stalls
+    ~75 ms in the kernel (measured: a fresh 64 MiB numpy buffer = 33
+    hugepage faults = 2.45 s of SYSTEM time, 0.04 GB/s effective, while
+    steady-state bandwidth on already-faulted pages is ~9.4 GB/s) —
+    numpy madvises MADV_HUGEPAGE on every large buffer, so every Arrow
+    batch, shingle pass and shuffle buffer paid it, erratically, which
+    is exactly the 5-10x bandwidth-stage degradation BENCH_SCALE_r15
+    recorded. With the madvise suppressed the same allocation runs the
+    plain 4 KiB fault path at 1-4.7 GB/s (measured 50-100x recovery).
+    Cost on a healthy host: slightly more TLB pressure on multi-GiB
+    buffers — negligible at our batch sizes (<=64 MiB Arrow batches).
+    SPARK_GRAFT_THP=keep opts out of the mitigation."""
+    if os.environ.get("SPARK_GRAFT_THP", "disable") == "keep":
+        return
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE = 41
+    except Exception:
+        pass  # non-Linux / restricted sandbox: the env knob above still
+        # reaches numpy in every spawned worker
+
+
+_disable_thp_madvise()
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
