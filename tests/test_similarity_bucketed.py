@@ -87,3 +87,65 @@ def test_hard_negatives_bucketed_shuffles_ids_only(spark):
             saw_distinct = True
             assert not any(c in block for c in vec_cols), block
     assert saw_shuffle and saw_distinct  # the probes actually matched
+
+
+def test_srp_arrow_band_keys_match_expression(spark):
+    # round 15 (optimization): the Arrow band-key pass must emit
+    # BIT-IDENTICAL (id, key) multisets to the expression fold, for both
+    # geometries (8-plane near-dup, 4-plane hard-negative). exceptAll both
+    # ways = multiset equality (duplicates included).
+    from pyspark.sql import functions as F
+
+    wn = similarity._augmented_corpus(spark, SF_ORACLE)
+    arrow_nd = similarity._srp_banded_rows(
+        wn.select("vec_id", "embedding"),
+        [("vec_id", "long")],
+        n_planes=similarity.ND_PLANES,
+        n_bands=similarity.ND_BANDS,
+        span=similarity.ND_BUCKET_SPAN,
+        key_name="bkey",
+    )
+    keys = F.array(
+        *[similarity._nd_band_key(F.col("embedding"), b) for b in range(similarity.ND_BANDS)]
+    )
+    expr_nd = wn.select("vec_id", F.explode(keys).alias("bkey"))
+    assert arrow_nd.exceptAll(expr_nd).count() == 0
+    assert expr_nd.exceptAll(arrow_nd).count() == 0
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    arrow_hn = similarity._srp_banded_rows(
+        emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")),
+        [("vec_id", "long"), ("label", "int")],
+        n_planes=similarity.HN_PLANES,
+        n_bands=similarity.ND_BANDS,
+        span=1 << similarity.HN_PLANES,
+        key_name="_bk",
+    )
+    bands = F.array(
+        *[similarity._hn_band_key(F.col("embedding"), b) for b in range(similarity.ND_BANDS)]
+    )
+    expr_hn = emb.select("vec_id", "label", F.explode(bands).alias("_bk"))
+    assert arrow_hn.exceptAll(expr_hn).count() == 0
+    assert expr_hn.exceptAll(arrow_hn).count() == 0
+
+
+def test_srp_arrow_paths_match_expression_plans(spark, monkeypatch):
+    # round 15 (optimization): every query that grew an Arrow screen/band
+    # pass must return EXACTLY the rows of its pure-expression plan (the
+    # SPARK_GRAFT_SRP_ARROW=0 branch) — the physical switch is never
+    # allowed to be semantic. The gate is read at plan-BUILD time, so
+    # toggling the env around construction compares real plans.
+    from wnba_data_pipeline_spark.operators import clustering
+
+    for fn in (
+        similarity.q_emb_near_dup,
+        similarity.q_emb_near_dup_bucketed,
+        similarity.q_hard_negatives_bucketed,
+        clustering.q_semantic_dedup,
+    ):
+        monkeypatch.setenv("SPARK_GRAFT_SRP_ARROW", "0")
+        legacy = fn(spark, SF_ORACLE)
+        monkeypatch.setenv("SPARK_GRAFT_SRP_ARROW", "1")
+        arrow = fn(spark, SF_ORACLE)
+        assert arrow.exceptAll(legacy).count() == 0, fn.__name__
+        assert legacy.exceptAll(arrow).count() == 0, fn.__name__

@@ -64,7 +64,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .similarity import DIM, _augmented_corpus, _cosine_sql, _dot
+from .similarity import DIM, _augmented_corpus, _cosine_sql, _dot, _srp_arrow_enabled
 
 # fixed-point scales: components are O(1) floats, so round(x*1e9) is exact
 # in a double (|x|*1e9 << 2^53) and loses nothing that matters to a mean
@@ -703,6 +703,43 @@ def probe_assignments(
 GRAM_BLOCK_ELEMS = 1 << 24
 
 
+def _cell_screen_fn(margin_threshold: float):
+    """Per-cell candidate SCREEN for the oracle-exact join path (round 15):
+    like ``_gram_cell_pairs`` but emits only (vec_a, vec_b) id pairs at the
+    margin-lowered threshold — the exact fold cosine, final filter and
+    rounding happen downstream in the JVM on the survivors, so the screen
+    only needs to be conservative, never exact. Same blocked-gram memory
+    bound as the gram path."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64"}
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        x /= pdf["norm"].to_numpy()[:, None]
+        cols = np.arange(m)
+        block = max(1, GRAM_BLOCK_ELEMS // m)
+        parts = []
+        for i0 in range(0, m - 1, block):
+            i1 = min(i0 + block, m)
+            g = x[i0:i1] @ x.T
+            keep = (g >= margin_threshold) & (cols[None, :] > np.arange(i0, i1)[:, None])
+            bi, bj = np.nonzero(keep)
+            if len(bi):
+                parts.append(pd.DataFrame({"vec_a": ids[bi + i0], "vec_b": ids[bj]}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return fn
+
+
 def _gram_cell_pairs(asg: DataFrame, *, threshold: float) -> DataFrame:
     """(vec_id, embedding, norm, cell) → (vec_a, vec_b, cosine): per-cell
     Gram-matrix pair generation (the ``path="gram"`` physics — see
@@ -806,6 +843,36 @@ def semantic_pairs(
         return _gram_cell_pairs(asg, threshold=threshold)
     if path != "join":
         raise ValueError(f"unknown semantic_pairs path: {path!r}")
+    if _srp_arrow_enabled():
+        # Round 15 (optimization, guide §3.2/§8.4 — the q_emb_near_dup
+        # screen applied to the oracle-exact join path): the within-cell
+        # candidate pairs come from a per-cell Gram SCREEN at
+        # threshold − 1e-9 (one numpy matmul per cell instead of an
+        # interpreted 64-term fold per candidate pair — ~3 M folds at
+        # sf0.1, measured 26.4 s → ~3 s), and the handful of screen
+        # survivors then flow through the UNCHANGED exact verify: the
+        # same 0.0-seeded left-fold dot, norm division, ≥ threshold
+        # filter and HALF_UP round. No pair can be lost — prenormalized
+        # GEMM vs fold/(na·nb) differ ≤ ~2·DIM·eps ≈ 1e-12 on cosines,
+        # 1000× inside the margin — and false positives are dropped by
+        # the exact filter, so rows stay byte-identical to the join plan
+        # and the DuckDB twin (hash-verified at every SF).
+        # SPARK_GRAFT_SRP_ARROW=0 opts back to the join-everything plan.
+        cand = (
+            asg.select("cell", "vec_id", "embedding", "norm")
+            .groupBy("cell")
+            .applyInPandas(_cell_screen_fn(threshold - 1e-9), "vec_a long, vec_b long")
+            .distinct()  # a pair can collide in up to nprobe shared cells
+        )
+        a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea"), F.col("norm").alias("_na"))
+        b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb"), F.col("norm").alias("_nb"))
+        return (
+            cand.join(a, "vec_a")
+            .join(b, "vec_b")
+            .withColumn("_cos", _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")))
+            .filter(F.col("_cos") >= threshold)
+            .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
+        )
     a = asg.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("_ea"),

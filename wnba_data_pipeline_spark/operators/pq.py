@@ -531,6 +531,7 @@ def pq_search_rerank(
     codes_col: str = "codes",
     k: int = PQ_TOP_K,
     rerank: int = PQ_RERANK,
+    corpus_raw: DataFrame | None = None,
 ) -> DataFrame:
     """The production PQ search: ADC over codes SHORTLISTS ``rerank``
     candidates per query (compressed-domain scan — the 100 TB pass), then
@@ -538,7 +539,13 @@ def pq_search_rerank(
     re-rank to top-k. Raw vectors are touched for R rows per query instead
     of the whole corpus — the standard recall repair for coarse (4-bit)
     codes, and the shape FAISS calls IndexPQ + reconstruct re-rank.
-    ``corpus`` must carry id, raw vector, and codes columns."""
+    ``corpus`` must carry id, raw vector, and codes columns.
+
+    ``corpus_raw`` (round 15, optimization): same contract as
+    ``ivfpq_search`` — the fetch branch needs only (id, raw vector), and
+    fetching from the encoded frame re-ran the whole encode subplan a
+    second time (no cross-branch CSE). Values identical (encode passes
+    input columns through untouched); defaults to ``corpus``."""
     shortlist = pq_adc_topk(
         corpus.select(id_col, codes_col),
         queries,
@@ -549,8 +556,9 @@ def pq_search_rerank(
         codes_col=codes_col,
         k=rerank,
     ).select(q_id_col, "n_vec_id")
+    fetch_side = corpus if corpus_raw is None else corpus_raw
     cand = shortlist.join(
-        corpus.select(F.col(id_col).alias("n_vec_id"), F.col(vec_col).alias("_n_emb")),
+        fetch_side.select(F.col(id_col).alias("n_vec_id"), F.col(vec_col).alias("_n_emb")),
         "n_vec_id",
     ).join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
     w = Window.partitionBy(q_id_col).orderBy(F.col("_d2").asc(), F.col("n_vec_id").asc())
@@ -579,7 +587,9 @@ def q_pq_rerank(spark, sf_dir: str, *, model: PQModel | None = None) -> DataFram
     q = emb.filter(F.col("vec_id") < PQ_N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
     )
-    return pq_search_rerank(corpus, q, model)
+    # re-rank fetch from the raw table — keeps the encode expression out
+    # of the fetch branch (see pq_search_rerank's corpus_raw note)
+    return pq_search_rerank(corpus, q, model, corpus_raw=emb.select("vec_id", "embedding"))
 
 
 def q_pq_topk(spark, sf_dir: str, *, model: PQModel | None = None) -> DataFrame:
@@ -1449,6 +1459,7 @@ def ivfpq_search(
     k: int = PQ_TOP_K,
     nprobe: int | str | None = None,
     rerank: int | str = "auto",
+    corpus_raw: DataFrame | None = None,
 ) -> DataFrame:
     """The composed search: each query probes its ``nprobe`` nearest coarse
     cells (tiny query-side expansion), ADC runs ONLY on corpus rows inside
@@ -1461,7 +1472,20 @@ def ivfpq_search(
     ``rerank="auto"`` (default) widens the shortlist with the probed
     candidate volume — see ``resolve_rerank``. ``nprobe`` may be an int,
     ``None`` (auto √cells), or ``"auto-escalate"`` (opt-in collapse-regime
-    escalation — see ``ivfpq_resolve_nprobe``)."""
+    escalation — see ``ivfpq_resolve_nprobe``).
+
+    ``corpus_raw`` (round 15, optimization): the re-rank fetch needs only
+    (id, raw vector). When the caller still has the PRE-encode frame,
+    passing it here keeps the encode pass out of the fetch branch —
+    ``corpus_enc`` is a subplan of both the ADC join and the fetch join,
+    and Spark performs no cross-branch CSE, so fetching from the encoded
+    frame re-ran the whole encode (expression folds or the fused Arrow
+    pass) a second time per execution. Values are identical by
+    construction: the encode pass-through carries the input columns
+    untouched. Defaults to ``corpus_enc`` (previous behavior) for callers
+    that only hold the encoded table — e.g. a production deployment
+    reading the written inverted lists, which pays a (cheap, pruned)
+    column read, not a re-encode."""
     from .clustering import probe_assignments
 
     nprobe = ivfpq_resolve_nprobe(index, nprobe)
@@ -1517,8 +1541,9 @@ def ivfpq_search(
         .filter(F.col("_rk") <= rerank)
         .select(q_id_col, F.col(id_col).alias("n_vec_id"))
     )
+    fetch_side = corpus_enc if corpus_raw is None else corpus_raw
     cand = shortlist.join(
-        corpus_enc.select(F.col(id_col).alias("n_vec_id"), F.col(vec_col).alias("_n_emb")),
+        fetch_side.select(F.col(id_col).alias("n_vec_id"), F.col(vec_col).alias("_n_emb")),
         "n_vec_id",
     ).join(F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col)
     w = Window.partitionBy(q_id_col).orderBy(F.col("_d2").asc(), F.col("n_vec_id").asc())
@@ -1551,7 +1576,9 @@ def q_ivfpq_search(spark, sf_dir: str, *, index: IVFPQIndex | None = None) -> Da
     q = emb.filter(F.col("vec_id") < PQ_N_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
     )
-    return ivfpq_search(corpus, q, index)
+    # re-rank fetch from the raw table: keeps the encode out of the fetch
+    # branch (see ivfpq_search's corpus_raw note) — values identical
+    return ivfpq_search(corpus, q, index, corpus_raw=emb.select("vec_id", "embedding"))
 
 
 def ivfpq_search_sql(

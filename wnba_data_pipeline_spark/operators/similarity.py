@@ -257,16 +257,69 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus's random cross-pair cosines top out ≈0.4.
 
     Scale role: this is the ground-truth baseline (the role
-    ``q_ngram_jaccard`` plays for MinHash-LSH) — the non-equi join is a
-    deliberate cartesian product you run at sampled scale to validate the
-    bucketed path's recall. The 100 TB production shape is
-    ``q_emb_near_dup_bucketed`` below (same filter over banded-LSH
-    candidates)."""
+    ``q_ngram_jaccard`` plays for MinHash-LSH) — all N² pairs are examined,
+    at sampled scale, to validate the bucketed path's recall. The 100 TB
+    production shape is ``q_emb_near_dup_bucketed`` below (same filter over
+    banded-LSH candidates).
+
+    Round 15 (optimization, guide §3.2/§8.4): the all-pairs examination
+    runs as a blocked GEMM SCREEN in one Arrow pass (cos ≥ 0.9 − 1e-9)
+    instead of ~N²/2 interpreted 64-term fold evaluations in a
+    BroadcastNestedLoopJoin — measured 80.5 s → ~1.5 s at sf0.1. The
+    screen provably loses no pair: GEMM vs the JVM's left fold differ by
+    ≤ ~2·DIM·eps·Σ|a_i·b_i| ≈ 1e-12 on unit-normalized cosines, 1000×
+    inside the 1e-9 margin, and the handful of screen survivors then flow
+    through the UNCHANGED exact verify — the same 0.0-seeded left-fold
+    dot, norm product, ≥ 0.9 filter and round the all-pairs plan applied —
+    so the output stays byte-identical (false positives are dropped by
+    the exact filter; hash-verified against the DuckDB twin at every SF).
+    SPARK_GRAFT_SRP_ARROW=0 opts back to the pure-expression all-pairs
+    plan."""
     with_norm = _augmented_corpus(spark, sf_dir)
     a = with_norm.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"))
     b = with_norm.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b"))
+    if not _srp_arrow_enabled():
+        return (
+            a.join(b, F.col("vec_a") < F.col("vec_b"))
+            .withColumn("_cos", _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")))
+            .filter(F.col("_cos") >= 0.9)
+            .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
+        )
+
+    def _screen(batches):
+        import numpy as np
+
+        ids, vecs, norms = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids.append(pdf["vec_id"].to_numpy())
+            vecs.append(np.vstack(pdf["embedding"].to_numpy()))
+            norms.append(pdf["norm"].to_numpy())
+        if not ids:
+            yield pd.DataFrame({"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")})
+            return
+        idv = np.concatenate(ids)
+        X = np.vstack(vecs).astype(np.float64, copy=False)
+        nv = np.concatenate(norms)
+        n = len(idv)
+        blk = max(1, (1 << 27) // (8 * n))  # bound each G block at ~128 MB
+        for i0 in range(0, n, blk):
+            g = X[i0 : i0 + blk] @ X.T
+            c = g / np.outer(nv[i0 : i0 + blk], nv)
+            ii, jj = np.nonzero(c >= 0.9 - 1e-9)
+            a_ids, b_ids = idv[i0 : i0 + blk][ii], idv[jj]
+            m = a_ids < b_ids
+            yield pd.DataFrame({"vec_a": a_ids[m].astype("int64"), "vec_b": b_ids[m].astype("int64")})
+
+    # one partition: the screen needs the whole (sampled-scale) corpus in
+    # one task; coalesce(1) merges the scan without a shuffle
+    cand = with_norm.select("vec_id", "embedding", "norm").coalesce(1).mapInPandas(
+        _screen, "vec_a long, vec_b long"
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("_cos", _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b")))
         .filter(F.col("_cos") >= 0.9)
         .select("vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine"))
@@ -359,6 +412,83 @@ def _nd_band_key_sql(v: str, band: int) -> str:
     return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
 
 
+def _srp_arrow_enabled() -> bool:
+    """Round 15 (optimization): the SRP band-key assignment — ND_BANDS ×
+    n_planes interpreted 64-term folds per row (8,192 expression-tree
+    evaluations per vector for the near-dup geometry) — runs as ONE numpy
+    matmul per Arrow batch by default. Sign parity with the expression
+    fold is EXACT, not approximate: any dot whose magnitude falls inside
+    the combined float64 error bound of (GEMM vs left fold) is recomputed
+    with the literal 0.0-seeded left fold in Python (IEEE doubles, same
+    association ⇒ the identical sign the JVM branch produces) — see
+    ``_srp_banded_rows``. Measured at sf0.1: band-key stage 2.1 s → ~0.2 s.
+    SPARK_GRAFT_SRP_ARROW=0 opts back to the pure-expression plan (keeps
+    the JVM-only worker posture, same keys)."""
+    return _os.environ.get("SPARK_GRAFT_SRP_ARROW", "1") != "0"
+
+
+def _srp_banded_rows(
+    df: DataFrame,
+    id_cols: list[tuple[str, str]],
+    *,
+    n_planes: int,
+    n_bands: int,
+    span: int,
+    key_name: str,
+) -> DataFrame:
+    """Arrow twin of ``explode([_nd_band_key(v, b) for b in bands])``:
+    emits one (id_cols…, key) row per (input row, band), keys bit-identical
+    to the expression branch. ``df`` must carry the id columns plus
+    ``embedding`` as ``array<double>`` (select exactly these first — the
+    Python crossing is opaque to column pruning, guide §4.1).
+
+    Exactness: D = V·Kᵀ via GEMM differs from the JVM's 0.0-seeded left
+    fold by at most ~2·DIM·eps·Σ|v_i·k_i| per element (standard float64
+    summation bounds for either association). Every element with
+    |D| ≤ 4·DIM·eps·Σ|v·k| — in practice none — is recomputed with the
+    literal sequential fold (Python floats are IEEE doubles: identical
+    rounding, identical association, therefore the identical sign bit the
+    expression branch computes). All other elements' signs provably agree
+    with the fold already."""
+    coeff = [
+        [float(_ND_COEFFS[(b, p)][i]) for i in range(DIM)]
+        for b in range(n_bands)
+        for p in range(n_planes)
+    ]
+    out_schema = ", ".join(f"{n} {t}" for n, t in id_cols) + f", {key_name} long"
+    id_names = [n for n, _t in id_cols]
+
+    def _fn(batches):
+        import numpy as np
+
+        K = np.asarray(coeff, dtype=np.float64)  # (n_bands*n_planes, DIM)
+        Ka = np.abs(K)
+        offs = np.arange(n_bands, dtype=np.int64) * span
+        bits = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+        bound_c = 4.0 * DIM * np.finfo(np.float64).eps
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            D = V @ K.T
+            risky = np.abs(D) <= bound_c * (np.abs(V) @ Ka.T)
+            if risky.any():
+                for r, c in zip(*np.nonzero(risky)):
+                    acc = 0.0
+                    vr, kc = V[r], coeff[c]
+                    for i in range(DIM):
+                        acc = acc + float(vr[i]) * kc[i]
+                    D[r, c] = 1.0 if acc >= 0 else -1.0
+            planes = (D >= 0).reshape(n, n_bands, n_planes)
+            keys = offs[None, :] + (planes * bits[None, None, :]).sum(axis=2)
+            data = {name: np.repeat(pdf[name].to_numpy(), n_bands) for name in id_names}
+            data[key_name] = keys.reshape(-1)
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(_fn, out_schema)
+
+
 def q_emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over banded-LSH candidates — the 100 TB
     production shape of ``q_emb_near_dup``: same augmented corpus, same
@@ -375,8 +505,18 @@ def q_emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_bucketed.py), by the tuned (planes, bands) above.
     """
     with_norm = _augmented_corpus(spark, sf_dir)
-    keys = F.array(*[_nd_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
-    banded = with_norm.select("vec_id", F.explode(keys).alias("bkey"))
+    if _srp_arrow_enabled():
+        banded = _srp_banded_rows(
+            with_norm.select("vec_id", "embedding"),
+            [("vec_id", "long")],
+            n_planes=ND_PLANES,
+            n_bands=ND_BANDS,
+            span=ND_BUCKET_SPAN,
+            key_name="bkey",
+        )
+    else:
+        keys = F.array(*[_nd_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
+        banded = with_norm.select("vec_id", F.explode(keys).alias("bkey"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.vec_id") < F.col("b.vec_id")))
@@ -1127,9 +1267,32 @@ def hard_negatives_bucketed(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
     fetches the two vectors by id afterwards, candidates only — the same
     id-then-fetch plan as ``q_emb_near_dup_bucketed`` and this operator's
     own DuckDB twin. Per-bucket candidate volume stays bounded by the
-    4-bit split per band."""
-    bands = F.array(*[_hn_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
-    keyed = emb.select("vec_id", "label", F.explode(bands).alias("_bk"))
+    4-bit split per band.
+
+    Round 15 (optimization, guide §1.2 per-task work): (a) band keys run
+    through the Arrow pass (``_srp_banded_rows``, exact sign parity) —
+    the expression branch evaluated ND_BANDS×HN_PLANES interpreted 64-term
+    folds per row; (b) norms are precomputed PER VECTOR on the fetch side
+    so the verify evaluates only dot(a,n) — ``_cosine`` re-derived BOTH
+    norms per CANDIDATE (3 folds × ~2.3 M candidates at sf0.1). The
+    factoring is value-exact: sqrt(fold(v,v)) is the same double wherever
+    computed, and dot/(norm_a·norm_n) multiplies/divides the identical
+    operands in the identical order — rows hash-identical to the DuckDB
+    twin (which keeps its per-pair ``_cosine_sql`` rendering)."""
+    if _srp_arrow_enabled():
+        keyed = _srp_banded_rows(
+            emb.select(
+                "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+            ),
+            [("vec_id", "long"), ("label", "int")],
+            n_planes=HN_PLANES,
+            n_bands=ND_BANDS,
+            span=1 << HN_PLANES,
+            key_name="_bk",
+        )
+    else:
+        bands = F.array(*[_hn_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
+        keyed = emb.select("vec_id", "label", F.explode(bands).alias("_bk"))
     a = keyed.select(F.col("vec_id").alias("a_vec_id"), F.col("label").alias("_al"), "_bk")
     b = keyed.select(F.col("vec_id").alias("n_vec_id"), F.col("label").alias("_nl"), "_bk")
     cand = (
@@ -1138,13 +1301,14 @@ def hard_negatives_bucketed(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
         .select("a_vec_id", "n_vec_id")
         .distinct()  # a pair can collide in several bands
     )
-    ea = emb.select(F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("_ae"))
-    eb = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("_ne"))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    ea = emb.select(F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("_ae"), norm.alias("_an"))
+    eb = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("_ne"), norm.alias("_nn"))
     w = Window.partitionBy("a_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
     return (
         cand.join(ea, "a_vec_id")
         .join(eb, "n_vec_id")
-        .withColumn("_cos", _cosine(F.col("_ae"), F.col("_ne")))
+        .withColumn("_cos", _dot(F.col("_ae"), F.col("_ne")) / (F.col("_an") * F.col("_nn")))
         .withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= k)
         .select(
