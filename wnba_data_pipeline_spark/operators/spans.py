@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
 from ..sources.tables import load_table
+from .text import _text_arrow_enabled, word_gram_hash_rows
 
 SPAN_W = 8  # minimum duplicated run length, in tokens
 
@@ -71,7 +72,28 @@ def _gram_hashes_sql(words: str) -> str:
 def dup_gram_hits(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, pos, gh) for every gram occurrence whose
     hash appears in MORE THAN ONE document (stages 1–3 above). ``pos`` is
-    the 0-based token index of the gram start."""
+    the 0-based token index of the gram start.
+
+    Round 15 (optimization, guide §2.4/§4.2): the r14 plan built the gram
+    inventory TWICE — ``grams`` fed both the dup-set aggregation and the
+    hit join as separate subplans (no cross-branch CSE), each paying the
+    interpreted 8×slice → concat_ws → md5 lambda per gram. Default now:
+    ONE Arrow gram pass (``word_gram_hash_rows``, md5-int64 parity) and
+    the dup test as window min/max over ``gh`` — ``min(doc_id) ≠
+    max(doc_id)`` over a gram's occurrences ⟺ it appears in >1 distinct
+    doc, so the hit set is identical while the inventory executes once
+    and the only shuffle carries (long, int, long) metadata rows.
+    SPARK_GRAFT_TEXT_ARROW=0 restores the two-branch expression plan
+    (differential in tests/test_text_arrow.py)."""
+    if _text_arrow_enabled():
+        grams = word_gram_hash_rows(docs, n_words=SPAN_W, with_pos=True)
+        w = Window.partitionBy("gh")
+        return (
+            grams.withColumn("_mn", F.min("doc_id").over(w))
+            .withColumn("_mx", F.max("doc_id").over(w))
+            .filter(F.col("_mn") < F.col("_mx"))
+            .select("doc_id", "pos", "gh")
+        )
     words = F.split(F.col("text"), " ")
     grams = (
         docs.filter(F.size(words) >= SPAN_W)

@@ -19,6 +19,8 @@ the lang/source rollup shuffles only the (≤ #groups) partial aggregates.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,6 +54,127 @@ def _count_in(words: Column, vocab: tuple[str, ...]) -> Column:
 
 def _count_in_sql(words: str, vocab_sql: str) -> str:
     return f"list_sum(list_transform({words}, w -> CASE WHEN w IN ({vocab_sql}) THEN 1 ELSE 0 END))"
+
+
+# ---------------------------------------------------------------------------
+# Arrow text passes (round 15, optimization — guide §4.2)
+# ---------------------------------------------------------------------------
+#
+# The gram/bigram inventories in this module all share one physical shape:
+# split the text, slide a fixed window, md5-hash (or emit) each gram — per
+# gram an interpreted Catalyst higher-order chain (transform / element_at /
+# concat_ws / md5 lambdas are NOT whole-stage-codegen'd; the round-12
+# shingle A/B measured the identical chain at 333.7 s vs 22.6 s for the
+# Arrow twin at sf100). The passes below are the text-family application of
+# the dedup shingle pattern (operators/dedup.py::shingle_docs_arrow):
+# mapInPandas with only the needed columns crossing (guide §4.1), hashlib
+# md5 parity with the md5→int64 contract (int(hexdigest[:15], 16) ==
+# digest-first-60-bits, proven byte-identical since round 12), plan-side
+# consumers unchanged, and SPARK_GRAFT_TEXT_ARROW=0 as the opt-out back to
+# the pure-expression plans (byte-identity pinned both ways in
+# tests/test_text_arrow.py; like the shingle/signature defaults this makes
+# pandas+pyarrow a worker dependency of the gated consumers).
+
+
+def _text_arrow_enabled() -> bool:
+    return _os.environ.get("SPARK_GRAFT_TEXT_ARROW", "1") != "0"
+
+
+def word_gram_hash_rows(
+    docs: DataFrame,
+    *,
+    n_words: int,
+    id_col: str = "doc_id",
+    out_id: str | None = None,
+    distinct: bool = False,
+    with_pos: bool = False,
+) -> DataFrame:
+    """(id, text) → one row per word ``n_words``-gram md5-int64 hash — the
+    Arrow twin of ``explode([array_distinct](transform(sequence(0, size-n),
+    i -> md5_long(concat_ws(' ', element_at(words, i+1..i+n)))))`` over
+    ``split(text, ' ')``. Docs with fewer than ``n_words`` words emit
+    nothing (the callers' ``size(words) >= n`` plan filter, folded in:
+    split(NULL) is NULL → size −1, also skipped). ``distinct`` mirrors
+    ``array_distinct`` on the hashes (first occurrence kept — order is
+    irrelevant post-explode); ``with_pos`` mirrors ``posexplode`` (0-based
+    gram start, int like posexplode's pos). Parity notes as in
+    ``shingle_docs_arrow``: Python str.split(' ') ≡ Java split limit −1,
+    md5 over UTF-8 bytes, first 60 bits."""
+    assert not (distinct and with_pos)
+    import hashlib
+
+    import pandas as pd
+
+    oid = out_id or id_col
+
+    def _batch(it):
+        md5 = hashlib.md5
+        for pdf in it:
+            ids_out: list[int] = []
+            pos_out: list[int] = []
+            gh_out: list[int] = []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                m = len(words) - n_words + 1
+                if m <= 0:
+                    continue
+                hs = [
+                    int.from_bytes(
+                        md5(" ".join(words[i : i + n_words]).encode("utf-8")).digest()[:8],
+                        "big",
+                    )
+                    >> 4
+                    for i in range(m)
+                ]
+                if distinct:
+                    hs = list(dict.fromkeys(hs))
+                ids_out.extend([did] * len(hs))
+                gh_out.extend(hs)
+                if with_pos:
+                    pos_out.extend(range(len(hs)))
+            cols = {oid: pd.Series(ids_out, dtype="int64")}
+            if with_pos:
+                cols["pos"] = pd.Series(pos_out, dtype="int32")
+            cols["gh"] = pd.Series(gh_out, dtype="int64")
+            yield pd.DataFrame(cols)
+
+    schema = f"{oid} long" + (", pos int" if with_pos else "") + ", gh long"
+    sel = docs.select(F.col(id_col).alias(id_col), "text")
+    return sel.mapInPandas(_batch, schema)
+
+
+def bigram_count_rows(docs: DataFrame) -> DataFrame:
+    """(text) → per-Arrow-batch PARTIAL ``(bigram, n)`` counts — the Arrow
+    twin of ``_bigram_stream`` with the map-side combine folded in (guide
+    §2.3 'aggregate before you shuffle'): ``groupBy('bigram').sum('n')``
+    over these rows equals ``groupBy('bigram').count()`` over the
+    occurrence stream exactly, while the Python→JVM boundary and the
+    shuffle carry one row per DISTINCT bigram per batch instead of one per
+    occurrence."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def _batch(it):
+        for pdf in it:
+            c: Counter = Counter()
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                words = text.split(" ")
+                if len(words) < 2:
+                    continue
+                c.update(map(" ".join, zip(words, words[1:])))
+            yield pd.DataFrame(
+                {
+                    "bigram": pd.Series(list(c.keys()), dtype="object"),
+                    "n": pd.Series(list(c.values()), dtype="int64"),
+                }
+            )
+
+    return docs.select("text").mapInPandas(_batch, "bigram string, n long")
 
 
 # ---------------------------------------------------------------------------
@@ -290,8 +413,31 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Zero-shuffle codegen map stage; expected fingerprint density is
     2/(w+1) of positions, reported per doc. Oracle: identical positional
-    grams / window slices via DuckDB list_slice."""
+    grams / window slices via DuckDB list_slice.
+
+    Round 15 (optimization, guide §4.2): the per-position md5 transform +
+    per-window array_min slide — ~2·n_chars interpreted lambda
+    evaluations per doc, the whole cost of this query — runs as one Arrow
+    pass by default (``_winnow_stats_rows``: hashlib md5 parity, numpy
+    sliding min, exact int64 throughout; the division/round stays
+    plan-side so the double arithmetic is the same codegen expression).
+    The registry row only reads the fingerprint SET's size/min/max, so
+    the Arrow pass never materializes the array; ``winnow_fingerprints``
+    (the property-testable set builder) is unchanged.
+    SPARK_GRAFT_TEXT_ARROW=0 opts back to the expression plan
+    (differential in tests/test_text_arrow.py)."""
     docs = load_table(spark, sf_dir, "documents")
+    if _text_arrow_enabled():
+        stats = _winnow_stats_rows(docs, k=SHINGLE_CHARS, w=WINNOW_WINDOW)
+        return stats.select(
+            "doc_id",
+            "n_grams",
+            "n_windows",
+            "n_fingerprints",
+            "fp_min",
+            "fp_max",
+            F.round(F.col("n_fingerprints") / F.col("n_windows"), 6).alias("fp_density"),
+        )
     fps = winnow_fingerprints(docs)
     return fps.select(
         "doc_id",
@@ -301,6 +447,74 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("fp_min"),
         F.array_max("fps").alias("fp_max"),
         F.round(F.size("fps") / F.col("n_windows"), 6).alias("fp_density"),
+    )
+
+
+def _winnow_stats_rows(docs: DataFrame, *, k: int, w: int) -> DataFrame:
+    """Arrow twin of ``winnow_fingerprints`` reduced to the stats the
+    registry row reads: (doc_id, n_grams, n_windows, n_fingerprints,
+    fp_min, fp_max). Exactness: positional char grams are code-point
+    slices in both engines (Python str slicing ≡ Spark substring ≡ DuckDB
+    substr — all count code points), hashes are the md5→int64 contract
+    over the gram's UTF-8 bytes, window minima and the distinct-set
+    size/min/max are exact int64 (fp_min/max over the DISTINCT set equal
+    those over all window minima). ASCII texts hash byte slices of the
+    one-time UTF-8 encoding (identical bytes); multibyte texts fall back
+    to per-slice encoding (differential rows in tests/test_text_arrow.py
+    cover both)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _batch(it):
+        md5 = hashlib.md5
+        for pdf in it:
+            out: dict[str, list[int]] = {
+                "doc_id": [], "n_grams": [], "n_windows": [],
+                "n_fingerprints": [], "fp_min": [], "fp_max": [],
+            }
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < k + w - 1:
+                    continue
+                m = len(text) - k + 1
+                tb = text.encode("utf-8")
+                if len(tb) == len(text):
+                    hs = np.fromiter(
+                        (
+                            int.from_bytes(md5(tb[i : i + k]).digest()[:8], "big") >> 4
+                            for i in range(m)
+                        ),
+                        dtype=np.int64,
+                        count=m,
+                    )
+                else:
+                    hs = np.fromiter(
+                        (
+                            int.from_bytes(
+                                md5(text[i : i + k].encode("utf-8")).digest()[:8], "big"
+                            )
+                            >> 4
+                            for i in range(m)
+                        ),
+                        dtype=np.int64,
+                        count=m,
+                    )
+                wins = hs[: m - w + 1].copy()
+                for s in range(1, w):
+                    np.minimum(wins, hs[s : s + wins.size], out=wins)
+                out["doc_id"].append(did)
+                out["n_grams"].append(m)
+                out["n_windows"].append(wins.size)
+                out["n_fingerprints"].append(np.unique(wins).size)
+                out["fp_min"].append(int(wins.min()))
+                out["fp_max"].append(int(wins.max()))
+            yield pd.DataFrame({kk: pd.Series(vv, dtype="int64") for kk, vv in out.items()})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batch,
+        "doc_id long, n_grams long, n_windows long, "
+        "n_fingerprints long, fp_min long, fp_max long",
     )
 
 
@@ -772,23 +986,42 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + broadcast eval grams.
 
     In the driver registry since the round-5 rotation; the same DuckDB
-    twin also runs locally in tests/test_contamination.py."""
+    twin also runs locally in tests/test_contamination.py.
+
+    Round 15 (optimization, guide §4.2): both gram inventories run
+    through the Arrow pass (``word_gram_hash_rows`` — per distinct gram
+    the expression plan paid an interpreted 5×element_at → concat_ws →
+    md5 lambda, TWICE over the eval docs since the two sides are separate
+    subplans). The join/agg tail is unchanged, so rows are identical;
+    SPARK_GRAFT_TEXT_ARROW=0 restores the expression inventories
+    (differential in tests/test_text_arrow.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - F.lit(CONTAM_NGRAM)),
-        lambda i: md5_long(
-            F.concat_ws(
-                " ", *[F.element_at(words, i + F.lit(k + 1)) for k in range(CONTAM_NGRAM)]
-            )
-        ),
-    )
-    eligible = docs.filter(F.size(words) >= CONTAM_NGRAM)
-    corpus = eligible.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
-    eval_side = (
-        eligible.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.col("doc_id").alias("eval_doc_id"), F.explode(F.array_distinct(grams)).alias("gh"))
-    )
+    if _text_arrow_enabled():
+        corpus = word_gram_hash_rows(
+            docs, n_words=CONTAM_NGRAM, distinct=True
+        )
+        eval_side = word_gram_hash_rows(
+            docs.filter(F.col("doc_id") % EVAL_MOD == 0),
+            n_words=CONTAM_NGRAM,
+            distinct=True,
+            out_id="eval_doc_id",
+        )
+    else:
+        words = F.split(F.col("text"), " ")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(words) - F.lit(CONTAM_NGRAM)),
+            lambda i: md5_long(
+                F.concat_ws(
+                    " ", *[F.element_at(words, i + F.lit(k + 1)) for k in range(CONTAM_NGRAM)]
+                )
+            ),
+        )
+        eligible = docs.filter(F.size(words) >= CONTAM_NGRAM)
+        corpus = eligible.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+        eval_side = (
+            eligible.filter(F.col("doc_id") % EVAL_MOD == 0)
+            .select(F.col("doc_id").alias("eval_doc_id"), F.explode(F.array_distinct(grams)).alias("gh"))
+        )
     overlaps = (
         corpus.join(F.broadcast(eval_side), "gh")
         .groupBy("doc_id", "eval_doc_id")
@@ -1291,13 +1524,20 @@ def _bigram_stream(docs: DataFrame) -> DataFrame:
     return docs.filter(F.size(words) >= 2).select(F.explode(bigrams).alias("bigram"))
 
 
-def cms_counts(occurrences: DataFrame, *, term_col: str = "bigram") -> dict:
+def cms_counts(
+    occurrences: DataFrame, *, term_col: str = "bigram", count_col: str | None = None
+) -> dict:
     """Fit a count-min sketch over the occurrence stream: CMS_DEPTH
     independent hash rows × CMS_WIDTH buckets, one hash-agg shuffle whose
     key space is AT MOST depth×width (32k cells) regardless of how many
     distinct terms exist — the fixed-size summary a 100 TB corpus can
     always afford. Returns {(row, bucket): count} (≤32k entries,
-    driver-held and broadcast back for estimation)."""
+    driver-held and broadcast back for estimation).
+
+    ``count_col`` (round 15): the input may carry pre-aggregated partial
+    counts instead of raw occurrences — the cell counts are then the
+    weighted sums, EQUAL to the occurrence-stream counts by construction
+    (every occurrence of a term lands in the same depth×width cells)."""
     # All depth hashes in ONE pass over the stream: each occurrence emits a
     # CMS_DEPTH-element bucket array and posexplode yields (r, b) pairs —
     # the corpus scan / bigram explode upstream runs once, not DEPTH times
@@ -1305,8 +1545,14 @@ def cms_counts(occurrences: DataFrame, *, term_col: str = "bigram") -> dict:
     buckets = F.array(
         *[F.pmod(F.xxhash64(F.col(term_col), F.lit(r)), F.lit(CMS_WIDTH)) for r in range(CMS_DEPTH)]
     )
-    cells = occurrences.select(F.posexplode(buckets).alias("r", "b"))
-    agg = cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
+    if count_col is None:
+        cells = occurrences.select(F.posexplode(buckets).alias("r", "b"))
+        agg = cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("n"))
+    else:
+        cells = occurrences.select(
+            F.col(count_col).alias("_w"), F.posexplode(buckets).alias("r", "b")
+        )
+        agg = cells.groupBy("r", "b").agg(F.sum("_w").alias("n"))
     return {(row["r"], row["b"]): row["n"] for row in agg.collect()}
 
 
@@ -1338,7 +1584,23 @@ def heavy_hitters_cms(
 
     Result is EXACT (false positives are removed by the final exact
     filter), asserted equal to the direct computation in
-    tests/test_cms.py."""
+    tests/test_cms.py.
+
+    Round 15 (optimization): the bigram path feeds PARTIAL per-batch
+    counts from the Arrow pass (``bigram_count_rows`` — guide §2.3
+    'aggregate before you shuffle') through the same sketch gate; the
+    gate is value-based, so filtering partials then summing equals
+    filtering occurrences then counting. SPARK_GRAFT_TEXT_ARROW=0
+    restores the occurrence-stream plan."""
+    if term_col == "bigram" and _text_arrow_enabled():
+        occ_counts = bigram_count_rows(docs)
+        cms = cms_counts(occ_counts, term_col="bigram", count_col="n")
+        candidates = occ_counts.filter(_cms_passes(F.col("bigram"), cms, min_count))
+        return (
+            candidates.groupBy("bigram")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .filter(F.col("n") >= min_count)
+        )
     occ = _bigram_stream(docs) if term_col == "bigram" else docs
     cms = cms_counts(occ, term_col=term_col)
     candidates = occ.filter(_cms_passes(F.col(term_col), cms, min_count))
@@ -1397,9 +1659,21 @@ def q_hh_cms_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB posture: the cell table is ≤ depth×width rows regardless of
     corpus (one bounded-key shuffle); the estimate join touches only heavy
-    terms × depth rows."""
+    terms × depth rows.
+
+    Round 15 (optimization, guide §2.4): the r14 plan executed the bigram
+    stream TWICE (the exact side and the cells side are separate subplans
+    — no cross-branch CSE) and md5-hashed every OCCURRENCE ×depth; the
+    default plan is now LINEAR — one Arrow partial-count pass → one exact
+    per-bigram agg → buckets hashed per DISTINCT bigram → the (r, b) cell
+    agg carries each heavy term through as collect_list payload (bounded:
+    ≤ occurrences/HH_MIN_COUNT heavies exist) → per-term min over its
+    depth cells. Cell sums are weighted sums of exact counts ≡ occurrence
+    counts, every heavy term meets each of its depth cells exactly once
+    (r is distinct by construction), so rows are identical.
+    SPARK_GRAFT_TEXT_ARROW=0 restores the r14 two-branch plan
+    (differential in tests/test_text_arrow.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    occ = _bigram_stream(docs)
     buckets = F.array(
         *[
             F.pmod(
@@ -1409,6 +1683,39 @@ def q_hh_cms_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in range(CMS_DEPTH)
         ]
     )
+    if _text_arrow_enabled():
+        counts = (
+            bigram_count_rows(docs)
+            .groupBy("bigram")
+            .agg(F.sum("n").cast("long").alias("n_exact"))
+        )
+        cells = (
+            counts.select("bigram", "n_exact", F.posexplode(buckets).alias("r", "b"))
+            .groupBy("r", "b")
+            .agg(
+                F.sum("n_exact").alias("cell_n"),
+                # collect_list skips NULLs → only the ≥-threshold terms ride
+                F.collect_list(
+                    F.when(
+                        F.col("n_exact") >= HH_MIN_COUNT, F.struct("bigram", "n_exact")
+                    )
+                ).alias("_heavies"),
+            )
+        )
+        heav = cells.select("cell_n", F.explode("_heavies").alias("_h"))
+        return (
+            heav.groupBy(
+                F.col("_h.bigram").alias("bigram"), F.col("_h.n_exact").alias("n_exact")
+            )
+            .agg(F.min("cell_n").alias("cms_est"))
+            .select(
+                "bigram",
+                "n_exact",
+                F.col("cms_est").cast("long").alias("cms_est"),
+                (F.col("cms_est") - F.col("n_exact")).cast("long").alias("overcount"),
+            )
+        )
+    occ = _bigram_stream(docs)
     cells = (
         occ.select(F.posexplode(buckets).alias("r", "b"))
         .groupBy("r", "b")
