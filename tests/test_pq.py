@@ -242,6 +242,47 @@ def test_ivfpq_fixture_current(ivfpq_index):
     assert ivfpq_index.n_vectors == IVFPQ_N_BY_SF[sf_name]
 
 
+def test_fused_qlut_matches_expression(spark, duck):
+    """Round 15 (optimization): above the expression term budget
+    (k×dim > 512 — e.g. the sf0.1 auto geometry, 31 cells × 64 dims) the
+    ENTIRE query side of ``ivfpq_search`` (probe + residual + LUT) runs
+    as one fused Arrow pass, and ``ivfpq_encode`` takes the fused
+    single-pass branch on the same gate. Both claims pinned here at
+    coarse_k=12 (the smallest >8-cell geometry on this corpus): (a) the
+    end-to-end search matches the post-fit DuckDB twin EXACTLY — the
+    twin renders the expression-side association contracts, so this is
+    the fused-vs-expression equality, cross-engine; (b) the physical
+    query side is MapInPandas with no ArrowEvalPython residual hop and
+    no probe+residual double crossing."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    index = pq.ivfpq_fit(emb, coarse_k=12)
+    from wnba_data_pipeline_spark.operators.clustering import _expr_path_ok
+
+    assert not _expr_path_ok(index.coarse)  # the fused gate really engages
+    out = pq.q_ivfpq_search(spark, SF_ORACLE, index=index)
+    compare(out, duck.sql(pq.ivfpq_search_sql(index)).df(), "ivfpq_search_fused_qlut")
+    ep = out._jdf.queryExecution().executedPlan().toString()
+    # exactly two Python crossings: the fused corpus encode and the fused
+    # query-side qlut — nothing else (no residual ArrowEvalPython, no
+    # separate probe pass). Under AQE the plan string repeats the tree in
+    # an "== Initial Plan ==" section — count the final section only.
+    final = ep.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 2 and "ArrowEvalPython" not in final
+
+
+def test_pq_encode_default_is_arrow_at_registry_constants(spark, model):
+    """Round 15: ``pq_encode``'s default path switches on the unrolled
+    term count (m×ksub×dsub = 1 024 > the 512 budget at the registry
+    constants), so the default is the Arrow pass; the expr≡pandas value
+    equality is pinned by test_encode_paths_agree above."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    ep = (
+        pq.pq_encode(emb, model)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in ep
+
+
 def test_ivfpq_matches_oracle(spark, duck, ivfpq_index):
     # default (residual) variant end-to-end vs the residual SQL twin
     compare(

@@ -405,10 +405,19 @@ def pq_encode(
     way. ``path="expr"`` unrolls m×ksub fold chains (right at ksub≤64,
     zero Python); ``path="pandas"`` is the Arrow-batched numpy argmin for
     production codebooks (ksub=256 bytes-codes and up), bit-identical by
-    the shared association/tie-break contract; None switches on ksub like
-    ``clustering.assign_clusters``."""
+    the shared association/tie-break contract; None switches on the
+    UNROLLED TERM COUNT (m×ksub×dsub) against the same budget
+    ``clustering.assign_clusters`` uses — round 15: the old ksub-only
+    gate kept the m=8 × ksub=16 × dsub=8 = 1 024-term fold chain on the
+    expression path, which costs ~0.9 ms/row interpreted (measured
+    1.9 s vs 0.33 s for the Arrow pass on 2 000 sf0.1 rows, codes
+    bit-identical — expr≡pandas equality pinned in tests/test_pq.py)."""
     if path is None:
-        path = "expr" if len(model.codebooks[0]) <= 64 else "pandas"
+        from .clustering import KM_EXPR_TERM_BUDGET
+
+        ksub = len(model.codebooks[0])
+        terms = len(model.codebooks) * ksub * model.dsub
+        path = "expr" if (ksub <= 64 and terms <= KM_EXPR_TERM_BUDGET) else "pandas"
     if path == "expr":
         dsub = model.dsub
         codes = F.array(
@@ -1322,6 +1331,69 @@ def _fused_encode_fn(
     return encode
 
 
+def _fused_qlut_fn(
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dsub: int,
+    by_residual: bool,
+    nprobe: int,
+    q_id_col: str,
+    q_vec_col: str,
+    cell_col: str,
+):
+    """mapInPandas generator for the fused QUERY-side pass of
+    ``ivfpq_search`` above the expression budget: probe expansion
+    (verbatim ``_batch_probe_fn`` kernel — left-fold coarse distances,
+    stable argsort so ties break on the lower cell index), the residual
+    subtraction (one IEEE op, ≡ ``_residual_udf``), and the m×ksub LUT
+    (0.0-seeded left fold per codeword, ≡ ``clustering._sqdist``) in ONE
+    Python crossing. Round 15: the expression branch inlined the
+    ``_residual_col`` lookup into every one of the m×ksub (=128) LUT
+    folds — measured 2.28 s per warm force for FIFTY query rows at sf0.1;
+    this pass runs the same arithmetic in 0.2 s, values bit-identical
+    (pinned in tests/test_pq.py::test_fused_qlut_matches_expression)."""
+    import numpy as np
+
+    def qlut(batches):
+        import pandas as pd
+
+        C = np.asarray(coarse, dtype=np.float64)
+        k, dim = C.shape
+        CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[q_vec_col].tolist(), dtype=np.float64)
+            D = np.zeros((len(X), k))
+            for d in range(dim):  # left-fold association (_batch_probe_fn)
+                diff = X[:, d, None] - C[None, :, d]
+                D += diff * diff
+            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            ids = pdf[q_id_col].to_numpy().repeat(nprobe)
+            cells = order.astype(np.int32).ravel()
+            R = np.repeat(X, nprobe, axis=0)
+            if by_residual:
+                R = R - C[cells]  # single IEEE subtraction (≡ _residual_udf)
+            n = len(R)
+            lut = np.zeros((n, len(CB), len(CB[0])))
+            for j, Cj in enumerate(CB):
+                S = R[:, j * dsub : (j + 1) * dsub]
+                acc = np.zeros((n, len(Cj)))
+                for d in range(dsub):  # left-fold association (_sqdist)
+                    diff = S[:, d, None] - Cj[None, :, d]
+                    acc += diff * diff
+                lut[:, j, :] = acc
+            yield pd.DataFrame(
+                {
+                    q_id_col: ids,
+                    cell_col: cells,
+                    "_lut": [[list(r) for r in row] for row in lut],
+                }
+            )
+
+    return qlut
+
+
 def _fused_residual_fn(coarse: list[list[float]], vec_col: str, id_col: str):
     """mapInPandas generator for the fused fit-side residual pass: blocked
     coarse argmin (verbatim ``_batch_assign_fn`` kernel incl. the gemm
@@ -1378,16 +1450,23 @@ def ivfpq_encode(
     nprobe/coarse_k of the files; locally the cell equi-join plays that
     role. A residual index encodes ``vec - centroid[cell]`` — still the
     same single map pass (the assignment provides the cell the residual
-    needs). Above the expression-k bound the default is the FUSED Arrow
-    pass (one Python round-trip instead of three — see
+    needs). Whenever the assignment is off the expression path the default
+    is the FUSED Arrow pass (one Python round-trip instead of three — see
     ``_encode_fused_enabled``)."""
-    from .clustering import KM_EXPR_MAX_K, assign_clusters
+    from .clustering import _expr_path_ok, assign_clusters
 
-    # above the expression-k bound the corpus is in the auto-geometry
-    # (large-n) regime — take the Arrow encode path too: 128 interpreted
-    # fold chains per row are the same cost class the round-11 signature
-    # fix removed (bit-identical either way, equality-tested)
-    if len(index.coarse) > KM_EXPR_MAX_K:
+    # Round 15 (optimization): gate the fused pass on the SAME term budget
+    # the assignment uses (``_expr_path_ok``: k ≤ 64 AND k×dim ≤ 512), not
+    # on k alone. With k ≤ 64 but k×dim over the budget (e.g. the sf0.1
+    # auto geometry: 31 cells × dim 64 = 1 984 terms) the old gate left a
+    # MIXED plan — Arrow assignment + Arrow residual + the m×ksub×dsub
+    # (= 1 024-term) codes EXPRESSION — i.e. two Python crossings AND the
+    # interpreted fold chain. Measured at sf0.1 (2 000 rows, warm noop
+    # forces): mixed 2.30 s vs fused 0.22 s, outputs bit-identical
+    # (sym-diff 0 both directions; equality also pinned at coarse_k=31 in
+    # tests/test_pq.py). Fixture scales (8 cells × 64 dims = 512 ≤ budget)
+    # keep the expression plan untouched by construction.
+    if not _expr_path_ok(index.coarse):
         if _encode_fused_enabled():
             from pyspark.sql.types import (
                 ArrayType,
@@ -1486,43 +1565,72 @@ def ivfpq_search(
     that only hold the encoded table — e.g. a production deployment
     reading the written inverted lists, which pays a (cheap, pruned)
     column read, not a re-encode."""
-    from .clustering import probe_assignments
+    from .clustering import _expr_path_ok, probe_assignments
 
     nprobe = ivfpq_resolve_nprobe(index, nprobe)
     rerank = resolve_rerank(index, nprobe, rerank)
 
     model, dsub = index.pq, index.pq.dsub
-    qp = probe_assignments(
-        queries.select(q_id_col, q_vec_col), index.coarse, vec_col=q_vec_col,
-        nprobe=nprobe, out_col=cell_col,
-    )
-    # A residual index ranks ||(q - c) - code||² — the LUT is built from the
-    # query's residual AGAINST EACH PROBED CELL, which is exactly one
-    # expression here because qp is already one row per (query, cell).
-    # Above the expression-k bound the residual is MATERIALIZED into its
-    # own projection first: Spark forbids Python UDFs inside higher-order
-    # lambdas, so the Arrow residual cannot appear syntactically inside
-    # the LUT's fold expressions (and CollapseProject keeps the barrier —
-    # the column is referenced m×ksub times, which the rule refuses to
-    # duplicate).
-    from .clustering import KM_EXPR_MAX_K
-
-    if not index.by_residual:
-        q_eff = F.col(q_vec_col)
-    elif len(index.coarse) <= KM_EXPR_MAX_K:
-        q_eff = _residual_col(F.col(q_vec_col), index.coarse, F.col(cell_col))
-    else:
-        qp = qp.withColumn(
-            "_qres", _residual_udf(index.coarse)(F.col(q_vec_col), F.col(cell_col))
+    if _expr_path_ok(index.coarse):
+        # Fixture-scale expression branch (k×dim within the term budget —
+        # plan-identical to every checked-in oracle). A residual index
+        # ranks ||(q - c) - code||² — the LUT is built from the query's
+        # residual AGAINST EACH PROBED CELL, which is exactly one
+        # expression here because qp is already one row per (query, cell).
+        qp = probe_assignments(
+            queries.select(q_id_col, q_vec_col), index.coarse, vec_col=q_vec_col,
+            nprobe=nprobe, out_col=cell_col,
         )
-        q_eff = F.col("_qres")
-    lut = F.array(
-        *[
-            F.array(*[_sqdist(F.slice(q_eff, j * dsub + 1, dsub), w) for w in cb])
-            for j, cb in enumerate(model.codebooks)
-        ]
-    )
-    q = qp.select(F.col(q_id_col), F.col(cell_col), lut.alias("_lut"))
+        q_eff = (
+            _residual_col(F.col(q_vec_col), index.coarse, F.col(cell_col))
+            if index.by_residual
+            else F.col(q_vec_col)
+        )
+        lut = F.array(
+            *[
+                F.array(*[_sqdist(F.slice(q_eff, j * dsub + 1, dsub), w) for w in cb])
+                for j, cb in enumerate(model.codebooks)
+            ]
+        )
+        q = qp.select(F.col(q_id_col), F.col(cell_col), lut.alias("_lut"))
+    else:
+        # Above the budget the whole query side (probe + residual + LUT)
+        # runs as ONE Arrow pass — round 15: probe_assignments was already
+        # Arrow here, the residual needed a second crossing
+        # (_residual_udf; Spark forbids Python UDFs inside higher-order
+        # lambdas so it cannot inline into the folds), and _residual_col's
+        # inline-expression alternative duplicated the k×dim centroid
+        # table into all m×ksub fold terms (measured 2.28 s per warm
+        # force for 50 rows at sf0.1 — the whole query-side now runs in
+        # ~0.2 s, values bit-identical, equality-pinned).
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        q_schema = StructType(
+            [
+                StructField(q_id_col, queries.schema[q_id_col].dataType),
+                StructField(cell_col, IntegerType()),
+                StructField("_lut", ArrayType(ArrayType(DoubleType()))),
+            ]
+        )
+        q = queries.select(q_id_col, q_vec_col).mapInPandas(
+            _fused_qlut_fn(
+                index.coarse,
+                model.codebooks,
+                dsub,
+                index.by_residual,
+                nprobe,
+                q_id_col,
+                q_vec_col,
+                cell_col,
+            ),
+            q_schema,
+        )
     adist = None
     for j in range(model.m):
         term = F.element_at(
