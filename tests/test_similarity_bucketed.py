@@ -68,25 +68,30 @@ def test_hard_negatives_bucketed_recall_and_subset(spark):
 
 
 def test_hard_negatives_bucketed_shuffles_ids_only(spark):
-    # round-8 sixth review pass: the band join and candidate distinct once
-    # shipped both 64-dim embeddings through every shuffle (2.2x slower at
-    # sf0.1 and OOM-prone on a default heap). Pin the id-then-fetch shape:
-    # no shuffle Exchange may carry a vector column — embeddings reach the
-    # verify stage only through id-keyed Broadcast fetches — and the
-    # distinct must aggregate over the two id longs alone.
+    # round-8 sixth review pass pinned the id-then-fetch shape (no shuffle
+    # may carry a vector); round 15's per-bucket GEMM screen REVISES the
+    # contract deliberately: exactly ONE shuffle (the groupBy(_bk) feeding
+    # the screen) carries the embedding — n_bands×N rows, moved once — in
+    # exchange for removing the Σ per-bucket-collision PAIR volume (57% of
+    # N² at sf0.1) from the distinct and every downstream exchange. Pin
+    # the revised shape: at most one vector-carrying shuffle, and the
+    # candidate distinct still aggregates over the two id longs alone.
     df = similarity.q_hard_negatives_bucketed(spark, SF_ORACLE)
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     vec_cols = ("_ae#", "_ne#", "embedding#")
+    vec_shuffles = 0
     saw_shuffle = saw_distinct = False
     for block in plan.split("\n\n"):
         header = block.strip().split("\n", 1)[0]
         if ") Exchange" in header:  # shuffle, not BroadcastExchange
             saw_shuffle = True
-            assert not any(c in block for c in vec_cols), block
+            if any(c in block for c in vec_cols):
+                vec_shuffles += 1
         if ") HashAggregate" in header and "Functions: []" in block:
             saw_distinct = True
             assert not any(c in block for c in vec_cols), block
     assert saw_shuffle and saw_distinct  # the probes actually matched
+    assert vec_shuffles <= 1, plan
 
 
 def test_srp_arrow_band_keys_match_expression(spark):

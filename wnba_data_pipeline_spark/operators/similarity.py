@@ -1232,6 +1232,67 @@ def _hn_band_key(v, band: int):
     return out.cast("long")
 
 
+# Screen margin for the per-bucket GEMM shortlist (round 15): GEMM vs the
+# JVM's 0.0-seeded left fold differ by ≤ ~2·DIM·eps·Σ|a_i·b_i| ≈ 1e-12 on
+# these near-unit vectors — 1 000× inside this margin, so a pair whose GEMM
+# cosine sits more than the margin below its bucket's k-th best provably
+# cannot be in the anchor's exact top-k (≥ k bucket pairs are exactly
+# strictly better). Same constant family as the semantic-dedup cell screen.
+HN_SCREEN_MARGIN = 1e-9
+
+
+def _hn_bucket_screen(k: int):
+    """applyInPandas screen for ONE SRP bucket: the bucket members' cosine
+    gram (blocked rows, ≤ ~128 MB per block), different-label/different-id
+    mask, and per anchor the shortlist of candidates within
+    ``HN_SCREEN_MARGIN`` of the bucket's k-th best GEMM cosine. False
+    positives are dropped by the downstream EXACT fold verify; false
+    negatives are impossible by the margin argument above, so the final
+    top-k rows are byte-identical to the verify-every-candidate plan
+    (exceptAll-pinned both directions in tests/test_similarity_bucketed.py)."""
+
+    def screen(pdf):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"a_vec_id": pd.Series([], dtype="int64"), "n_vec_id": pd.Series([], dtype="int64")}
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        nv = np.sqrt((X * X).sum(axis=1))
+        parts_a, parts_n = [], []
+        blk = max(1, (1 << 24) // max(m, 1))  # bound each gram block
+        kk = min(k, m - 1)
+        for i0 in range(0, m, blk):
+            i1 = min(i0 + blk, m)
+            C = (X[i0:i1] @ X.T) / np.outer(nv[i0:i1], nv)
+            mask = (labels[i0:i1, None] != labels[None, :]) & (
+                ids[i0:i1, None] != ids[None, :]
+            )
+            C = np.where(mask, C, -np.inf)
+            kth = -np.partition(-C, kk - 1, axis=1)[:, kk - 1]
+            thr = np.where(np.isfinite(kth), kth - HN_SCREEN_MARGIN, -np.inf)
+            keep = (C >= thr[:, None]) & mask
+            bi, bj = np.nonzero(keep)
+            if len(bi):
+                parts_a.append(ids[bi + i0])
+                parts_n.append(ids[bj])
+        if not parts_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a_vec_id": np.concatenate(parts_a).astype("int64"),
+                "n_vec_id": np.concatenate(parts_n).astype("int64"),
+            }
+        )
+
+    return screen
+
+
 def hard_negatives_exact(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
     """Ground truth: for EVERY vector, the k most-cosine-similar vectors
     carrying a DIFFERENT label — the contrastive-training mining step.
@@ -1280,27 +1341,52 @@ def hard_negatives_bucketed(emb: DataFrame, *, k: int = HN_TOP_K) -> DataFrame:
     operands in the identical order — rows hash-identical to the DuckDB
     twin (which keeps its per-pair ``_cosine_sql`` rendering)."""
     if _srp_arrow_enabled():
-        keyed = _srp_banded_rows(
+        # Round 15, second pass (guide §1.2 step 1 — fix the algorithm
+        # before the per-task work): at sf0.1 the band join emitted
+        # 2 298 822 DISTINCT candidate pairs (57% of ALL ordered pairs —
+        # top-k mining needs permissive bands), so the verify was doing
+        # near-quadratic work: a 64-term fold + two fetch joins + the
+        # window over 2.3 M rows (measured ~5 s candidates + ~3 s verify
+        # of the 11.8 s total). The candidates now come from a per-bucket
+        # GEMM SCREEN: within each of the ND_BANDS×2^HN_PLANES buckets,
+        # every anchor keeps only the candidates within HN_SCREEN_MARGIN
+        # of its k-th best bucket cosine — any pair of the anchor's exact
+        # global top-k survives in at least one shared bucket (the margin
+        # argument at _hn_bucket_screen), so the UNCHANGED exact verify
+        # below produces byte-identical rows from ≤ bands×N×(k+ties)
+        # shortlist rows instead of 2.3 M. Shuffle trade, 100 TB posture:
+        # the screen moves each vector n_bands× through one exchange
+        # (previously the band shuffle carried only ids) but removes the
+        # Σ per-bucket-collisions pair volume from every downstream
+        # exchange — strictly fewer bytes whenever the mean bucket holds
+        # more than ~n_bands·dim/k rows, which any mining-permissive
+        # geometry does by construction.
+        memb = _srp_banded_rows(
             emb.select(
                 "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
             ),
-            [("vec_id", "long"), ("label", "int")],
+            [("vec_id", "long"), ("label", "int"), ("embedding", "array<double>")],
             n_planes=HN_PLANES,
             n_bands=ND_BANDS,
             span=1 << HN_PLANES,
             key_name="_bk",
         )
+        cand = (
+            memb.groupBy("_bk")
+            .applyInPandas(_hn_bucket_screen(k), "a_vec_id long, n_vec_id long")
+            .distinct()  # a pair can survive the screen in several bands
+        )
     else:
         bands = F.array(*[_hn_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
         keyed = emb.select("vec_id", "label", F.explode(bands).alias("_bk"))
-    a = keyed.select(F.col("vec_id").alias("a_vec_id"), F.col("label").alias("_al"), "_bk")
-    b = keyed.select(F.col("vec_id").alias("n_vec_id"), F.col("label").alias("_nl"), "_bk")
-    cand = (
-        a.join(b, ["_bk"])
-        .filter((F.col("a_vec_id") != F.col("n_vec_id")) & (F.col("_al") != F.col("_nl")))
-        .select("a_vec_id", "n_vec_id")
-        .distinct()  # a pair can collide in several bands
-    )
+        a = keyed.select(F.col("vec_id").alias("a_vec_id"), F.col("label").alias("_al"), "_bk")
+        b = keyed.select(F.col("vec_id").alias("n_vec_id"), F.col("label").alias("_nl"), "_bk")
+        cand = (
+            a.join(b, ["_bk"])
+            .filter((F.col("a_vec_id") != F.col("n_vec_id")) & (F.col("_al") != F.col("_nl")))
+            .select("a_vec_id", "n_vec_id")
+            .distinct()  # a pair can collide in several bands
+        )
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     ea = emb.select(F.col("vec_id").alias("a_vec_id"), F.col("embedding").alias("_ae"), norm.alias("_an"))
     eb = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("_ne"), norm.alias("_nn"))
