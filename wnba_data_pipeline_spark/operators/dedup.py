@@ -690,6 +690,16 @@ def minhash_pairs(
         # the hh pipeline never reads the string arrays — keep them out
         # of the Arrow transfer entirely (see shingle_docs)
         shingled = shingle_docs(docs, hh_only=(verify == "hh"))
+        # Round 15: this LAZY plan has three shingled consumers (the band
+        # table inside candidates + the two verify fetch sides) and Spark
+        # performs no cross-branch CSE, so the Arrow shingle pass executed
+        # three times per run (measured 0.61 s each at sf0.1). One
+        # repartition below all three turns the siblings into
+        # ReusedExchange readers — the shingle pass runs ONCE and the
+        # exchange moves the shingled rows once. Callers that pass a
+        # persisted ``shingled`` (the curation funnel) already share the
+        # computation through the cache and skip this exchange.
+        shingled = shingled.repartition("doc_id")
     cand = minhash_candidates(
         shingled, coeffs=coeffs, band_rows=band_rows, hot_bucket_min=hot_bucket_min
     )
@@ -793,6 +803,15 @@ def minhash_candidates(
     else:
         from ..functions.skew import HOT_SALTS, explode_salts, with_salt
 
+        # Round 15: the gated branch has THREE banded consumers (cold
+        # anti-join, hot_a, hot_b) and no cross-branch CSE, so the
+        # signature+band Arrow pass executed three times per run. The
+        # repartition below all three is the exchange the grouped-pairs
+        # groupBy needed anyway (same hash partitioning on band_key, so
+        # no second exchange appears above it); the siblings become
+        # ReusedExchange readers and the signature pass runs ONCE.
+        banded = banded.repartition("band_key")
+
         # Hot buckets are DETECTED ON A SAMPLE, not by counting the full
         # band table (the round-9 first cut counted via a band_key window
         # and measured +38-52 s at sf30 — the Sort+Window re-ran per join
@@ -813,8 +832,14 @@ def minhash_candidates(
             )
             == 0
         )
+        # Round 15: gate BEFORE banding, not after — the gate depends only
+        # on doc_id, and band keys are a pure per-doc function, so banding
+        # the 1/HB_SAMPLE_MOD doc sample yields the identical sampled band
+        # table while the signature pass runs over 1/64 of the rows
+        # instead of all of them (the old ``banded.filter(gate)`` computed
+        # every signature and then dropped 63/64 of them).
         hot_keys = (
-            banded.filter(sample_gate_col)
+            banded_keys(shingled.filter(sample_gate_col), coeffs=coeffs, band_rows=band_rows)
             .groupBy("band_key")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") >= max(2, hot_bucket_min // (2 * HB_SAMPLE_MOD)))

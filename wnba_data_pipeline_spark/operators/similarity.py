@@ -489,6 +489,78 @@ def _srp_banded_rows(
     return df.mapInPandas(_fn, out_schema)
 
 
+def _nd_bucket_screen(threshold: float):
+    """mapInPandas screen over a bkey-partitioned banded frame: per bucket,
+    a blocked cosine gram over the members, emitting (vec_a < vec_b) pairs
+    at ``threshold − 1e-9`` (``HN_SCREEN_MARGIN`` covers the
+    GEMM-vs-left-fold float64 gap with 1 000× headroom — see the bound at
+    the constant). False positives are dropped by the downstream
+    exact-fold verify; false negatives are impossible, so the final rows
+    are byte-identical to the verify-every-collision plan."""
+
+    def _one_bucket(ids, X, nv, parts_a, parts_b):
+        import numpy as np
+
+        m = len(ids)
+        blk = max(1, (1 << 24) // max(m, 1))
+        for i0 in range(0, m, blk):
+            i1 = min(i0 + blk, m)
+            C = (X[i0:i1] @ X.T) / np.outer(nv[i0:i1], nv)
+            keep = (C >= threshold - HN_SCREEN_MARGIN) & (
+                ids[i0:i1, None] < ids[None, :]
+            )
+            bi, bj = np.nonzero(keep)
+            if len(bi):
+                parts_a.append(ids[bi + i0])
+                parts_b.append(ids[bj])
+
+    import numpy as np
+
+    def screen(batches):
+        # mapInPandas over a bkey-hash-partitioned frame: one Python call
+        # per TASK, not per bucket — a band geometry like (16, 256) makes
+        # 4 096 buckets, and per-GROUP applyInPandas overhead (~0.5 ms of
+        # pandas splitting per group) dominated the arithmetic at local
+        # scale. Batches are accumulated to the whole partition first
+        # (buckets may straddle Arrow batches); per-task memory is the
+        # partition's share of the n_bands×N band rows — the same bound
+        # as any hash aggregation over the banded frame, and it scales
+        # down with the shuffle-partition count the session already
+        # adapts (AQE at cluster scale).
+        chunks = [pdf for pdf in batches if len(pdf)]
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")}
+        )
+        if not chunks:
+            yield empty
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        ids_all = pdf["vec_id"].to_numpy()
+        X_all = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        nv_all = np.sqrt((X_all * X_all).sum(axis=1))
+        keys = pdf["bkey"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        bounds = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1], True])
+        parts_a, parts_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sel = order[s:e]
+            _one_bucket(ids_all[sel], X_all[sel], nv_all[sel], parts_a, parts_b)
+        if not parts_a:
+            yield empty
+            return
+        yield pd.DataFrame(
+            {
+                "vec_a": np.concatenate(parts_a).astype("int64"),
+                "vec_b": np.concatenate(parts_b).astype("int64"),
+            }
+        )
+
+    return screen
+
+
 def q_emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over banded-LSH candidates — the 100 TB
     production shape of ``q_emb_near_dup``: same augmented corpus, same
@@ -506,23 +578,38 @@ def q_emb_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     with_norm = _augmented_corpus(spark, sf_dir)
     if _srp_arrow_enabled():
+        # Round 15, second pass: candidates now come from a per-bucket GEMM
+        # screen at threshold − margin (the grouped twin of
+        # ``q_emb_near_dup``'s corpus screen — same provably-no-false-
+        # negatives bound, same unchanged exact verify downstream), instead
+        # of materializing EVERY within-bucket collision through the
+        # distinct. At sf0.1 that cuts the pair volume from ~230 k
+        # collisions to the ~130 true near-dup pairs before any pair
+        # exchange; the screen's groupBy is the one exchange that carries
+        # the embedding (n_bands×N rows, moved once — same trade as
+        # hard_negatives_bucketed, pinned there).
         banded = _srp_banded_rows(
             with_norm.select("vec_id", "embedding"),
-            [("vec_id", "long")],
+            [("vec_id", "long"), ("embedding", "array<double>")],
             n_planes=ND_PLANES,
             n_bands=ND_BANDS,
             span=ND_BUCKET_SPAN,
             key_name="bkey",
         )
+        cand = (
+            banded.repartition("bkey")
+            .mapInPandas(_nd_bucket_screen(0.9), "vec_a long, vec_b long")
+            .distinct()
+        )
     else:
         keys = F.array(*[_nd_band_key(F.col("embedding"), b) for b in range(ND_BANDS)])
         banded = with_norm.select("vec_id", F.explode(keys).alias("bkey"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+            .distinct()
+        )
     ea = with_norm.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"))
     eb = with_norm.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("norm").alias("norm_b"))
     return (
