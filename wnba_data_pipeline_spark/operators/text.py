@@ -109,6 +109,20 @@ def word_gram_hash_rows(
 
     def _batch(it):
         md5 = hashlib.md5
+        # Round 15, second pass: word grams repeat heavily across docs
+        # (small shared vocabulary), so each task hashes every distinct
+        # gram STRING once and serves repeats from a dict — the md5 +
+        # int.from_bytes work drops to once per distinct gram; values are
+        # identical by construction (same bytes, same 60-bit fold).
+        cache: dict[str, int] = {}
+
+        def _h(g: str) -> int:
+            h = cache.get(g)
+            if h is None:
+                h = int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+                cache[g] = h
+            return h
+
         for pdf in it:
             ids_out: list[int] = []
             pos_out: list[int] = []
@@ -120,14 +134,7 @@ def word_gram_hash_rows(
                 m = len(words) - n_words + 1
                 if m <= 0:
                     continue
-                hs = [
-                    int.from_bytes(
-                        md5(" ".join(words[i : i + n_words]).encode("utf-8")).digest()[:8],
-                        "big",
-                    )
-                    >> 4
-                    for i in range(m)
-                ]
+                hs = [_h(" ".join(words[i : i + n_words])) for i in range(m)]
                 if distinct:
                     hs = list(dict.fromkeys(hs))
                 ids_out.extend([did] * len(hs))
@@ -469,25 +476,43 @@ def _winnow_stats_rows(docs: DataFrame, *, k: int, w: int) -> DataFrame:
 
     def _batch(it):
         md5 = hashlib.md5
+        # Round 15, second pass: positional grams repeat heavily (measured
+        # 111× at sf0.1 — 13 005 distinct among 1.45 M total), so each
+        # Arrow batch stacks EVERY doc's gram bytes into one matrix, runs
+        # ONE np.unique(return_inverse) across the whole batch, hashes
+        # only the distinct grams (dict-cached across batches within the
+        # task), and scatters the hashes back per position. One Python
+        # md5 call per distinct gram instead of per position — hash
+        # values are identical bytes-for-bytes (same md5, same 60-bit
+        # fold), so windows, minima and the registry row are unchanged
+        # (differential rows in tests/test_text_arrow.py).
+        cache: dict[bytes, int] = {}
+        # k = 8 bytes packs a gram into one uint64 — np.unique on a native
+        # integer dtype sorts ~2.5× faster than on the void record view
+        # (measured 0.86 s vs 2.12 s over 1.45 M grams)
+        void_t = np.uint64 if k == 8 else f"V{k}"
+
         for pdf in it:
             out: dict[str, list[int]] = {
                 "doc_id": [], "n_grams": [], "n_windows": [],
                 "n_fingerprints": [], "fp_min": [], "fp_max": [],
             }
+            ascii_rows: list[tuple[int, int]] = []  # (doc_id, n_grams)
+            gram_blocks: list[np.ndarray] = []
+            mb_rows: list[tuple[int, int, "np.ndarray"]] = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None or len(text) < k + w - 1:
                     continue
                 m = len(text) - k + 1
                 tb = text.encode("utf-8")
                 if len(tb) == len(text):
-                    hs = np.fromiter(
-                        (
-                            int.from_bytes(md5(tb[i : i + k]).digest()[:8], "big") >> 4
-                            for i in range(m)
-                        ),
-                        dtype=np.int64,
-                        count=m,
+                    a = np.frombuffer(tb, dtype=np.uint8)
+                    gram_blocks.append(
+                        np.ascontiguousarray(
+                            np.lib.stride_tricks.sliding_window_view(a, k)[:m]
+                        )
                     )
+                    ascii_rows.append((did, m))
                 else:
                     hs = np.fromiter(
                         (
@@ -500,6 +525,30 @@ def _winnow_stats_rows(docs: DataFrame, *, k: int, w: int) -> DataFrame:
                         dtype=np.int64,
                         count=m,
                     )
+                    mb_rows.append((did, m, hs))
+            if gram_blocks:
+                G_all = np.concatenate(gram_blocks).view(void_t).ravel()
+                u, inv = np.unique(G_all, return_inverse=True)
+                # re-read each distinct gram's ORIGINAL bytes through a
+                # uint8 view (byte-order-safe for both the uint64 and the
+                # void dtype) before hashing
+                uview = np.ascontiguousarray(u).view(np.uint8).reshape(-1, k)
+                hu = np.empty(len(u), dtype=np.int64)
+                for idx in range(len(u)):
+                    gb = uview[idx].tobytes()
+                    h = cache.get(gb)
+                    if h is None:
+                        h = int.from_bytes(md5(gb).digest()[:8], "big") >> 4
+                        cache[gb] = h
+                    hu[idx] = h
+                hs_all = hu[inv]
+            pos = 0
+            rows: list[tuple[int, int, "np.ndarray"]] = []
+            for did, m in ascii_rows:
+                rows.append((did, m, hs_all[pos : pos + m]))
+                pos += m
+            rows.extend(mb_rows)
+            for did, m, hs in rows:
                 wins = hs[: m - w + 1].copy()
                 for s in range(1, w):
                     np.minimum(wins, hs[s : s + wins.size], out=wins)
