@@ -146,6 +146,7 @@ def test_srp_arrow_paths_match_expression_plans(spark, monkeypatch):
         similarity.q_emb_near_dup,
         similarity.q_emb_near_dup_bucketed,
         similarity.q_hard_negatives_bucketed,
+        similarity.q_sim_topk,
         clustering.q_semantic_dedup,
     ):
         monkeypatch.setenv("SPARK_GRAFT_SRP_ARROW", "0")

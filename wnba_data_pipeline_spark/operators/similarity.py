@@ -86,9 +86,60 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb")
     )
     c = emb.select(F.col("vec_id").alias("n_vec_id"), F.col("embedding").alias("n_emb"))
-    pairs = F.broadcast(q).join(c, F.col("q_vec_id") != F.col("n_vec_id")).withColumn(
-        "_cos", _cosine(F.col("q_emb"), F.col("n_emb"))
-    )
+    if _srp_arrow_enabled():
+        # Round 15 (optimization): the all-pairs examination (N_QUERIES×N
+        # interpreted 3-fold cosines in the non-equi join) runs as a GEMM
+        # SCREEN first — per query, keep candidates within
+        # HN_SCREEN_MARGIN of the k-th best GEMM cosine (the top-k twin
+        # of q_emb_near_dup's threshold screen; the anchor's exact top-k
+        # provably survives), then the UNCHANGED exact verify (fold
+        # cosine, window, round) runs on the ~tens of survivors, so rows
+        # stay byte-identical (switch-equality pinned in
+        # tests/test_similarity_bucketed.py). coalesce(1), like the
+        # near-dup baseline: this is the labeled sampled-scale
+        # brute-force twin, never the 100 TB path.
+        def _screen(batches):
+            import numpy as np
+
+            ids, vecs = [], []
+            for pdf in batches:
+                if len(pdf):
+                    ids.append(pdf["vec_id"].to_numpy())
+                    vecs.append(np.vstack(pdf["embedding"].to_numpy()))
+            if not ids:
+                yield pd.DataFrame(
+                    {"q_vec_id": pd.Series([], dtype="int64"), "n_vec_id": pd.Series([], dtype="int64")}
+                )
+                return
+            idv = np.concatenate(ids)
+            X = np.vstack(vecs).astype(np.float64, copy=False)
+            nv = np.sqrt((X * X).sum(axis=1))
+            qm = idv < N_QUERIES
+            C = (X[qm] @ X.T) / np.outer(nv[qm], nv)
+            mask = idv[qm][:, None] != idv[None, :]
+            C = np.where(mask, C, -np.inf)
+            kk = min(TOP_K, C.shape[1] - 1)
+            kth = -np.partition(-C, kk - 1, axis=1)[:, kk - 1]
+            thr = np.where(np.isfinite(kth), kth - HN_SCREEN_MARGIN, -np.inf)
+            keep = (C >= thr[:, None]) & mask
+            bi, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "q_vec_id": idv[qm][bi].astype("int64"),
+                    "n_vec_id": idv[bj].astype("int64"),
+                }
+            )
+
+        cand = emb.select("vec_id", "embedding").coalesce(1).mapInPandas(
+            _screen, "q_vec_id long, n_vec_id long"
+        )
+        pairs = cand.join(F.broadcast(q), "q_vec_id").join(c, "n_vec_id").withColumn(
+            "_cos", _cosine(F.col("q_emb"), F.col("n_emb"))
+        )
+    else:
+        pairs = F.broadcast(q).join(c, F.col("q_vec_id") != F.col("n_vec_id")).withColumn(
+            "_cos", _cosine(F.col("q_emb"), F.col("n_emb"))
+        )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
     return (
         pairs.withColumn("nn_rank", F.row_number().over(w))
@@ -727,6 +778,16 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a true neighbor may live in an unprobed cell).
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Round 15 (optimization, the hard_negatives norm factoring applied
+    # here): norms are precomputed per VECTOR and per SEED, so the
+    # K_CELLS-way assignment fan-out and the probe-join verify evaluate
+    # only dot(a,b) per pair instead of re-deriving both norms (3 folds →
+    # 1 per pair). Value-exact: sqrt(fold(v,v)) is the same double
+    # wherever computed, and dot/(na·nb) divides identical operands in
+    # the identical order, so cells, probes, cosines and ranks are
+    # unchanged (oracle keeps its per-pair rendering).
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    embn = emb.select("vec_id", "embedding", norm.alias("_nv"))
     seeds = (
         emb.select(
             F.col("vec_id").alias("sid"),
@@ -735,10 +796,10 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_h", "sid")
         .limit(K_CELLS)
-        .select("sid", "semb")
+        .select("sid", "semb", F.sqrt(_dot(F.col("semb"), F.col("semb"))).alias("_ns"))
     )
-    scored = emb.crossJoin(F.broadcast(seeds)).withColumn(
-        "_cos", _cosine(F.col("embedding"), F.col("semb"))
+    scored = embn.crossJoin(F.broadcast(seeds)).withColumn(
+        "_cos", _dot(F.col("embedding"), F.col("semb")) / (F.col("_nv") * F.col("_ns"))
     )
     # nearest cell per corpus vector: max over struct(cos, -sid) == window
     # row_number 1 over (cos DESC, sid ASC), but aggregates combine
@@ -749,21 +810,29 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("sid", F.struct(F.col("_cos"), (-F.col("sid")).alias("_nsid"))).alias("cell"),
             F.first("embedding").alias("n_emb"),
+            F.first("_nv").alias("_nn"),
         )
-        .select(F.col("vec_id").alias("n_vec_id"), "n_emb", "cell")
+        .select(F.col("vec_id").alias("n_vec_id"), "n_emb", "_nn", "cell")
     )
     w_probe = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("sid"))
     qcells = (
         scored.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("_r", F.row_number().over(w_probe))
         .filter(F.col("_r") <= NPROBE)
-        .select(F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_emb"), F.col("sid").alias("cell"))
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("_nv").alias("_nq"),
+            F.col("sid").alias("cell"),
+        )
     )
     pairs = (
         F.broadcast(qcells)
         .join(cells, ["cell"])
         .filter(F.col("q_vec_id") != F.col("n_vec_id"))
-        .withColumn("_cos", _cosine(F.col("q_emb"), F.col("n_emb")))
+        .withColumn(
+            "_cos", _dot(F.col("q_emb"), F.col("n_emb")) / (F.col("_nq") * F.col("_nn"))
+        )
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("_cos").desc(), F.col("n_vec_id"))
     return (
