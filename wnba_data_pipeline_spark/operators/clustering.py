@@ -838,7 +838,20 @@ def semantic_pairs(
     once (``sd_fit_mod_for`` computes the funnel's dial; 1 = exact
     previous behavior, the registry/oracle default)."""
     model = kmeans_fit(corpus, k=k, max_iter=max_iter, sample_mod=fit_sample_mod)
-    asg = probe_assignments(corpus, model.centroids, nprobe=nprobe)
+    # Round 15, second pass: under the Arrow gate the probe expansion
+    # takes the pandas path explicitly — the k=8 × dim=64 geometry sits
+    # exactly AT the 512-term expression budget, and the sorted-struct
+    # expression probe measured 1.31 s for 2 400 corpus rows at sf0.1
+    # (~0.55 ms/row interpreted) vs ~0.35 s through Arrow. Cells are
+    # identical (stable argsort ≡ the (distance, index) struct sort —
+    # equality-tested in tests/test_clustering.py); SPARK_GRAFT_SRP_ARROW=0
+    # restores the expression plan end to end.
+    asg = probe_assignments(
+        corpus,
+        model.centroids,
+        nprobe=nprobe,
+        path="pandas" if _srp_arrow_enabled() else None,
+    )
     if path == "gram":
         return _gram_cell_pairs(asg, threshold=threshold)
     if path != "join":
