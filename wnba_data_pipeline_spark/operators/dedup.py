@@ -690,16 +690,16 @@ def minhash_pairs(
         # the hh pipeline never reads the string arrays — keep them out
         # of the Arrow transfer entirely (see shingle_docs)
         shingled = shingle_docs(docs, hh_only=(verify == "hh"))
-        # Round 15: this LAZY plan has three shingled consumers (the band
-        # table inside candidates + the two verify fetch sides) and Spark
-        # performs no cross-branch CSE, so the Arrow shingle pass executed
-        # three times per run (measured 0.61 s each at sf0.1). One
-        # repartition below all three turns the siblings into
-        # ReusedExchange readers — the shingle pass runs ONCE and the
-        # exchange moves the shingled rows once. Callers that pass a
-        # persisted ``shingled`` (the curation funnel) already share the
-        # computation through the cache and skip this exchange.
-        shingled = shingled.repartition("doc_id")
+        # Round 15 tried repartition("doc_id") here so the three shingled
+        # consumers (band table + two verify fetch sides) would share one
+        # exchange; REJECTED by measurement — column pruning specializes
+        # each branch's subtree below the exchange (the band branch reads
+        # hh, the verify sides read the verify column), so ReuseExchange
+        # never fires in the full plan and the lazy row gained six
+        # specialized exchanges for a wall change inside host noise
+        # (interleaved min 2.52–3.08 s across all four repartition
+        # variants, outputs identical). The funnel shares the computation
+        # through its persisted frame instead.
     cand = minhash_candidates(
         shingled, coeffs=coeffs, band_rows=band_rows, hot_bucket_min=hot_bucket_min
     )
@@ -803,14 +803,11 @@ def minhash_candidates(
     else:
         from ..functions.skew import HOT_SALTS, explode_salts, with_salt
 
-        # Round 15: the gated branch has THREE banded consumers (cold
-        # anti-join, hot_a, hot_b) and no cross-branch CSE, so the
-        # signature+band Arrow pass executed three times per run. The
-        # repartition below all three is the exchange the grouped-pairs
-        # groupBy needed anyway (same hash partitioning on band_key, so
-        # no second exchange appears above it); the siblings become
-        # ReusedExchange readers and the signature pass runs ONCE.
-        banded = banded.repartition("band_key")
+        # (round 15 also tried repartition("band_key") below the three
+        # banded consumers — rejected by the same measurement: Spark's
+        # ENSURE_REQUIREMENTS exchanges already reuse across the matching
+        # consumers, and walls were identical within noise both with
+        # persisted shingles and on the lazy plan.)
 
         # Hot buckets are DETECTED ON A SAMPLE, not by counting the full
         # band table (the round-9 first cut counted via a band_key window
