@@ -401,3 +401,29 @@ def test_kmeans_farthest_init_unmerges_what_hash_init_merges(spark):
     # determinism: the traversal is TakeOrdered-based, so a refit is exact
     refit = kmeans_fit(df, k=8, max_iter=5, init="farthest")
     assert refit.centroids == model.centroids
+
+
+def test_farthest_driver_traversal_equals_distributed(spark, monkeypatch):
+    """Round 16: the default driver-side Gonzalez traversal (one bounded
+    collect + numpy per-dim left folds) must reproduce the per-pass
+    TakeOrdered arm EXACTLY — same fold association, min(best, d_new) ≡
+    F.least over all centroids, ties to the lowest id. Full-model equality
+    (centroids, n_iter, inertia history, sizes, converged) on the sf0.01
+    embeddings, including a duplicated-row corpus (distance-0 ties)."""
+    from wnba_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    from pyspark.sql import functions as F
+
+    # deterministic subsets (no bare limit); the union plants exact
+    # duplicate rows → distance-0 ties exercise the id tie-break
+    dup = emb.filter(F.col("vec_id") < 40).union(emb.filter(F.col("vec_id") < 8))
+    for df, k in ((emb, 12), (dup, 6)):
+        monkeypatch.setenv("SPARK_GRAFT_FARTHEST_DRIVER", "0")
+        ref = kmeans_fit(df, k=k, max_iter=3, init="farthest")
+        monkeypatch.setenv("SPARK_GRAFT_FARTHEST_DRIVER", "1")
+        got = kmeans_fit(df, k=k, max_iter=3, init="farthest")
+        assert got.centroids == ref.centroids
+        assert (got.n_iter, got.inertia, got.sizes, got.converged) == (
+            ref.n_iter, ref.inertia, ref.sizes, ref.converged
+        )

@@ -134,6 +134,117 @@ def test_srp_arrow_band_keys_match_expression(spark):
     assert expr_hn.exceptAll(arrow_hn).count() == 0
 
 
+def test_hot_bucket_salting_bounds_tasks_and_preserves_rows(spark, monkeypatch):
+    """Round 16 (VERDICT r15 item 3): a bucket bigger than the screen row
+    budget must be sub-bucket-salted — no screen task materializes the
+    whole bucket — while the candidate/verify rows stay exceptAll-identical
+    to the unsalted arm. Synthetic hot corpus: every vector is a tiny
+    perturbation of one base vector, so all rows share one (band, bucket)
+    per band in BOTH geometries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0.0, 1.0, similarity.DIM)
+    n = 400
+    rows = [
+        (
+            int(i),
+            int(i % 7),
+            [float(x) for x in base + rng.normal(0.0, 1e-6, similarity.DIM)],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<double>")
+    monkeypatch.setenv("SPARK_GRAFT_SCREEN_BUDGET", "50")
+
+    # the estimator must fire on the planted bucket with >1 slices
+    slices_hn = similarity._hot_bucket_slices(
+        df.select("vec_id", "embedding"),
+        id_col="vec_id",
+        n_planes=similarity.HN_PLANES,
+        n_bands=similarity.ND_BANDS,
+        span=1 << similarity.HN_PLANES,
+    )
+    assert slices_hn and all(s > 1 for s in slices_hn.values()), slices_hn
+
+    # ... and stay silent on the fixture corpus at the production budget
+    # (the default registry plans keep the r15 single-group shape)
+    monkeypatch.setenv("SPARK_GRAFT_SCREEN_BUDGET", "100000")
+    emb_fix = load_table(spark, SF_ORACLE, "embeddings")
+    assert (
+        similarity._hot_bucket_slices(
+            emb_fix.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+            id_col="vec_id",
+            n_planes=similarity.HN_PLANES,
+            n_bands=similarity.ND_BANDS,
+            span=1 << similarity.HN_PLANES,
+        )
+        == {}
+    )
+    monkeypatch.setenv("SPARK_GRAFT_SCREEN_BUDGET", "50")
+
+    # peak-group bound: with S slices a screen group holds ~rows/S per
+    # side; the biggest (band, bucket, slice) group must be far below the
+    # unsalted bucket size (n rows)
+    banded = similarity._srp_banded_rows(
+        df.select("vec_id", "label", "embedding"),
+        [("vec_id", "long"), ("label", "int"), ("embedding", "array<double>")],
+        n_planes=similarity.HN_PLANES,
+        n_bands=similarity.ND_BANDS,
+        span=1 << similarity.HN_PLANES,
+        key_name="_bk",
+    )
+    sliced = similarity._with_role_slices(banded, slices_hn, key_name="_bk", id_col="vec_id")
+    sizes = (
+        sliced.groupBy("_bk", "_sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert sizes < n / 2, sizes  # bounded groups, not the whole bucket
+
+    # hard negatives: salted arm ≡ unsalted arm, row for row
+    monkeypatch.setenv("SPARK_GRAFT_SCREEN_SALT", "1")
+    salted = similarity.hard_negatives_bucketed(df)
+    monkeypatch.setenv("SPARK_GRAFT_SCREEN_SALT", "0")
+    cold = similarity.hard_negatives_bucketed(df)
+    assert salted.exceptAll(cold).count() == 0
+    assert cold.exceptAll(salted).count() == 0
+    assert salted.count() > 0
+
+    # near-dup threshold screen: salted candidate set ≡ unsalted
+    nd_banded = similarity._srp_banded_rows(
+        df.select("vec_id", "embedding"),
+        [("vec_id", "long"), ("embedding", "array<double>")],
+        n_planes=similarity.ND_PLANES,
+        n_bands=similarity.ND_BANDS,
+        span=similarity.ND_BUCKET_SPAN,
+        key_name="bkey",
+    )
+    slices_nd = similarity._hot_bucket_slices(
+        df.select("vec_id", "embedding"),
+        id_col="vec_id",
+        n_planes=similarity.ND_PLANES,
+        n_bands=similarity.ND_BANDS,
+        span=similarity.ND_BUCKET_SPAN,
+    )
+    assert slices_nd and all(s > 1 for s in slices_nd.values())
+
+    def _cand(slices):
+        return (
+            similarity._with_pair_slices(nd_banded, slices, key_name="bkey", id_col="vec_id")
+            .repartition("bkey", "_sub")
+            .mapInPandas(similarity._nd_bucket_screen(similarity.ND_THRESHOLD), "vec_a long, vec_b long")
+            .distinct()
+        )
+
+    cand_salted, cand_cold = _cand(slices_nd), _cand({})
+    assert cand_salted.exceptAll(cand_cold).count() == 0
+    assert cand_cold.exceptAll(cand_salted).count() == 0
+    assert cand_salted.count() > 0
+
+
 def test_srp_arrow_paths_match_expression_plans(spark, monkeypatch):
     # round 15 (optimization): every query that grew an Arrow screen/band
     # pass must return EXACTLY the rows of its pure-expression plan (the

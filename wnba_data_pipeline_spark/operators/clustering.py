@@ -184,6 +184,15 @@ def _expr_path_ok(centroids: list[list[float]]) -> bool:
     return k <= KM_EXPR_MAX_K and k * len(centroids[0]) <= KM_EXPR_TERM_BUDGET
 
 
+# Row bound for the driver-side farthest-point traversal (round 16): the
+# fit frame is collected once (LIMIT-bounded probe, so the job never pulls
+# more than this + 1 rows) and the k-1 Gonzalez passes run in numpy with
+# the exact fold/tie-break contract. 64 Ki rows × dim=64 doubles ≈ 32 MB —
+# the same order as the broadcast relations fitted plans already ship.
+# Bigger frames keep the distributed per-pass TakeOrdered arm.
+FARTHEST_COLLECT_MAX_ROWS = 1 << 16
+
+
 def _batch_assign_fn(centroids: list[list[float]], vec_col: str, out_col: str, dist_col: str | None):
     """mapInPandas generator: append (cluster id [, min sq distance]) via a
     numpy argmin over the broadcast k x dim centroid matrix.
@@ -501,20 +510,81 @@ def kmeans_fit(
             raise ValueError(f"corpus has only {len(centroids)} rows; need k={k} seeds")
         if init == "farthest":
             # Gonzalez farthest-point traversal from the hash-smallest row:
-            # k-1 TakeOrdered passes, each picking argmax_x min_c d²(x, c)
-            # (deterministic tie-break on the lower id). Same fold-distance
-            # contract as assignment, so the traversal is bit-reproducible.
+            # pick argmax_x min_c d²(x, c), k-1 times (deterministic
+            # tie-break on the lower id). Same fold-distance contract as
+            # assignment, so the traversal is bit-reproducible.
+            #
+            # Round 16 (optimization, guide §5/§1.2): the r10–r15 shape ran
+            # k-1 SEQUENTIAL TakeOrdered jobs, pass i re-deriving
+            # ``F.least`` over ALL i chosen centroids — O(k²·n·dim)
+            # interpreted expression work plus k-1 codegen compiles and job
+            # floors (measured 131.5 s of the 149 s sf0.1 ivfpq_fit wall;
+            # the farthest gate caps k at FARTHEST_INIT_MAX_K=64 and the
+            # auto geometry only selects it for corpora ≤ ~4 k rows, so the
+            # traversal input is small BY CONSTRUCTION). Default now: one
+            # bounded collect of the fit frame (≤ FARTHEST_COLLECT_MAX_ROWS
+            # rows — ~32 MB of doubles at dim=64, the same order as the
+            # broadcast tables every fitted plan already ships) and the
+            # traversal in numpy with the IDENTICAL arithmetic: per-dim
+            # left-fold accumulation from 0.0 (≡ ``_sqdist``'s 0.0-seeded
+            # fold), incremental ``np.minimum`` against the previous best
+            # (min is exact and associative, so min(best, d_new) ≡
+            # F.least over all centroids), NaN-first selection (Spark
+            # orders NaN above every double in a DESC sort), ties to the
+            # lowest id. Centroids are equal by construction — pinned by
+            # the differential test (SPARK_GRAFT_FARTHEST_DRIVER=0 opts
+            # back to the per-pass TakeOrdered jobs). A frame larger than
+            # the bound (only reachable by calling kmeans_fit directly
+            # with init="farthest" on a big un-sampled corpus) falls back
+            # to the per-pass arm — the collect is LIMIT-bounded, so the
+            # probe never pulls more than bound+1 rows.
+            import numpy as np
+
             centroids = [centroids[0]]
             cast_vec = vec.cast("array<double>")
-            for _ in range(k - 1):
-                d2 = F.least(*[_sqdist(cast_vec, c) for c in centroids]) if len(centroids) > 1 else _sqdist(cast_vec, centroids[0])
-                far = (
-                    base.select(F.col(id_col).alias("_sid"), cast_vec.alias("_semb"), d2.alias("_d2"))
-                    .orderBy(F.col("_d2").desc(), F.col("_sid").asc())
-                    .limit(1)
-                    .collect()[0]
+            collected = None
+            if os.environ.get("SPARK_GRAFT_FARTHEST_DRIVER", "1") != "0":
+                probe = (
+                    base.select(F.col(id_col).alias("_sid"), cast_vec.alias("_semb"))
+                    .limit(FARTHEST_COLLECT_MAX_ROWS + 1)
+                    .collect()
                 )
-                centroids.append([float(x) for x in far["_semb"]])
+                if len(probe) <= FARTHEST_COLLECT_MAX_ROWS:
+                    collected = probe
+            if collected is not None:
+                sids = [r["_sid"] for r in collected]
+                V = np.array([r["_semb"] for r in collected], dtype=np.float64)
+                dim0 = V.shape[1]
+
+                def _fold_d2(c: list[float]) -> "np.ndarray":
+                    # 0.0-seeded per-dim left fold — the _sqdist association
+                    acc = np.zeros(len(V))
+                    for d in range(dim0):
+                        diff = V[:, d] - c[d]
+                        acc += diff * diff
+                    return acc
+
+                best = _fold_d2(centroids[0])
+                for _ in range(k - 1):
+                    nan_rows = np.flatnonzero(np.isnan(best))
+                    cand = (
+                        nan_rows
+                        if len(nan_rows)
+                        else np.flatnonzero(best == best.max())
+                    )
+                    sel = min(cand, key=lambda j: sids[j])
+                    centroids.append([float(x) for x in V[sel]])
+                    best = np.minimum(best, _fold_d2(centroids[-1]))
+            else:
+                for _ in range(k - 1):
+                    d2 = F.least(*[_sqdist(cast_vec, c) for c in centroids]) if len(centroids) > 1 else _sqdist(cast_vec, centroids[0])
+                    far = (
+                        base.select(F.col(id_col).alias("_sid"), cast_vec.alias("_semb"), d2.alias("_d2"))
+                        .orderBy(F.col("_d2").desc(), F.col("_sid").asc())
+                        .limit(1)
+                        .collect()[0]
+                    )
+                    centroids.append([float(x) for x in far["_semb"]])
             _mark("farthest_init_sec")
         elif init != "hash":
             raise ValueError(f"unknown init: {init!r}")
@@ -644,6 +714,9 @@ def _batch_probe_fn(centroids: list[list[float]], vec_col: str, cell_col: str, n
     def probe(batches):
         C = np.asarray(centroids, dtype=np.float64)
         k, dim = C.shape
+        # clamp to the cell count (ADVICE r15): matches the expression
+        # branch, whose F.slice degrades to "all k cells" for nprobe > k
+        np_eff = min(nprobe, k)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -652,8 +725,8 @@ def _batch_probe_fn(centroids: list[list[float]], vec_col: str, cell_col: str, n
             for d in range(dim):
                 diff = X[:, d, None] - C[None, :, d]
                 D += diff * diff
-            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
-            out = pdf.loc[pdf.index.repeat(nprobe)].copy()
+            order = np.argsort(D, axis=1, kind="stable")[:, :np_eff]
+            out = pdf.loc[pdf.index.repeat(np_eff)].copy()
             out[cell_col] = order.astype(np.int32).ravel()
             yield out
 

@@ -1359,6 +1359,11 @@ def _fused_qlut_fn(
 
         C = np.asarray(coarse, dtype=np.float64)
         k, dim = C.shape
+        # clamp to the cell count (ADVICE r15): an explicit nprobe > k
+        # yields at most k argsort columns, and the expression branch's
+        # F.slice degrades to "all k cells" — match it instead of crashing
+        # on the ids/R repeat-length mismatch
+        np_eff = min(nprobe, k)
         CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
         for pdf in batches:
             if len(pdf) == 0:
@@ -1368,10 +1373,10 @@ def _fused_qlut_fn(
             for d in range(dim):  # left-fold association (_batch_probe_fn)
                 diff = X[:, d, None] - C[None, :, d]
                 D += diff * diff
-            order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
-            ids = pdf[q_id_col].to_numpy().repeat(nprobe)
+            order = np.argsort(D, axis=1, kind="stable")[:, :np_eff]
+            ids = pdf[q_id_col].to_numpy().repeat(np_eff)
             cells = order.astype(np.int32).ravel()
-            R = np.repeat(X, nprobe, axis=0)
+            R = np.repeat(X, np_eff, axis=0)
             if by_residual:
                 R = R - C[cells]  # single IEEE subtraction (≡ _residual_udf)
             n = len(R)

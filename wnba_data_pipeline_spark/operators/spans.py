@@ -122,9 +122,16 @@ def dup_span_stats(docs: DataFrame) -> DataFrame:
     words = F.split(F.col("text"), " ")
     hits = dup_gram_hits(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # NO distinct before the islands window (round 16): hit rows are
+    # unique by (doc_id, pos) BY CONSTRUCTION — the gram inventory emits
+    # exactly one gram per token position and the dup filter only drops
+    # rows — so the r15 distinct hash-aggregated nothing and cost one
+    # full exchange of the hit set. (Equal pos duplicates would have been
+    # harmless to the islands logic anyway: pos == prev can never open an
+    # island and min/max/count-by-island ignore repeats — but the exact
+    # argument is uniqueness, pinned by the oracle hash.)
     islands = (
         hits.select("doc_id", "pos")
-        .distinct()
         .withColumn("prev", F.lag("pos").over(w))
         .withColumn(
             "new_island",

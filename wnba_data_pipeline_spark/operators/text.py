@@ -148,7 +148,17 @@ def word_gram_hash_rows(
             yield pd.DataFrame(cols)
 
     schema = f"{oid} long" + (", pos int" if with_pos else "") + ", gh long"
-    sel = docs.select(F.col(id_col).alias(id_col), "text")
+    # scan-level prefilter (round 16, VERDICT r15 item 4): the Python loop
+    # skips NULL texts and docs that cannot hold n_words words, but an
+    # opaque mapInPandas hides that from the optimizer — without the plan
+    # filter those rows pay parquet decode + the Arrow crossing for
+    # nothing, and the scan loses its pushed IsNotNull. n words need at
+    # least n-1 separators (words may be empty), so length >= n-1 is
+    # implied by the Python gate — rows dropped here emit nothing either
+    # way, values unchanged.
+    sel = docs.select(F.col(id_col).alias(id_col), "text").filter(
+        F.col("text").isNotNull() & (F.length("text") >= n_words - 1)
+    )
     return sel.mapInPandas(_batch, schema)
 
 
@@ -181,7 +191,14 @@ def bigram_count_rows(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("text").mapInPandas(_batch, "bigram string, n long")
+    # scan-level prefilter (round 16): the loop skips NULL and <2-word
+    # texts; 2 words need >= 1 separator, so length >= 1 is implied —
+    # identical rows, pushed IsNotNull restored at the scan
+    return (
+        docs.select("text")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .mapInPandas(_batch, "bigram string, n long")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -560,10 +577,21 @@ def _winnow_stats_rows(docs: DataFrame, *, k: int, w: int) -> DataFrame:
                 out["fp_max"].append(int(wins.max()))
             yield pd.DataFrame({kk: pd.Series(vv, dtype="int64") for kk, vv in out.items()})
 
-    return docs.select("doc_id", "text").mapInPandas(
-        _batch,
-        "doc_id long, n_grams long, n_windows long, "
-        "n_fingerprints long, fp_min long, fp_max long",
+    # scan-level prefilter (round 16, VERDICT r15 item 4): the r15 Arrow
+    # rewrite dropped the expression plan's pushed IsNotNull + length
+    # guard, so NULL/short rows paid decode + the Python crossing for
+    # nothing at corpus scale. The Python skip (line above: text is None
+    # or len(text) < k+w-1) stays as the in-kernel belt; this filter drops
+    # exactly those rows plan-side (Spark length() counts code points like
+    # Python len), so output rows are identical.
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= k + w - 1))
+        .mapInPandas(
+            _batch,
+            "doc_id long, n_grams long, n_windows long, "
+            "n_fingerprints long, fp_min long, fp_max long",
+        )
     )
 
 
@@ -1046,31 +1074,97 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (differential in tests/test_text_arrow.py)."""
     docs = load_table(spark, sf_dir, "documents")
     if _text_arrow_enabled():
-        corpus = word_gram_hash_rows(
-            docs, n_words=CONTAM_NGRAM, distinct=True
-        )
-        eval_side = word_gram_hash_rows(
+        # Round 16 (VERDICT r15 item 7): the eval-gram BROADCAST folds into
+        # the gram pass. The eval side (corpus/EVAL_MOD docs, pushed-filter
+        # scan) is collected ONCE at plan build — the same bounded-side
+        # pattern as the broadcast relation the r15 plan shipped to every
+        # executor anyway — and the probe join + both groupBy exchanges
+        # disappear: each corpus doc's distinct grams, overlap counts and
+        # argmax are computed locally in ONE Arrow pass (a doc's whole
+        # answer depends only on its own gram set and the eval map).
+        # Values identical: same gram kernel (md5→int64 over UTF-8,
+        # first-occurrence distinct), n_shared = |doc grams ∩ eval doc
+        # grams| exactly as the distinct-pair join counted, ties to the
+        # lowest eval id exactly as max_by(struct(n, -eval_id)). Scale
+        # ceiling unchanged from r15: the eval side must fit one executor
+        # (the old plan force-broadcast it); SPARK_GRAFT_TEXT_ARROW=0
+        # restores the two-scan broadcast-join expression plan.
+        eval_rows = word_gram_hash_rows(
             docs.filter(F.col("doc_id") % EVAL_MOD == 0),
             n_words=CONTAM_NGRAM,
             distinct=True,
             out_id="eval_doc_id",
-        )
-    else:
-        words = F.split(F.col("text"), " ")
-        grams = F.transform(
-            F.sequence(F.lit(0), F.size(words) - F.lit(CONTAM_NGRAM)),
-            lambda i: md5_long(
-                F.concat_ws(
-                    " ", *[F.element_at(words, i + F.lit(k + 1)) for k in range(CONTAM_NGRAM)]
+        ).collect()
+        eval_map: dict[int, list[int]] = {}
+        for r in eval_rows:
+            eval_map.setdefault(r["gh"], []).append(r["eval_doc_id"])
+
+        def _probe(it):
+            import hashlib
+
+            import pandas as pd
+
+            md5 = hashlib.md5
+            cache: dict[str, int] = {}
+
+            def _h(g: str) -> int:
+                h = cache.get(g)
+                if h is None:
+                    h = int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") >> 4
+                    cache[g] = h
+                return h
+
+            n_words = CONTAM_NGRAM
+            for pdf in it:
+                ids_out, top_out, n_out = [], [], []
+                for did, text in zip(pdf["doc_id"], pdf["text"]):
+                    if text is None:
+                        continue
+                    words = text.split(" ")
+                    m = len(words) - n_words + 1
+                    if m <= 0:
+                        continue
+                    hs = dict.fromkeys(
+                        _h(" ".join(words[i : i + n_words])) for i in range(m)
+                    )
+                    counts: dict[int, int] = {}
+                    for g in hs:
+                        for e in eval_map.get(g, ()):
+                            counts[e] = counts.get(e, 0) + 1
+                    if not counts:
+                        continue
+                    top, shared = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+                    ids_out.append(did)
+                    top_out.append(top)
+                    n_out.append(shared)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids_out, dtype="int64"),
+                        "top_eval_doc": pd.Series(top_out, dtype="int64"),
+                        "max_shared": pd.Series(n_out, dtype="int64"),
+                    }
                 )
-            ),
+
+        return (
+            docs.select("doc_id", "text")
+            .filter(F.col("text").isNotNull() & (F.length("text") >= CONTAM_NGRAM - 1))
+            .mapInPandas(_probe, "doc_id long, top_eval_doc long, max_shared long")
         )
-        eligible = docs.filter(F.size(words) >= CONTAM_NGRAM)
-        corpus = eligible.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
-        eval_side = (
-            eligible.filter(F.col("doc_id") % EVAL_MOD == 0)
-            .select(F.col("doc_id").alias("eval_doc_id"), F.explode(F.array_distinct(grams)).alias("gh"))
-        )
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(CONTAM_NGRAM)),
+        lambda i: md5_long(
+            F.concat_ws(
+                " ", *[F.element_at(words, i + F.lit(k + 1)) for k in range(CONTAM_NGRAM)]
+            )
+        ),
+    )
+    eligible = docs.filter(F.size(words) >= CONTAM_NGRAM)
+    corpus = eligible.select("doc_id", F.explode(F.array_distinct(grams)).alias("gh"))
+    eval_side = (
+        eligible.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), F.explode(F.array_distinct(grams)).alias("gh"))
+    )
     overlaps = (
         corpus.join(F.broadcast(eval_side), "gh")
         .groupBy("doc_id", "eval_doc_id")
